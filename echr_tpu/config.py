@@ -1,0 +1,474 @@
+"""Typed configuration tree for echr_tpu.
+
+Mirrors the reference flag surface (reference: opts.py:3-294) so the
+published 3-stage experiment scripts translate 1:1, but as immutable
+dataclasses instead of a mutable argparse namespace.  Derived dimensions
+(the reference mutates `opt` at runtime, CaptionGenerator.py:56-84) are
+computed by pure helpers here instead.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Sub-configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset paths and label-synthesis knobs (reference: opts.py:17-65,90-106)."""
+
+    dataset: str = "ActivityNet"
+    video_json: str = "data/video_data_with_annotation.json"
+    input_c3d_dir2: str = "data/c3d_npy"
+    input_lda_path: str = "data/lda.h5"
+    video_data_for_cg: str = "data/train_val_video_data.json"
+    train_label_for_cg: str = "data/train_label_for_lm.h5"
+    val_label_for_cg: str = "data/val_label_for_lm.h5"
+    w1_json: str = "data/w1.json"
+    SOTA_json: Optional[str] = None
+    use_c3d_feature: bool = True
+    use_2stream_feature: bool = False
+    input_twostream_dir: str = "data/twostream"
+    other_features: Tuple[str, ...] = ("lda",)
+    lda_dim: int = 200
+    shuffle: bool = True
+    nthreads: int = 4
+    dropsent_mode: str = "nodrop"  # nodrop | insert | truncate
+    train_only: int = 0
+    # --- TPU-native additions: static-shape bucketing ---
+    # Videos are padded on the frame axis to the smallest bucket >= T so the
+    # jitted step compiles once per bucket instead of once per video length.
+    time_buckets: Tuple[int, ...] = (64, 128, 192, 256, 384, 512, 768, 1024)
+    # Synthetic-data fallback (no ActivityNet assets in CI): see data/synthetic.py
+    synthetic: bool = False
+    synthetic_num_videos: int = 64
+    synthetic_vocab_size: int = 3000
+    synthetic_seq_length: int = 30
+
+    @property
+    def use_lda(self) -> bool:
+        # reference: opts.py:282
+        return "lda" in self.other_features
+
+
+@dataclass(frozen=True)
+class TAPConfig:
+    """SST temporal-action-proposal model (reference: opts.py:69-101, sst_model.py)."""
+
+    tap_model: str = "SST"
+    tap_rnn_type: str = "LSTM"
+    rnn_num_layers: int = 2
+    rnn_dropout: float = 0.5
+    video_dim: int = 500
+    raw_input_dim: int = 10240
+    reduce_input_dim_layer: int = 0
+    hidden_dim: int = 512
+    K: int = 256
+    prop_sample_num: int = 64
+    iou_threshold: float = 0.5
+    iou_threshold_for_good_proposal: float = 0.8
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """TSRM cross-event relation attention (reference: opts.py:109-131)."""
+
+    fusion_model: str = "TSRM8"
+    use_posit: bool = True
+    n_head: int = 16
+    d_feats: int = 512
+    d_o: int = 512
+    fST_type: str = "fST0"  # fST0 multiply | fST1 add | fST2 log-add | fST3 pos-only
+
+
+@dataclass(frozen=True)
+class ContextConfig:
+    """Hierarchical context composition strings (reference: opts.py:121-131)."""
+
+    video_context_type: str = "VL+VC+VH"
+    event_context_type: str = "EL+EC+EH+ER1+ER2+ER3"
+    clip_context_type: str = "CC+CH"
+    CG_input_feats_type: str = ""
+    CG_init_feats_type: str = ""
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    """Caption generator (reference: opts.py:139-161)."""
+
+    caption_model: str = "show_attend_tell"  # show_attend_tell | three_stream | ...
+    CG_rnn_size: int = 512
+    CG_num_layers: int = 1
+    CG_rnn_type: str = "lstm"
+    CG_input_encoding_size: int = 512
+    CG_att_hid_size: int = 512
+    CG_fc_feat_size: int = 512
+    CG_drop_prob: float = 0.5
+    # Filled from the dataset at build time (reference: train.py:152-153).
+    CG_vocab_size: int = 0
+    CG_seq_length: int = 0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimizer / schedule / curriculum (reference: opts.py:178-240)."""
+
+    training_mode: str = "pre_tap+cotrain"
+    tap_epochs: int = 3
+    cg_epochs: int = 0
+    tapcg_epochs: int = 20
+    batch_size: int = 1
+    m_batch: int = 1
+    lr: float = 5e-5
+    lambda1: float = 0.01
+    lambda2: float = 1.0
+    grad_clip: float = 100.0
+    optim: str = "adam"
+    optim_alpha: float = 0.9
+    optim_beta: float = 0.999
+    optim_epsilon: float = 1e-8
+    weight_decay: float = 0.0
+    scheduled_sampling_start: int = -1
+    scheduled_sampling_increase_every: int = 5
+    scheduled_sampling_increase_prob: float = 0.05
+    scheduled_sampling_max_prob: float = 0.25
+    learning_rate_decay_start: float = 8
+    learning_rate_decay_every: float = 3
+    learning_rate_decay_rate: float = 0.5
+    self_critical_after: int = -1
+    meteor_reward_weight: float = 1.0
+    reverse_w0: bool = False
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation options (reference: opts.py:259-278, eval.py:96-147)."""
+
+    language_eval: bool = True
+    num_vids_eval: int = 0
+    beam_size: int = 1
+    fast_eval_cg: bool = False
+    topN: int = 1000
+    val_score_thres: float = 0.0
+    nms_threshold: float = 0.0
+    reranking: bool = False
+    val_all_metrics: bool = False
+    references: Tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class SaveConfig:
+    """Checkpointing / logging (reference: opts.py:244-255)."""
+
+    checkpoint_path: str = "save"
+    losses_log_every: int = 2000
+    save_checkpoint_every: int = 10000
+    save_all_checkpoint: bool = False
+    min_epoch_when_save: int = -1
+    start_from: Optional[str] = None
+    start_from_mode: str = "last"
+    no_exclude_opt: bool = False
+    pretrain: str = ""
+    pretrain_path: str = ""
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """TPU-native runtime knobs — net-new vs the reference (single-GPU torch)."""
+
+    # Compute dtype for matmuls/activations. Parity gates run "float32";
+    # production runs "bfloat16" (fp32 accumulation is always used for
+    # softmax/logits/losses).
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    # Mesh axes: data-parallel over videos, model-parallel over
+    # vocab/head-sharded matmuls.  (1, 1) = single chip.
+    mesh_shape: Tuple[int, int] = (1, 1)
+    mesh_axis_names: Tuple[str, str] = ("data", "model")
+    donate_step_args: bool = True
+    use_pallas: bool = True
+
+
+# ---------------------------------------------------------------------------
+# Root config
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Config:
+    run_id: str = "default"
+    comment: str = ""
+    debug: bool = False
+    data: DataConfig = field(default_factory=DataConfig)
+    tap: TAPConfig = field(default_factory=TAPConfig)
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    context: ContextConfig = field(default_factory=ContextConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    save: SaveConfig = field(default_factory=SaveConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+
+    # -- derived dimensions (reference: CaptionGenerator.change_context_dim) --
+
+    @property
+    def video_context_dim(self) -> int:
+        d = 0
+        t = self.context.video_context_type
+        if "VL" in t:
+            d += self.data.lda_dim
+        if "VC" in t:
+            d += self.tap.video_dim
+        if "VH" in t:
+            d += self.tap.hidden_dim
+        return d
+
+    @property
+    def event_context_dim(self) -> int:
+        t = self.context.event_context_type
+        if "ER" in t:
+            return self.fusion.d_o
+        d = 0
+        if "EC" in t:
+            d += self.tap.video_dim
+        if "EH" in t:
+            d += self.tap.hidden_dim
+        return d
+
+    @property
+    def clip_context_dim(self) -> int:
+        d = 0
+        t = self.context.clip_context_type
+        if "CC" in t:
+            d += self.tap.video_dim
+        if "CH" in t:
+            d += self.tap.hidden_dim
+        return d
+
+    @property
+    def tsrm_input_dim(self) -> int:
+        # reference: MA_attention_8_NEW.py:13-20
+        t = self.context.event_context_type
+        if "ER1" in t:
+            return self.tap.video_dim
+        if "ER2" in t:
+            return self.tap.hidden_dim
+        if "ER3" in t:
+            return self.tap.video_dim + self.tap.hidden_dim
+        raise ValueError(f"event_context_type {t!r} selects no ER feature")
+
+    @property
+    def uses_tsrm(self) -> bool:
+        # reference: CaptionGenerator.py:12-13
+        return "TSRM" in self.fusion.fusion_model and "ER" in self.context.event_context_type
+
+    def validate(self) -> "Config":
+        if "L" in self.context.video_context_type:
+            assert self.data.use_lda, "video_context_type uses LDA but lda not enabled"
+        if self.decoder.caption_model == "three_stream":
+            assert self.decoder.CG_num_layers == 3, "three_stream requires CG_num_layers==3"
+        assert self.train.batch_size >= 1
+        return self
+
+    # -- (de)serialization ---------------------------------------------------
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        kw: Dict[str, Any] = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in d:
+                continue
+            v = d[f.name]
+            if dataclasses.is_dataclass(f.type) or f.name in _SUBCONFIGS:
+                sub_cls = _SUBCONFIGS[f.name]
+                sub_kw = {
+                    sf.name: _coerce(sf, v[sf.name])
+                    for sf in dataclasses.fields(sub_cls)
+                    if sf.name in v
+                }
+                kw[f.name] = sub_cls(**sub_kw)
+            else:
+                kw[f.name] = v
+        return cls(**kw)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def replace_in(self, section: str, **kw: Any) -> "Config":
+        """Return a new Config with fields of one sub-config replaced."""
+        sub = dataclasses.replace(getattr(self, section), **kw)
+        return dataclasses.replace(self, **{section: sub})
+
+
+_SUBCONFIGS = {
+    "data": DataConfig,
+    "tap": TAPConfig,
+    "fusion": FusionConfig,
+    "context": ContextConfig,
+    "decoder": DecoderConfig,
+    "train": TrainConfig,
+    "eval": EvalConfig,
+    "save": SaveConfig,
+    "runtime": RuntimeConfig,
+}
+
+
+def _coerce(f: dataclasses.Field, v: Any) -> Any:
+    # JSON round-trips tuples as lists; coerce back.
+    if isinstance(v, list):
+        return tuple(v)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# CLI — same flag names as the reference (reference: opts.py)
+# ---------------------------------------------------------------------------
+
+# flag -> (section, field) for flags whose name matches the dataclass field
+_FLAG_MAP: Dict[str, Tuple[str, str]] = {}
+for _section, _cls in _SUBCONFIGS.items():
+    for _f in dataclasses.fields(_cls):
+        _FLAG_MAP.setdefault(_f.name, (_section, _f.name))
+
+# reference flags with singular/plural or renamed spellings
+_ALIASES = {
+    "tap_epoch": ("train", "tap_epochs"),
+    "cg_epoch": ("train", "cg_epochs"),
+    "tapcg_epoch": ("train", "tapcg_epochs"),
+    "other_feature": ("data", "other_features"),
+    "id": (None, "run_id"),
+    "save_all": ("save", "save_all_checkpoint"),
+}
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("echr_tpu", allow_abbrev=False)
+    p.add_argument("--id", type=str, default=None)
+    p.add_argument("--comment", type=str, default=None)
+    p.add_argument("--debug", action="store_true", default=None)
+    p.add_argument("--config_json", type=str, default=None, help="load a Config JSON first")
+    bool_like = set()
+    for flag, (section, name) in sorted(_FLAG_MAP.items()):
+        cls = _SUBCONFIGS[section]
+        f = next(sf for sf in dataclasses.fields(cls) if sf.name == name)
+        default = getattr(cls(), name)
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            p.add_argument(f"--{flag}", type=int, default=None)
+            bool_like.add(flag)
+        elif isinstance(default, tuple):
+            p.add_argument(f"--{flag}", type=str, nargs="+", default=None)
+        elif isinstance(default, float):
+            p.add_argument(f"--{flag}", type=float, default=None)
+        elif isinstance(default, int):
+            p.add_argument(f"--{flag}", type=int, default=None)
+        else:
+            p.add_argument(f"--{flag}", type=str, default=None)
+    for alias, (section, name) in _ALIASES.items():
+        if alias in ("id",):
+            continue
+        if alias == "save_all":
+            p.add_argument("--save_all", action="store_true", default=None)
+        elif alias == "other_feature":
+            p.add_argument("--other_feature", type=str, nargs="+", default=None)
+        else:
+            p.add_argument(f"--{alias}", type=int, default=None)
+    p.set_defaults(_bool_like=sorted(bool_like))
+    return p
+
+
+def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
+    """Parse a reference-style CLI into a Config (reference: opts.py:3-294)."""
+    p = build_argparser()
+    ns, _unknown = p.parse_known_args(argv)
+    cfg = Config()
+    if ns.config_json:
+        with open(ns.config_json) as fh:
+            cfg = Config.from_json(fh.read())
+
+    updates: Dict[str, Dict[str, Any]] = {}
+    top: Dict[str, Any] = {}
+
+    def stage(section: Optional[str], name: str, value: Any) -> None:
+        if section is None:
+            top[name] = value
+        else:
+            updates.setdefault(section, {})[name] = value
+
+    for flag, dest in list(_FLAG_MAP.items()) + list(_ALIASES.items()):
+        v = getattr(ns, flag if flag != "id" else "id", None)
+        if v is None:
+            continue
+        section, name = dest
+        cls = _SUBCONFIGS.get(section) if section else None
+        if cls is not None:
+            f = next(sf for sf in dataclasses.fields(cls) if sf.name == name)
+            default = getattr(cls(), name)
+            if isinstance(default, bool):
+                v = bool(v)
+            elif isinstance(default, tuple):
+                v = tuple(v) if isinstance(v, (list, tuple)) else (v,)
+        stage(section, name, v)
+
+    if ns.id is not None:
+        top["run_id"] = ns.id
+    if ns.comment is not None:
+        top["comment"] = ns.comment
+    if ns.debug:
+        top["debug"] = True
+
+    for section, kw in updates.items():
+        cfg = cfg.replace_in(section, **kw)
+    if top:
+        cfg = cfg.replace(**top)
+
+    if cfg.debug:
+        # reference: opts.py:288-293 — the --debug preset
+        cfg = cfg.replace_in(
+            "save", min_epoch_when_save=0, save_checkpoint_every=100, losses_log_every=50
+        )
+        cfg = cfg.replace_in("eval", num_vids_eval=10)
+        cfg = cfg.replace_in("data", shuffle=False)
+    return cfg.validate()
+
+
+def flagship_config(**overrides: Any) -> Config:
+    """The published ECHR stage-2 configuration (reference: experiments/train_ECHR.sh):
+    three_stream decoder, TSRM over ER3 event features, VL video context, CC clips.
+    """
+    cfg = Config()
+    cfg = cfg.replace_in("data", lda_dim=100)
+    cfg = cfg.replace_in(
+        "context",
+        video_context_type="VL",
+        event_context_type="ER3",
+        clip_context_type="CC",
+        CG_input_feats_type="",
+        CG_init_feats_type="",
+    )
+    cfg = cfg.replace_in("decoder", caption_model="three_stream", CG_num_layers=3)
+    cfg = cfg.replace_in("train", training_mode="pre_cg", tap_epochs=0, cg_epochs=30, tapcg_epochs=0)
+    for k, v in overrides.items():
+        if "." in k:
+            section, name = k.split(".", 1)
+            cfg = cfg.replace_in(section, **{name: v})
+        else:
+            cfg = cfg.replace(**{k: v})
+    return cfg.validate()

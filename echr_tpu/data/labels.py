@@ -1,0 +1,171 @@
+"""Host-side label synthesis for temporal action proposals.
+
+The reference builds a dense [T, K] IoU matrix between every anchor
+``(t-k-1, t]`` and every ground-truth event with an O(T*K*n_gt) Python
+triple loop (reference: dataloader.py:320-365, iou at :266-281).  Here the
+whole grid is one numpy broadcast; a native C++ fast path is used when
+built (see echr_tpu/data/_native).  Semantics are bit-compatible with the
+reference, including:
+
+  * the +-0.01 nudge applied to GT boundaries (dataloader.py:271-272),
+  * the ``>=`` running-max tie-break, i.e. the *last* GT achieving the max
+    IoU wins, and an all-zero row selects the last GT (dataloader.py:276-278),
+  * Python-2 ``round()`` (half away from zero) in timestamp conversion
+    (dataloader.py:292-296).
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+__all__ = [
+    "timestamp_to_featstamp",
+    "featstamp_to_time",
+    "iou_grid",
+    "anchor_mask",
+    "flatten_good_proposals",
+    "sample_proposals",
+    "single_iou",
+]
+
+
+def _py2_round(x: float) -> int:
+    """Python-2 round: half away from zero (Py3 rounds half to even)."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def timestamp_to_featstamp(
+    timestamp: Sequence[float], nfeats: int, duration: float
+) -> Tuple[int, int]:
+    """Seconds -> feature indices (reference: dataloader.py:292-296)."""
+    start, end = timestamp
+    start_f = max(min(_py2_round(start / duration * nfeats), nfeats - 2), 0)
+    end_f = min(max(_py2_round(end / duration * nfeats), start_f + 1), nfeats - 1)
+    return start_f, end_f
+
+
+def featstamp_to_time(
+    start_f: float, end_f: float, nfeats: int, duration: float
+) -> Tuple[float, float]:
+    """Feature indices -> seconds (reference: dataloader.py:298-302)."""
+    time_per_feat = duration / nfeats
+    start = min(max(0, start_f * time_per_feat), duration - time_per_feat)
+    end = max(end_f * time_per_feat, start + time_per_feat)
+    return start, end
+
+
+def single_iou(
+    interval: Sequence[float], featstamps: Sequence[Sequence[float]]
+) -> Tuple[float, int]:
+    """IoU of one interval vs a GT list, with the reference's running-max
+    ``>=`` tie-break (reference: dataloader.py:266-281).  Returns (iou, gt_index).
+    """
+    start_i, end_i = interval[0], interval[1]
+    best, gt_index = 0.0, -1
+    for i, (start, end) in enumerate(featstamps):
+        start = start - 0.01
+        end = end + 0.01
+        intersection = max(0, min(end, end_i) - max(start, start_i))
+        union = min(max(end, end_i) - min(start, start_i), end - start + end_i - start_i)
+        overlap = float(intersection) / (union + 1e-8)
+        if overlap >= best:
+            best = overlap
+            gt_index = i
+    return best, gt_index
+
+
+def anchor_mask(nfeats: int, K: int) -> np.ndarray:
+    """[T, K] validity mask: anchor (t-k-1, t] is valid iff t >= k+1
+    (reference: dataloader.py:347-348)."""
+    t = np.arange(nfeats)[:, None]
+    k = np.arange(K)[None, :]
+    return (k < np.minimum(K, t)).astype(np.float32)
+
+
+def iou_grid(
+    featstamps: Sequence[Sequence[int]], nfeats: int, K: int, with_s_grid: bool = False
+):
+    """Dense anchor/GT IoU grid, vectorized.
+
+    Replaces the reference's triple loop (dataloader.py:350-357).  Returns
+    (iou_scores [T,K] f32, gts_index [T,K] f32, tap_masks [T,K] f32) and,
+    when ``with_s_grid``, additionally (S_iou_scores [T,T], S_tap_masks [T,T])
+    — the start/end-indexed variant kept for parity (dataloader.py:341-345).
+    """
+    T = int(nfeats)
+    mask = anchor_mask(T, K)
+    G = len(featstamps)
+    if G == 0:
+        z = np.zeros((T, K), dtype=np.float32)
+        out = (z, z.copy(), mask)
+        if with_s_grid:
+            return out + (np.zeros((T, T), np.float32), _s_mask(T, K))
+        return out
+
+    gt = np.asarray(featstamps, dtype=np.float64)  # [G, 2]
+    gs = gt[:, 0] - 0.01  # reference nudges, dataloader.py:271-272
+    ge = gt[:, 1] + 0.01
+
+    t = np.arange(T, dtype=np.float64)[:, None, None]  # anchor end
+    k = np.arange(K, dtype=np.float64)[None, :, None]
+    a_start = t - k - 1.0
+    inter = np.minimum(ge, t) - np.maximum(gs, a_start)
+    np.clip(inter, 0.0, None, out=inter)
+    union = np.minimum(
+        np.maximum(ge, t) - np.minimum(gs, a_start), (ge - gs) + (k + 1.0)
+    )
+    iou = inter / (union + 1e-8)  # [T, K, G]
+
+    # Last-argmax tie-break == the reference's ``>=`` running max.
+    best = iou.max(axis=2)
+    gts_index = (G - 1) - np.argmax(iou[:, :, ::-1], axis=2)
+
+    valid = mask.astype(bool)
+    iou_scores = np.where(valid, best, 0.0).astype(np.float32)
+    gts_f = np.where(valid, gts_index.astype(np.float64), 0.0).astype(np.float32)
+    if not with_s_grid:
+        return iou_scores, gts_f, mask
+
+    # S grids: S[t-k-1, t] = iou_scores[t, k] (reference: dataloader.py:356-357)
+    tt, kk = np.nonzero(valid)
+    S_iou = np.zeros((T, T), dtype=np.float32)
+    S_mask = np.zeros((T, T), dtype=np.float32)
+    S_iou[(tt - kk - 1).astype(int), tt] = iou_scores[tt, kk]
+    S_mask[(tt - kk - 1).astype(int), tt] = 1.0
+    return iou_scores, gts_f, mask, S_iou, S_mask
+
+
+def _s_mask(T: int, K: int) -> np.ndarray:
+    S_mask = np.zeros((T, T), dtype=np.float32)
+    tt, kk = np.nonzero(anchor_mask(T, K))
+    S_mask[(tt - kk - 1).astype(int), tt] = 1.0
+    return S_mask
+
+
+def flatten_good_proposals(
+    tap_gts_for_good_proposal: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten all 'good' anchors into (end-index, caption-index, [start, end))
+    triples in row-major (t, then k) order (reference: dataloader.py:615-639).
+
+    ``tap_gts_for_good_proposal`` is the [T, K] int grid whose entry is the
+    matched caption index for good anchors and -1 elsewhere
+    (reference: dataloader.py:124).
+    """
+    grid = np.asarray(tap_gts_for_good_proposal)
+    tt, kk = np.nonzero(grid != -1)
+    tap_list = tt.astype(np.int64)
+    lm_list = grid[tt, kk].astype(np.int64)
+    soi_list = np.stack([tt - kk, tt + 1], axis=1).astype(np.int64)
+    return tap_list, lm_list, soi_list
+
+
+def sample_proposals(
+    proposal_num: int, prop_sample_num: int, rng: np.random.RandomState
+) -> np.ndarray:
+    """Uniformly sample proposal rows (reference: dataloader.py:626-629)."""
+    ids = np.arange(proposal_num, dtype=np.int64)
+    rng.shuffle(ids)
+    return ids[: min(proposal_num, prop_sample_num)]
