@@ -1,0 +1,213 @@
+"""Dataset abstraction: per-video examples from disk or synthesis.
+
+The reference's DataLoader god-object (reference: dataloader.py:18-677)
+owns file I/O, label synthesis, iterator state and batching all at once.
+Here it is split: `VideoExample` is the raw per-video record; datasets
+produce examples; `echr_tpu.data.batcher` turns them into statically
+shaped device batches; `echr_tpu.data.loader` owns iteration/prefetch.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from echr_tpu.config import Config
+
+# reference: dataloader.py:49-50 — hard-coded C3D normalisation moments
+C3D_MEAN = -0.001915027447565527
+C3D_VAR = 1.9239444588254049
+
+
+@dataclass
+class VideoExample:
+    vid: str
+    feats: np.ndarray  # [T, D] float32 (already normalised)
+    lda: np.ndarray  # [lda_dim] float32
+    duration: float
+    timestamps: List[Tuple[float, float]]  # GT events in seconds
+    sentences: List[str]
+    cap_labels: np.ndarray  # [ncap, L] int32, col 0 == 0 (BOS), 0-padded
+    split: str
+
+
+class BaseDataset:
+    """Protocol: vocab + split indices + per-index example access."""
+
+    ix_to_word: Dict[str, str]
+    seq_length: int
+    w1: np.ndarray  # [K] per-anchor-length positive rate
+    split_ix: Dict[str, List[int]]
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def get_example(self, ix: int) -> VideoExample:
+        raise NotImplementedError
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.ix_to_word)
+
+
+class ActivityNetDataset(BaseDataset):
+    """On-disk ActivityNet Captions layout, file-compatible with the
+    reference inputs (reference: dataloader.py:159-263): per-video C3D .npy
+    features, caption-label HDF5s with label_start_ix/label_end_ix, vocab +
+    splits JSON, annotation JSON, LDA HDF5, w1 JSON."""
+
+    def __init__(self, cfg: Config):
+        import h5py
+
+        self.cfg = cfg
+        d = cfg.data
+        with open(d.w1_json) as f:
+            self.w1 = np.asarray(json.load(f), dtype=np.float32)
+        with open(d.video_json) as f:
+            self.annotations = json.load(f)
+        with open(d.video_data_for_cg) as f:
+            self.info = json.load(f)
+        self.ix_to_word = self.info["ix_to_word"]
+
+        def load_h5(path):
+            with h5py.File(path, "r") as h5:
+                return {k: np.asarray(h5[k]) for k in h5.keys()}
+
+        self.train_labels = load_h5(d.train_label_for_cg)
+        self.val_labels = load_h5(d.val_label_for_cg)
+        self.seq_length = int(self.train_labels["labels"].shape[1])
+        self.train_videos = int(self.train_labels["label_start_ix"].shape[0])
+
+        self.lda: Optional[Dict[str, np.ndarray]] = None
+        if d.use_lda:
+            with h5py.File(d.input_lda_path, "r") as h5:
+                self.lda = {k: np.asarray(h5[k]) for k in h5.keys()}
+
+        self.split_ix = {"train": [], "val": [], "test": []}
+        for ix, video in enumerate(self.info["videos"]):
+            split = video.get("split", "train")
+            if split in self.split_ix:
+                self.split_ix[split].append(ix)
+            elif d.train_only == 0:  # restval (reference: dataloader.py:239)
+                self.split_ix["train"].append(ix)
+
+    def __len__(self) -> int:
+        return len(self.info["videos"])
+
+    def get_example(self, ix: int) -> VideoExample:
+        d = self.cfg.data
+        video = self.info["videos"][ix]
+        vid = video["video_id"]
+        feats = np.load(os.path.join(d.input_c3d_dir2, vid + ".npy")).astype(np.float32)
+        feats = (feats - C3D_MEAN) / np.sqrt(C3D_VAR)
+        ann = self.annotations[vid]
+        split = "train" if ix < self.train_videos else "val"
+        if split == "train":
+            labels, s_ix, e_ix = (
+                self.train_labels["labels"],
+                self.train_labels["label_start_ix"][ix],
+                self.train_labels["label_end_ix"][ix],
+            )
+        else:
+            off = ix - self.train_videos
+            labels, s_ix, e_ix = (
+                self.val_labels["labels"],
+                self.val_labels["label_start_ix"][off],
+                self.val_labels["label_end_ix"][off],
+            )
+        cap = labels[int(s_ix) : int(e_ix)].astype(np.int32)
+        lda = (
+            np.asarray(self.lda[vid], dtype=np.float32)
+            if self.lda is not None
+            else np.zeros((d.lda_dim,), np.float32)
+        )
+        return VideoExample(
+            vid=vid,
+            feats=feats,
+            lda=lda,
+            duration=float(ann["duration"]),
+            timestamps=[tuple(tst) for tst in ann["timestamps"]],
+            sentences=list(ann["sentences"]),
+            cap_labels=cap,
+            split=video.get("split", "train"),
+        )
+
+
+class SyntheticDataset(BaseDataset):
+    """Deterministic synthetic ActivityNet-shaped data for tests/benchmarks.
+
+    Every video is generated from a per-index seed: C3D-like features with
+    event-correlated structure, 2-6 GT events, captions as token sequences
+    rendered to 'w<i>' sentences so the full metric pipeline runs.
+    """
+
+    def __init__(self, cfg: Config, num_videos: Optional[int] = None, seed: int = 1234):
+        self.cfg = cfg
+        d = cfg.data
+        self.num_videos = num_videos or d.synthetic_num_videos
+        self.seed = seed
+        self.seq_length = d.synthetic_seq_length
+        self._vocab = d.synthetic_vocab_size
+        self.ix_to_word = {str(i): f"w{i}" for i in range(1, self._vocab + 1)}
+        rng = np.random.RandomState(seed)
+        # plausible positive-rate vector: short anchors more often positive
+        k = np.arange(cfg.tap.K)
+        self.w1 = (0.02 + 0.2 * np.exp(-k / 32.0)).astype(np.float32)
+        n_train = int(self.num_videos * 0.75)
+        self.split_ix = {
+            "train": list(range(n_train)),
+            "val": list(range(n_train, self.num_videos)),
+            "test": [],
+        }
+
+    def __len__(self) -> int:
+        return self.num_videos
+
+    def get_example(self, ix: int) -> VideoExample:
+        cfg = self.cfg
+        rng = np.random.RandomState(self.seed * 100003 + ix)
+        T = int(rng.randint(40, 220))
+        D = cfg.tap.video_dim
+        duration = float(T * (0.5 + rng.rand()))
+        n_events = int(rng.randint(2, 7))
+        starts = np.sort(rng.rand(n_events) * duration * 0.8)
+        lengths = (0.05 + rng.rand(n_events) * 0.4) * duration
+        timestamps = [
+            (float(s), float(min(s + l, duration))) for s, l in zip(starts, lengths)
+        ]
+        # features: noise + per-event bias patterns so TAP has signal
+        feats = rng.randn(T, D).astype(np.float32) * 0.5
+        for ei, (s, e) in enumerate(timestamps):
+            fs = int(s / duration * T)
+            fe = max(fs + 1, int(e / duration * T))
+            pattern = np.random.RandomState(1000 + ei % 16).randn(D).astype(np.float32)
+            feats[fs:fe] += 0.5 * pattern
+        lda = rng.randn(cfg.data.lda_dim).astype(np.float32) * 0.3
+        L = self.seq_length
+        cap = np.zeros((n_events, L), np.int32)
+        sentences = []
+        for i in range(n_events):
+            ln = int(rng.randint(3, min(L - 2, 14)))
+            words = rng.randint(1, self._vocab + 1, size=ln)
+            cap[i, 1 : 1 + ln] = words  # col 0 stays 0 (BOS)
+            sentences.append(" ".join(f"w{w}" for w in words))
+        split = "train" if ix in set(self.split_ix["train"]) else "val"
+        return VideoExample(
+            vid=f"v_synth{ix:05d}",
+            feats=feats,
+            lda=lda,
+            duration=duration,
+            timestamps=timestamps,
+            sentences=sentences,
+            cap_labels=cap,
+            split=split,
+        )
+
+
+def build_dataset(cfg: Config, **kw) -> BaseDataset:
+    if cfg.data.synthetic:
+        return SyntheticDataset(cfg, **kw)
+    return ActivityNetDataset(cfg)

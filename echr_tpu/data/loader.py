@@ -1,0 +1,130 @@
+"""Iteration + prefetch.
+
+Replaces the reference's BlobFetcher (reference: dataloader.py:680-743 — a
+torch DataLoader with worker processes, order-preserving sampler, and an
+index-match assert) with a thread-pool prefetcher: label synthesis is numpy
+(releases the GIL) or native C++, so threads overlap cleanly with the
+device step without pickling whole batches across processes.
+
+Iterator semantics match the reference: per-split epoch order reshuffled on
+wrap (dataloader.py:707-708), `wrapped` flag on the batch, restorable
+iterator/order state for mid-epoch resume (train.py:162-163).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from echr_tpu.config import Config
+from echr_tpu.data.batcher import BatchMeta, VideoBatch, make_batch
+from echr_tpu.data.dataset import BaseDataset
+
+
+class Loader:
+    def __init__(self, dataset: BaseDataset, cfg: Config, prefetch: int = 4, seed: int = 0):
+        self.dataset = dataset
+        self.cfg = cfg
+        self.prefetch = max(1, prefetch)
+        self.rng = np.random.RandomState(seed)
+        self.iterators: Dict[str, int] = {s: 0 for s in dataset.split_ix}
+        self.split_order: Dict[str, List[int]] = {
+            s: list(ix) for s, ix in dataset.split_ix.items()
+        }
+        self._shuffle_if_needed("train", initial=True)
+        self._fetchers: Dict[str, "_Prefetcher"] = {}
+
+    # -- iterator state (checkpointable, reference: train.py:477,493) --------
+
+    def state(self) -> Dict:
+        return {
+            "iterators": dict(self.iterators),
+            "split_order": {k: list(v) for k, v in self.split_order.items()},
+        }
+
+    def load_state(self, st: Dict) -> None:
+        self.iterators.update(st.get("iterators", {}))
+        for k, v in st.get("split_order", {}).items():
+            self.split_order[k] = list(v)
+        self._restart_fetchers()
+
+    # ------------------------------------------------------------------
+
+    def _shuffle_if_needed(self, split: str, initial: bool = False) -> None:
+        if split == "train" and self.cfg.data.shuffle:
+            self.rng.shuffle(self.split_order[split])
+
+    def reset_iterator(self, split: str) -> None:
+        self.iterators[split] = 0
+        if split in self._fetchers:
+            self._fetchers[split].stop()
+            del self._fetchers[split]
+
+    def _restart_fetchers(self) -> None:
+        for f in self._fetchers.values():
+            f.stop()
+        self._fetchers.clear()
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def split_size(self, split: str) -> int:
+        return len(self.split_order[split])
+
+    def _make(self, ix: int) -> Tuple[VideoBatch, BatchMeta]:
+        ex = self.dataset.get_example(ix)
+        # per-example rng keyed by global rng draw for reproducible sampling
+        sub = np.random.RandomState(self.rng.randint(0, 2**31 - 1))
+        return make_batch(ex, self.cfg, sub, w1=self.dataset.w1)
+
+    def get_batch(self, split: str) -> Tuple[VideoBatch, BatchMeta]:
+        if split not in self._fetchers:
+            self._fetchers[split] = _Prefetcher(self, split, self.prefetch)
+        batch, meta = self._fetchers[split].get()
+        return batch, meta
+
+
+class _Prefetcher:
+    """Bounded-queue background producer for one split."""
+
+    def __init__(self, loader: Loader, split: str, depth: int):
+        self.loader = loader
+        self.split = split
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self) -> None:
+        ld = self.loader
+        while not self._stop.is_set():
+            pos = ld.iterators[self.split]
+            order = ld.split_order[self.split]
+            ix = order[pos]
+            wrapped = pos + 1 >= len(order)
+            batch, meta = ld._make(ix)
+            meta.wrapped = wrapped
+            if wrapped:
+                ld.iterators[self.split] = 0
+                ld._shuffle_if_needed(self.split)
+            else:
+                ld.iterators[self.split] = pos + 1
+            while not self._stop.is_set():
+                try:
+                    self.q.put((batch, meta), timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
+
+    def get(self) -> Tuple[VideoBatch, BatchMeta]:
+        return self.q.get()
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass

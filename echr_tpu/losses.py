@@ -1,0 +1,71 @@
+"""Training criteria (reference: misc/utils.py:48-99).
+
+All losses are masked so statically-padded entries contribute exactly
+nothing; normalisation constants match the reference's unpadded math.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# torch BCELoss clamps each log term at -100 (its documented behavior);
+# keep it so saturated sigmoids don't produce inf.
+_LOG_CLAMP = -100.0
+
+
+def tap_loss(
+    scores: Array,  # [T, K] sigmoid proposal scores
+    masks: Array,  # [T, K] valid-anchor mask
+    labels: Array,  # [T, K] {0,1} IoU>=thresh labels
+    w1: Array,  # [K] per-anchor-length positive rate
+    n_valid_frames: Array,  # scalar — the unpadded T (reference divides by T)
+) -> Array:
+    """Class-weighted BCE over the proposal grid
+    (reference: TAPModelCriterion, misc/utils.py:78-99).
+
+    The reference computes mean-over-[T,K] weighted BCE then multiplies by
+    K, i.e. sum/T; with frame padding the denominator must stay the real T.
+    """
+    w0 = 1.0 - w1
+    labels = labels * masks
+    weights = labels * w0[None, :] + (1.0 - labels) * w1[None, :]
+    scores = scores * masks
+    log_p = jnp.maximum(jnp.log(jnp.maximum(scores, 0.0)), _LOG_CLAMP)
+    log_1mp = jnp.maximum(jnp.log(jnp.maximum(1.0 - scores, 0.0)), _LOG_CLAMP)
+    bce = -(labels * log_p + (1.0 - labels) * log_1mp)
+    return jnp.sum(weights * bce) / jnp.maximum(n_valid_frames, 1.0)
+
+
+def language_model_loss(logprobs: Array, targets: Array, masks: Array) -> Array:
+    """Masked NLL normalised by token count
+    (reference: LanguageModelCriterion, misc/utils.py:62-75).
+
+    logprobs [N, L, V+1]; targets/masks [N, >=L] (truncated to L like the
+    reference truncates to the prediction length).
+    """
+    L = logprobs.shape[1]
+    targets = targets[:, :L]
+    masks = masks[:, :L]
+    gathered = jnp.take_along_axis(logprobs, targets[..., None], axis=2)[..., 0]
+    return -jnp.sum(gathered * masks) / (jnp.sum(masks) + 1e-6)
+
+
+def reward_loss(sample_logprobs: Array, gen_seq: Array, reward: Array) -> Array:
+    """Self-critical policy gradient
+    (reference: RewardCriterion, misc/utils.py:48-59).
+
+    The mask covers each generated token plus one trailing position (the
+    reference prepends a column of ones to the shifted seq>0 mask).
+    """
+    m = (gen_seq > 0).astype(jnp.float32)
+    mask = jnp.concatenate([jnp.ones_like(m[:, :1]), m[:, :-1]], axis=1)
+    out = -sample_logprobs * reward * mask
+    return jnp.sum(out) / jnp.sum(mask)
+
+
+def clip_grads_elementwise(grads, clip_value: float):
+    """Per-element clamp, matching the reference's clip_gradient
+    (misc/utils.py:107-111) — not a global-norm clip."""
+    return jax.tree.map(lambda g: jnp.clip(g, -clip_value, clip_value), grads)

@@ -1,0 +1,131 @@
+"""Beam-search decoding — net-new vs the reference.
+
+The reference plumbs a --beam_size flag but never implements beam search
+(reference: OldModel_NEW.py:144-146 is a no-op assert; sample_beam is
+commented out).  This is a fully jitted `lax.scan` beam search over all N
+proposals of a video at once: beams live on a flattened [N*B] batch axis so
+every decode step is one batched core step (MXU-sized matmuls), and beam
+bookkeeping is pure gather/top_k — no host control flow.
+
+Scoring: sum of token logprobs with optional length normalisation
+score/((5+len)/6)^alpha (the GNMT length penalty); alpha=0 reproduces raw
+sum-logprob ranking.  END token is id 0, matching the reference's
+decode_sequence convention (misc/utils.py:24-38).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from echr_tpu.config import Config
+from echr_tpu.models.contexts import Contexts
+from echr_tpu.models.decoder import (
+    DecoderState,
+    init_state,
+    precompute_attention,
+    step_logprobs,
+)
+
+Array = jax.Array
+
+_NEG_INF = -1e30
+
+
+class BeamResult(NamedTuple):
+    seq: Array  # [N, L] best sequence per proposal (0-terminated)
+    logprob: Array  # [N] accumulated logprob of the best beam
+    all_seqs: Array  # [N, B, L] all final beams, best first
+    all_logprobs: Array  # [N, B]
+
+
+def _expand_ctxs(ctxs: Contexts, beam: int) -> Contexts:
+    """Tile per-proposal context rows over the beam axis: [N, ...] -> [N*B, ...].
+    Video/clip features are shared across proposals and stay un-tiled."""
+
+    def tile(x):
+        if x is None:
+            return None
+        return jnp.repeat(x, beam, axis=0)
+
+    return Contexts(
+        video=ctxs.video,
+        event=tile(ctxs.event),
+        clip_feats=ctxs.clip_feats,
+        clip_mask=tile(ctxs.clip_mask),
+        prop_mask=tile(ctxs.prop_mask),
+    )
+
+
+def beam_search(
+    params,
+    cfg: Config,
+    ctxs: Contexts,
+    beam_size: int,
+    length_alpha: float = 0.0,
+) -> BeamResult:
+    """Decode every proposal with beam search in one jitted scan."""
+    N = ctxs.prop_mask.shape[0]
+    B = beam_size
+    L = cfg.decoder.CG_seq_length
+    V1 = cfg.decoder.CG_vocab_size + 1
+
+    bctx = _expand_ctxs(ctxs, B)
+    pre_att = precompute_attention(params, cfg, bctx)
+
+    state0 = init_state(params, cfg, bctx, N * B)
+    # <bos> step
+    it0 = jnp.zeros((N * B,), jnp.int32)
+    logprobs, state = step_logprobs(params, cfg, it0, bctx, pre_att, state0)
+
+    # beam scores: only beam 0 live initially so identical first-step beams
+    # don't duplicate candidates
+    scores0 = jnp.tile(jnp.where(jnp.arange(B) == 0, 0.0, _NEG_INF)[None, :], (N, 1))
+    finished0 = jnp.zeros((N, B), bool)
+    tokens0 = jnp.zeros((N, B, L), jnp.int32)
+
+    def body(carry, t):
+        state, logprobs, scores, finished, tokens = carry
+        lp = logprobs.reshape(N, B, V1)
+
+        # finished beams may only "emit" END with 0 added score
+        end_only = jnp.full((V1,), _NEG_INF).at[0].set(0.0)
+        lp = jnp.where(finished[..., None], end_only[None, None, :], lp)
+
+        cand = scores[..., None] + lp  # [N, B, V1]
+        flat = cand.reshape(N, B * V1)
+        top_scores, top_idx = jax.lax.top_k(flat, B)  # [N, B]
+        src_beam = top_idx // V1  # [N, B]
+        tok = (top_idx % V1).astype(jnp.int32)
+
+        # reorder running sequences and append the chosen token
+        tokens = jnp.take_along_axis(tokens, src_beam[..., None], axis=1)
+        was_finished = jnp.take_along_axis(finished, src_beam, axis=1)
+        emit = jnp.where(was_finished, 0, tok)
+        tokens = tokens.at[:, :, t].set(emit)
+        finished = was_finished | (tok == 0)
+
+        # reorder decoder state: flat index n*B + src_beam
+        flat_src = (jnp.arange(N)[:, None] * B + src_beam).reshape(-1)
+        state = DecoderState(state.h[:, flat_src], state.c[:, flat_src])
+
+        logprobs_next, state = step_logprobs(
+            params, cfg, emit.reshape(-1), bctx, pre_att, state
+        )
+        return (state, logprobs_next, top_scores, finished, tokens), None
+
+    (state, _, scores, finished, tokens), _ = jax.lax.scan(
+        body, (state, logprobs, scores0, finished0, tokens0), jnp.arange(L)
+    )
+
+    if length_alpha > 0.0:
+        lengths = jnp.sum(tokens != 0, axis=2).astype(jnp.float32) + 1.0
+        norm = jnp.power((5.0 + lengths) / 6.0, length_alpha)
+        ranked = scores / norm
+    else:
+        ranked = scores
+    order = jnp.argsort(-ranked, axis=1)
+    all_seqs = jnp.take_along_axis(tokens, order[..., None], axis=1)
+    all_scores = jnp.take_along_axis(scores, order, axis=1)
+    return BeamResult(all_seqs[:, 0], all_scores[:, 0], all_seqs, all_scores)

@@ -1,0 +1,501 @@
+"""Caption decoder family.
+
+Capability parity with the reference decoder zoo (reference:
+models/OldModel_NEW.py): an embedding + logit wrapper ("OldModel",
+:18-187) around pluggable recurrent cores.  Implemented cores:
+
+  three_stream      — the ECHR paper's decoder (:762-823): three parallel
+                      LSTMCells over event / attended-clip / video context,
+                      output = concat(h0, h1, h2).
+  show_attend_tell  — additive-attention single LSTM (:190-274).
+  all_img           — no attention, mean-pooled clip (:276-323).
+  h3 / h3_dense / h3_dense_add — 3 stacked LSTMCells, video->event->clip
+                      hierarchy (:404-508).
+  two_stream        — parallel event + clip-attention LSTMCells, late
+                      fusion by concat (:511-567).
+
+TPU-native: every core is a pure step function scanned by `lax.scan`
+(teacher forcing, greedy/multinomial sampling) over statically-shaped
+[N, T] proposals; clip attention reads the shared [T, D] frame sequence
+through per-proposal window masks with the ctx2att projection hoisted out
+of the step (see ops.attention).  Beam search — which the reference only
+stubs (OldModel_NEW.py:144-146) — is implemented in models/beam.py.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from echr_tpu.config import Config
+from echr_tpu.models.contexts import Contexts
+from echr_tpu.ops.attention import (
+    additive_attention_init,
+    additive_attention_precompute,
+    additive_attention_step,
+)
+from echr_tpu.ops.core import dense, dense_init, dropout, uniform_init
+from echr_tpu.ops.masked import window_mean_padded
+from echr_tpu.ops.recurrent import lstm_cell, lstm_cell_init
+
+Array = jax.Array
+
+
+class DecoderState(NamedTuple):
+    h: Array  # [num_layers, N, H]
+    c: Array  # [num_layers, N, H]
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _logit_input_size(cfg: Config) -> int:
+    """Width of the core output feeding the logit head (reference: :41-51)."""
+    m = cfg.decoder.caption_model
+    H = cfg.decoder.CG_rnn_size
+    if "two_stream" in m or "three_stream_2stream" in m:
+        return 2 * H
+    if "three_stream" in m:
+        return 3 * H
+    if "h3_dense" in m or "H3_dense" in m:
+        return 3 * H
+    return H
+
+
+def _input_feats_dim(cfg: Config) -> int:
+    t = cfg.context.CG_input_feats_type
+    d = 0
+    if "V" in t:
+        d += cfg.video_context_dim
+    if "E" in t:
+        d += cfg.event_context_dim
+    if "C" in t:
+        d += cfg.clip_context_dim
+    return d
+
+
+def _init_feats_dim(cfg: Config) -> int:
+    t = cfg.context.CG_init_feats_type
+    d = 0
+    if "V" in t:
+        d += cfg.video_context_dim
+    if "E" in t:
+        d += cfg.event_context_dim
+    if "C" in t:
+        d += cfg.clip_context_dim
+    return d
+
+
+def _gather_input_feats(cfg: Config, ctxs: Contexts, att_or_pooled_clip: Optional[Array], N: int):
+    """Concat of selected contexts (reference: get_input_feats :228-242)."""
+    t = cfg.context.CG_input_feats_type
+    parts = []
+    if "V" in t:
+        parts.append(jnp.broadcast_to(ctxs.video[None, :], (N, ctxs.video.shape[0])))
+    if "E" in t:
+        parts.append(ctxs.event)
+    if "C" in t:
+        parts.append(att_or_pooled_clip)
+    return jnp.concatenate(parts, axis=1) if parts else None
+
+
+# ---------------------------------------------------------------------------
+# cores
+# ---------------------------------------------------------------------------
+# A core is (init_fn, step_fn, num_layers_fn).  step_fn signature:
+#   step(params, cfg, xt [N,E], ctxs, pre_att [T,Hatt]|None, state, train, rng)
+#     -> (output [N, logit_input_size], state)
+
+
+def _init_three_stream(rng: Array, cfg: Config):
+    d, c = cfg.decoder, cfg
+    ks = jax.random.split(rng, 5)
+    E, H = d.CG_input_encoding_size, d.CG_rnn_size
+    return {
+        "layer0": lstm_cell_init(ks[0], c.event_context_dim + E, H),
+        "layer1": lstm_cell_init(ks[1], c.clip_context_dim + E, H),
+        "layer2": lstm_cell_init(ks[2], c.video_context_dim + E, H),
+        "attention": additive_attention_init(ks[3], c.clip_context_dim, H, d.CG_att_hid_size),
+        # NOTE: the reference also constructs a `fusion_layer` Linear that its
+        # forward never uses (OldModel_NEW.py:783); intentionally omitted.
+    }
+
+
+def _step_three_stream(p, cfg, xt, ctxs, pre_att, state, train, rng):
+    """reference: ThreeStream_Core.forward :801-823 — the dropped-out hidden
+    states are what get stored back into `state`."""
+    N = xt.shape[0]
+    r = jax.random.split(rng, 3) if rng is not None else (None, None, None)
+    pre_h1 = state.h[1]
+    video = jnp.broadcast_to(ctxs.video[None, :], (N, ctxs.video.shape[0]))
+
+    h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, ctxs.event], 1), state.h[0], state.c[0])
+    h0 = dropout(r[0], h0, 0.5, train)
+    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask)
+    h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])
+    h1 = dropout(r[1], h1, 0.5, train)
+    h2, c2 = lstm_cell(p["layer2"], jnp.concatenate([xt, video], 1), state.h[2], state.c[2])
+    h2 = dropout(r[2], h2, 0.5, train)
+
+    new_state = DecoderState(jnp.stack([h0, h1, h2]), jnp.stack([c0, c1, c2]))
+    return jnp.concatenate([h0, h1, h2], axis=1), new_state
+
+
+def _init_show_attend_tell(rng: Array, cfg: Config):
+    d = cfg.decoder
+    ks = jax.random.split(rng, 2)
+    E, H = d.CG_input_encoding_size, d.CG_rnn_size
+    in_dim = E + _input_feats_dim(cfg)
+    # reference: nn.LSTM(..., bias=False) (:207-208); stacked layers
+    layers = [
+        lstm_cell_init(jax.random.fold_in(ks[0], l), in_dim if l == 0 else H, H, bias=False)
+        for l in range(d.CG_num_layers)
+    ]
+    return {
+        "layers": layers,
+        "attention": additive_attention_init(ks[1], cfg.clip_context_dim, H, d.CG_att_hid_size),
+    }
+
+
+def _step_show_attend_tell(p, cfg, xt, ctxs, pre_att, state, train, rng):
+    """reference: ShowAttendTellCore.forward :244-274 — attention queried by
+    the top-layer hidden state before the update; a (possibly multi-layer)
+    LSTM advances one step with inter-layer dropout."""
+    d = cfg.decoder
+    att, _ = additive_attention_step(p["attention"], state.h[-1], ctxs.clip_feats, pre_att, ctxs.clip_mask)
+    input_feats = _gather_input_feats(cfg, ctxs, att, xt.shape[0])
+    x = xt if input_feats is None else jnp.concatenate([xt, input_feats], 1)
+    hs, cs = [], []
+    for l, lp in enumerate(p["layers"]):
+        h, c = lstm_cell(lp, x, state.h[l], state.c[l])
+        hs.append(h)
+        cs.append(c)
+        x = h
+        if train and l < len(p["layers"]) - 1 and rng is not None:
+            rng, sub = jax.random.split(rng)
+            x = dropout(sub, x, d.CG_drop_prob, True)
+    return hs[-1], DecoderState(jnp.stack(hs), jnp.stack(cs))
+
+
+def _init_all_img(rng: Array, cfg: Config):
+    d = cfg.decoder
+    E, H = d.CG_input_encoding_size, d.CG_rnn_size
+    in_dim = E + _input_feats_dim(cfg)
+    layers = [
+        lstm_cell_init(jax.random.fold_in(rng, l), in_dim if l == 0 else H, H, bias=False)
+        for l in range(d.CG_num_layers)
+    ]
+    return {"layers": layers}
+
+
+def _step_all_img(p, cfg, xt, ctxs, pre_att, state, train, rng):
+    """reference: AllImgCore.forward :320-323 — clip enters as its padded-
+    window mean (the reference's clip.mean(1) quirk, see window_mean_padded)."""
+    d = cfg.decoder
+    pooled = None
+    if "C" in cfg.context.CG_input_feats_type:
+        pooled = window_mean_padded(ctxs.clip_feats, ctxs_soi(ctxs), ctxs.prop_mask)
+    input_feats = _gather_input_feats(cfg, ctxs, pooled, xt.shape[0])
+    x = xt if input_feats is None else jnp.concatenate([xt, input_feats], 1)
+    hs, cs = [], []
+    for l, lp in enumerate(p["layers"]):
+        h, c = lstm_cell(lp, x, state.h[l], state.c[l])
+        hs.append(h)
+        cs.append(c)
+        x = h
+        if train and l < len(p["layers"]) - 1 and rng is not None:
+            rng, sub = jax.random.split(rng)
+            x = dropout(sub, x, d.CG_drop_prob, True)
+    return hs[-1], DecoderState(jnp.stack(hs), jnp.stack(cs))
+
+
+def _init_h3(rng: Array, cfg: Config):
+    d, c = cfg.decoder, cfg
+    ks = jax.random.split(rng, 4)
+    E, H = d.CG_input_encoding_size, d.CG_rnn_size
+    return {
+        "layer0": lstm_cell_init(ks[0], c.video_context_dim + H + E, H),
+        "layer1": lstm_cell_init(ks[1], c.event_context_dim + H, H),
+        "layer2": lstm_cell_init(ks[2], c.clip_context_dim + H, H),
+        "attention": additive_attention_init(ks[3], c.clip_context_dim, H, d.CG_att_hid_size),
+    }
+
+
+def _make_h3_step(variant: str):
+    def step(p, cfg, xt, ctxs, pre_att, state, train, rng):
+        """reference: H3_Core / H3_dense_Core / H3_dense_add_Core :404-508 —
+        stacked hierarchy: layer0(word+video+prev-top-h) -> layer1(+event) ->
+        layer2(+attended clip)."""
+        N = xt.shape[0]
+        r = jax.random.split(rng, 2) if rng is not None else (None, None)
+        pre_h = state.h[-1]
+        video = jnp.broadcast_to(ctxs.video[None, :], (N, ctxs.video.shape[0]))
+
+        x0 = jnp.concatenate([xt, video, pre_h], 1)
+        h0, c0 = lstm_cell(p["layer0"], x0, state.h[0], state.c[0])
+        h0d = dropout(r[0], h0, 0.5, train)
+        x1 = jnp.concatenate([h0d, ctxs.event], 1)
+        h1, c1 = lstm_cell(p["layer1"], x1, state.h[1], state.c[1])
+        h1d = dropout(r[1], h1, 0.5, train)
+        att, _ = additive_attention_step(p["attention"], h1d, ctxs.clip_feats, pre_att, ctxs.clip_mask)
+        x2 = jnp.concatenate([h1d, att], 1)
+        h2, c2 = lstm_cell(p["layer2"], x2, state.h[2], state.c[2])
+
+        new_state = DecoderState(jnp.stack([h0, h1, h2]), jnp.stack([c0, c1, c2]))
+        if variant == "h3":
+            out = h2
+        elif variant == "h3_dense":
+            out = jnp.concatenate([h0d, h1d, h2], 1)
+        else:  # h3_dense_add
+            out = jnp.concatenate([h0d, h1d, h0d + h1d + h2], 1)
+        return out, new_state
+
+    return step
+
+
+def _init_two_stream(rng: Array, cfg: Config):
+    d, c = cfg.decoder, cfg
+    ks = jax.random.split(rng, 3)
+    E, H = d.CG_input_encoding_size, d.CG_rnn_size
+    return {
+        "layer0": lstm_cell_init(ks[0], c.event_context_dim + E, H),
+        "layer1": lstm_cell_init(ks[1], c.clip_context_dim + E, H),
+        "attention": additive_attention_init(ks[2], c.clip_context_dim, H, d.CG_att_hid_size),
+    }
+
+
+def _step_two_stream(p, cfg, xt, ctxs, pre_att, state, train, rng):
+    """reference: TwoStream_Core.forward :541-567 — parallel event and
+    clip-attention streams, late fusion by concat."""
+    r = jax.random.split(rng, 2) if rng is not None else (None, None)
+    pre_h1 = state.h[1]
+    h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, ctxs.event], 1), state.h[0], state.c[0])
+    h0 = dropout(r[0], h0, 0.5, train)
+    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask)
+    h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])
+    h1 = dropout(r[1], h1, 0.5, train)
+    new_state = DecoderState(jnp.stack([h0, h1]), jnp.stack([c0, c1]))
+    return jnp.concatenate([h0, h1], axis=1), new_state
+
+
+def ctxs_soi(ctxs: Contexts) -> Array:
+    """Recover [N, 2] windows from the clip mask (start = first 1, end = last 1+1)."""
+    m = ctxs.clip_mask
+    T = m.shape[1]
+    idx = jnp.arange(T)[None, :]
+    start = jnp.min(jnp.where(m > 0, idx, T), axis=1)
+    end = jnp.max(jnp.where(m > 0, idx + 1, 0), axis=1)
+    return jnp.stack([start, end], axis=1)
+
+
+CORE_REGISTRY = {
+    "three_stream": (_init_three_stream, _step_three_stream, lambda cfg: 3),
+    "show_attend_tell": (_init_show_attend_tell, _step_show_attend_tell, lambda cfg: cfg.decoder.CG_num_layers),
+    "all_img": (_init_all_img, _step_all_img, lambda cfg: cfg.decoder.CG_num_layers),
+    "h3": (_init_h3, _make_h3_step("h3"), lambda cfg: 3),
+    "h3_dense": (_init_h3, _make_h3_step("h3_dense"), lambda cfg: 3),
+    "h3_dense_add": (_init_h3, _make_h3_step("h3_dense_add"), lambda cfg: 3),
+    "two_stream": (_init_two_stream, _step_two_stream, lambda cfg: 2),
+}
+
+
+def core_num_layers(cfg: Config) -> int:
+    return CORE_REGISTRY[cfg.decoder.caption_model][2](cfg)
+
+
+# ---------------------------------------------------------------------------
+# decoder wrapper ("OldModel")
+# ---------------------------------------------------------------------------
+
+
+def init_decoder(rng: Array, cfg: Config):
+    d = cfg.decoder
+    if d.caption_model not in CORE_REGISTRY:
+        raise ValueError(f"caption_model {d.caption_model!r} not supported; "
+                         f"available: {sorted(CORE_REGISTRY)}")
+    ks = jax.random.split(rng, 4)
+    V, E = d.CG_vocab_size, d.CG_input_encoding_size
+    p = {
+        # reference init_weights (:66-70): U(-0.1, 0.1), logit bias 0
+        "embed": uniform_init(ks[0], (V + 1, E), 0.1),
+        "logit": {
+            "w": uniform_init(ks[1], (_logit_input_size(cfg), V + 1), 0.1),
+            "b": jnp.zeros((V + 1,), jnp.float32),
+        },
+        "core": CORE_REGISTRY[d.caption_model][0](ks[2], cfg),
+    }
+    if _init_feats_dim(cfg) > 0:
+        p["init_linear"] = dense_init(
+            ks[3], _init_feats_dim(cfg), core_num_layers(cfg) * d.CG_rnn_size
+        )
+    return p
+
+
+def init_state(params, cfg: Config, ctxs: Contexts, N: int) -> DecoderState:
+    """reference: OldModel.init_hidden :72-96."""
+    L, H = core_num_layers(cfg), cfg.decoder.CG_rnn_size
+    if "init_linear" not in params:
+        z = jnp.zeros((L, N, H), jnp.float32)
+        return DecoderState(z, z)
+    t = cfg.context.CG_init_feats_type
+    parts = []
+    if "V" in t:
+        parts.append(jnp.broadcast_to(ctxs.video[None, :], (N, ctxs.video.shape[0])))
+    if "E" in t:
+        parts.append(ctxs.event)
+    if "C" in t:
+        parts.append(window_mean_padded(ctxs.clip_feats, ctxs_soi(ctxs), ctxs.prop_mask))
+    feats = jnp.concatenate(parts, axis=1)
+    m = dense(params["init_linear"], feats).reshape(N, L, H)
+    m = jnp.transpose(m, (1, 0, 2))
+    return DecoderState(m, m)
+
+
+def step_logprobs(
+    params, cfg: Config, it: Array, ctxs: Contexts, pre_att, state: DecoderState,
+    train: bool = False, rng: Optional[Array] = None,
+) -> Tuple[Array, DecoderState]:
+    """One decode step: token ids -> log p(next token)
+    (reference: get_logprobs_state :133-137)."""
+    xt = params["embed"][it]
+    r_core = r_drop = None
+    if rng is not None:
+        r_core, r_drop = jax.random.split(rng)
+    step = CORE_REGISTRY[cfg.decoder.caption_model][1]
+    out, state = step(params["core"], cfg, xt, ctxs, pre_att, state, train, r_core)
+    out = dropout(r_drop, out, cfg.decoder.CG_drop_prob, train)
+    logits = dense(params["logit"], out)
+    return jax.nn.log_softmax(logits, axis=-1), state
+
+
+def precompute_attention(params, cfg: Config, ctxs: Contexts):
+    """Hoist ctx2att(clip_feats) out of the decode loop."""
+    if ctxs.clip_feats is None:
+        return None
+    att_p = _find_attention_params(params["core"])
+    if att_p is None:
+        return None
+    return additive_attention_precompute(att_p, ctxs.clip_feats)
+
+
+def _find_attention_params(core_params):
+    return core_params.get("attention")
+
+
+# ---------------------------------------------------------------------------
+# teacher-forced forward (reference: OldModel.forward :98-130)
+# ---------------------------------------------------------------------------
+
+
+def decoder_forward(
+    params,
+    cfg: Config,
+    ctxs: Contexts,
+    seq: Array,  # [N, L+1] int token ids, col 0 = BOS(0)
+    train: bool = False,
+    rng: Optional[Array] = None,
+    ss_prob: float = 0.0,
+) -> Array:
+    """Returns logprobs [N, L, V+1] for predicting seq[:, 1:].
+
+    Scheduled sampling (reference :106-118) replaces the ground-truth input
+    token with a sample from the previous step's distribution w.p. ss_prob.
+    The reference's early break on all-zero rows is emulated by masking in
+    the loss (identical math — see losses.language_model_loss).
+    """
+    N, Lp1 = seq.shape
+    steps = Lp1 - 1
+    pre_att = precompute_attention(params, cfg, ctxs)
+    state0 = init_state(params, cfg, ctxs, N)
+    V = cfg.decoder.CG_vocab_size
+
+    use_ss = train and ss_prob > 0.0 and rng is not None
+    step_rngs = jax.random.split(rng, steps) if rng is not None else None
+
+    def body(carry, inp):
+        state, prev_logprobs = carry
+        i, it_gt = inp
+        it = it_gt
+        r = None
+        if step_rngs is not None:
+            r = jax.random.fold_in(rng, i)
+        if use_ss:
+            r_ss, r = jax.random.split(r)
+            sample_prob = jax.random.uniform(jax.random.fold_in(r_ss, 1), (N,))
+            sampled = jax.random.categorical(jax.random.fold_in(r_ss, 2), prev_logprobs, axis=-1)
+            take_sample = (sample_prob < ss_prob) & (i >= 1)
+            it = jnp.where(take_sample, sampled, it_gt)
+        logprobs, state = step_logprobs(params, cfg, it, ctxs, pre_att, state,
+                                        train=train, rng=r)
+        return (state, logprobs), logprobs
+
+    ivec = jnp.arange(steps)
+    (_, _), out = jax.lax.scan(
+        body,
+        (state0, jnp.zeros((N, V + 1), jnp.float32)),
+        (ivec, jnp.swapaxes(seq[:, :steps], 0, 1)),
+    )
+    return jnp.swapaxes(out, 0, 1)  # [N, steps, V+1]
+
+
+# ---------------------------------------------------------------------------
+# sampling (reference: OldModel.sample :139-187)
+# ---------------------------------------------------------------------------
+
+
+def decoder_sample(
+    params,
+    cfg: Config,
+    ctxs: Contexts,
+    greedy: bool = True,
+    temperature: float = 1.0,
+    rng: Optional[Array] = None,
+    train: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Greedy or multinomial decode.
+
+    Returns (seq [N, L], logps [N, L], active [L]) where L = CG_seq_length.
+    ``active[t]`` mirrors the reference's break-when-all-finished: entries
+    with active==0 were never appended by the reference (its returned seq is
+    simply shorter).  Emitted tokens are zero-masked after a sequence ends
+    and the per-step argmax/sample logprob is recorded as-is, matching the
+    reference's cg_score accumulation (eval_utils.py:134).
+    """
+    N = ctxs.prop_mask.shape[0]
+    L = cfg.decoder.CG_seq_length
+    pre_att = precompute_attention(params, cfg, ctxs)
+    state = init_state(params, cfg, ctxs, N)
+
+    it0 = jnp.zeros((N,), jnp.int32)  # <bos> == 0
+    r0 = jax.random.fold_in(rng, 0) if rng is not None else None
+    logprobs, state = step_logprobs(params, cfg, it0, ctxs, pre_att, state, train=train, rng=r0)
+
+    def body(carry, t):
+        state, logprobs, unfinished = carry
+        if greedy:
+            sample_logp = jnp.max(logprobs, axis=1)
+            it = jnp.argmax(logprobs, axis=1).astype(jnp.int32)
+        else:
+            r_t = jax.random.fold_in(rng, 10_000 + t) if rng is not None else None
+            scaled = logprobs / temperature
+            it = jax.random.categorical(r_t, scaled, axis=-1).astype(jnp.int32)
+            sample_logp = jnp.take_along_axis(logprobs, it[:, None], axis=1)[:, 0]
+        unfinished = unfinished & (it > 0)
+        active = jnp.any(unfinished & (ctxs.prop_mask > 0))
+        emit_it = it * unfinished
+        r_t2 = jax.random.fold_in(rng, 20_000 + t) if rng is not None else None
+        logprobs, state = step_logprobs(params, cfg, it, ctxs, pre_att, state, train=train, rng=r_t2)
+        return (state, logprobs, unfinished), (emit_it, sample_logp, active)
+
+    (_, _, _), (seq, logps, active) = jax.lax.scan(
+        body, (state, logprobs, jnp.ones((N,), bool)), jnp.arange(1, L + 1)
+    )
+    # a step is "appended" by the reference iff any real proposal was still
+    # unfinished after the token update (its loop breaks *before* appending)
+    seq = jnp.swapaxes(seq, 0, 1) * active[None, :]
+    logps = jnp.swapaxes(logps, 0, 1) * active[None, :]
+    return seq, logps, active

@@ -1,0 +1,63 @@
+"""Additive (Bahdanau) attention over clip frames.
+
+Reference semantics (OldModel_NEW.py:366-401 `Attention`, and the inlined
+copy in ShowAttendTellCore :247-267): score = alpha(tanh(ctx2att(feat) +
+h2att(h))); softmax then mask-renormalize (== masked softmax, see
+ops.masked.masked_softmax); weighted sum of clip features.
+
+TPU-first redesign: the reference materialises a padded [N, max_len, D]
+window tensor per video and re-projects it through ctx2att at *every*
+decode step.  Here all proposals attend over the shared [T, D] frame
+sequence through a per-proposal window mask, and ctx2att(feats) is
+precomputed once per video — per step only the [N, H] query projection and
+one [N, T] x [T, D] matmul remain.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from echr_tpu.ops.core import dense, dense_init
+from echr_tpu.ops.masked import masked_softmax
+
+Array = jax.Array
+
+
+def additive_attention_init(rng: Array, feat_dim: int, query_dim: int, hid_dim: int):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "ctx2att": dense_init(k1, feat_dim, hid_dim),
+        "h2att": dense_init(k2, query_dim, hid_dim),
+        "alpha_net": dense_init(k3, hid_dim, 1),
+    }
+
+
+def additive_attention_precompute(p, feats: Array, compute_dtype=jnp.float32) -> Array:
+    """Project the shared frame features once per video: [T, D] -> [T, Hatt]."""
+    return dense(p["ctx2att"], feats, compute_dtype)
+
+
+def additive_attention_step(
+    p,
+    h: Array,
+    feats: Array,
+    pre_att: Array,
+    frame_mask: Array,
+    compute_dtype=jnp.float32,
+) -> Tuple[Array, Array]:
+    """One attention step for all proposals at once.
+
+    h: [N, Hq] query; feats: [T, D]; pre_att: [T, Hatt] (precomputed);
+    frame_mask: [N, T] window mask.  Returns (att_res [N, D], weights [N, T]).
+    """
+    att_h = dense(p["h2att"], h, compute_dtype)  # [N, Hatt]
+    dot = jnp.tanh(pre_att[None, :, :] + att_h[:, None, :])  # [N, T, Hatt]
+    scores = dense(p["alpha_net"], dot, compute_dtype)[..., 0]  # [N, T]
+    weights = masked_softmax(scores, frame_mask, axis=-1)
+    att_res = jnp.dot(
+        weights.astype(compute_dtype), feats.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return att_res, weights

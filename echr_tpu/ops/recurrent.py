@@ -1,0 +1,129 @@
+"""LSTM primitives as `lax.scan` recurrences.
+
+Math is bit-compatible with torch's LSTM/LSTMCell (gate order i,f,g,o,
+two bias vectors) so greedy decode can be gated token-for-token against
+the reference (reference: sst_model.py:22, OldModel_NEW.py:780-782).
+
+TPU-first detail: the input projection x_t @ W_ih of a full sequence is
+hoisted out of the scan into one [T*B, 4H] matmul that tiles onto the MXU;
+the scan body only carries the [B, H] @ [H, 4H] recurrent matmul.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from echr_tpu.ops.core import dropout, uniform_init
+
+Array = jax.Array
+
+
+def lstm_cell_init(rng: Array, input_dim: int, hidden_dim: int, bias: bool = True):
+    """torch nn.LSTMCell/nn.LSTM layer params: U(-1/sqrt(H), 1/sqrt(H))."""
+    bound = 1.0 / math.sqrt(hidden_dim)
+    ks = jax.random.split(rng, 4)
+    p = {
+        "w_ih": uniform_init(ks[0], (input_dim, 4 * hidden_dim), bound),
+        "w_hh": uniform_init(ks[1], (hidden_dim, 4 * hidden_dim), bound),
+    }
+    if bias:
+        p["b_ih"] = uniform_init(ks[2], (4 * hidden_dim,), bound)
+        p["b_hh"] = uniform_init(ks[3], (4 * hidden_dim,), bound)
+    return p
+
+
+def _gates(pre: Array, hidden_dim: int) -> Tuple[Array, Array, Array, Array]:
+    i = jax.nn.sigmoid(pre[..., :hidden_dim])
+    f = jax.nn.sigmoid(pre[..., hidden_dim : 2 * hidden_dim])
+    g = jnp.tanh(pre[..., 2 * hidden_dim : 3 * hidden_dim])
+    o = jax.nn.sigmoid(pre[..., 3 * hidden_dim :])
+    return i, f, g, o
+
+
+def lstm_cell(p, x: Array, h: Array, c: Array, compute_dtype=jnp.float32) -> Tuple[Array, Array]:
+    """One LSTMCell step; x [..., in], h/c [..., H] -> (h', c')."""
+    H = h.shape[-1]
+    pre = jnp.dot(x.astype(compute_dtype), p["w_ih"].astype(compute_dtype),
+                  preferred_element_type=jnp.float32)
+    pre = pre + jnp.dot(h.astype(compute_dtype), p["w_hh"].astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+    if "b_ih" in p:
+        pre = pre + p["b_ih"] + p["b_hh"]
+    i, f, g, o = _gates(pre, H)
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def lstm_layer(
+    p,
+    xs: Array,
+    h0: Optional[Array] = None,
+    c0: Optional[Array] = None,
+    compute_dtype=jnp.float32,
+) -> Tuple[Array, Tuple[Array, Array]]:
+    """Run one LSTM layer over a [T, B, in] sequence. Returns ([T, B, H], (hT, cT)).
+
+    The x @ W_ih product for the whole sequence is a single batched matmul;
+    only h @ W_hh stays inside the scan.
+    """
+    T, B, _ = xs.shape
+    H = p["w_hh"].shape[0]
+    if h0 is None:
+        h0 = jnp.zeros((B, H), jnp.float32)
+    if c0 is None:
+        c0 = jnp.zeros((B, H), jnp.float32)
+
+    pre_x = jnp.dot(xs.astype(compute_dtype), p["w_ih"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32)
+    if "b_ih" in p:
+        pre_x = pre_x + p["b_ih"] + p["b_hh"]
+
+    w_hh = p["w_hh"].astype(compute_dtype)
+
+    def step(carry, pre_t):
+        h, c = carry
+        pre = pre_t + jnp.dot(h.astype(compute_dtype), w_hh,
+                              preferred_element_type=jnp.float32)
+        i, f, g, o = _gates(pre, H)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    (hT, cT), hs = jax.lax.scan(step, (h0, c0), pre_x)
+    return hs, (hT, cT)
+
+
+def lstm_stack_init(
+    rng: Array, input_dim: int, hidden_dim: int, num_layers: int, bias: bool = True
+) -> List:
+    ks = jax.random.split(rng, num_layers)
+    return [
+        lstm_cell_init(ks[l], input_dim if l == 0 else hidden_dim, hidden_dim, bias=bias)
+        for l in range(num_layers)
+    ]
+
+
+def lstm_stack(
+    params: Sequence,
+    xs: Array,
+    dropout_rate: float = 0.0,
+    train: bool = False,
+    rng: Optional[Array] = None,
+    compute_dtype=jnp.float32,
+) -> Tuple[Array, List[Tuple[Array, Array]]]:
+    """Stacked LSTM over [T, B, in] with torch nn.LSTM inter-layer dropout
+    (applied to every layer's output except the last, train-time only)."""
+    finals = []
+    h = xs
+    n = len(params)
+    for l, p in enumerate(params):
+        h, hc = lstm_layer(p, h, compute_dtype=compute_dtype)
+        finals.append(hc)
+        if train and dropout_rate > 0.0 and l < n - 1 and rng is not None:
+            rng, sub = jax.random.split(rng)
+            h = dropout(sub, h, dropout_rate, train=True)
+    return h, finals

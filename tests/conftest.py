@@ -1,12 +1,27 @@
 """Test configuration: force an 8-device virtual CPU mesh so multi-chip
 sharding paths compile and run without TPU hardware (the driver validates
-the real multi-chip path via __graft_entry__.dryrun_multichip)."""
+the real multi-chip path via __graft_entry__.dryrun_multichip).
+
+The container's sitecustomize registers the axon TPU PJRT plugin at
+interpreter startup (before this file runs), so env vars alone are too
+late — `jax.config.update` after import still works because no backend is
+initialised until the first array op.
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PJRT_LIBRARY_PATH", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_report_header(config):
+    return f"jax backend: {jax.default_backend()}, devices: {jax.local_device_count()}"
