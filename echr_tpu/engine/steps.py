@@ -1,0 +1,216 @@
+"""Jitted training / evaluation steps.
+
+One fused device program per (curriculum phase, time bucket): SST encode,
+context build, TSRM, decoder teacher-forcing, losses, grads, per-element
+clip, dual-Adam update — no host round trips inside a step (the reference
+crosses host<->device every step and runs Python loops per proposal,
+train.py:273-279, SURVEY §3.2).
+
+Phases mirror the reference curriculum (train.py:26-66, 291-331):
+  'tap'        — TAP loss only, update TAP.
+  'cg'         — caption loss on GT proposals, update captioner only.
+  'gt_tap_cg'  — caption loss on GT proposals, update captioner AND let
+                 gradients flow into the TAP encoder.
+  'tap_cg'     — lambda1*tap + lambda2*cg on sampled proposals, update both.
+
+Data parallelism: the batched step vmaps over a leading video axis; under
+jit with the batch sharded over the mesh "data" axis, XLA turns the loss
+mean into an ICI psum — the entire distributed backend the reference lacks.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from echr_tpu import losses
+from echr_tpu.config import Config
+from echr_tpu.data.batcher import VideoBatch
+from echr_tpu.models.captioner import (
+    ProposalBatch,
+    captioner_sample,
+    captioner_train_forward,
+)
+from echr_tpu.models.sst import sst_forward
+
+Array = jax.Array
+
+
+class TrainState(NamedTuple):
+    tap_params: Any
+    cg_params: Any
+    tap_opt: Any
+    cg_opt: Any
+    step: Array
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Per-element clip -> weight decay -> Adam -> -lr, matching the
+    reference order (clip_gradient before optimizer.step, train.py:293;
+    torch Adam applies weight_decay inside the step)."""
+    t = cfg.train
+
+    def clip() -> optax.GradientTransformation:
+        def update(updates, state, params=None):
+            return losses.clip_grads_elementwise(updates, t.grad_clip), state
+
+        return optax.GradientTransformation(lambda p: optax.EmptyState(), update)
+
+    return optax.inject_hyperparams(
+        lambda learning_rate: optax.chain(
+            clip(),
+            optax.add_decayed_weights(t.weight_decay) if t.weight_decay else optax.identity(),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=t.optim_epsilon),
+            optax.scale(-1.0),
+            optax.scale_by_learning_rate(learning_rate, flip_sign=False),
+        )
+    )(learning_rate=t.lr)
+
+
+def init_train_state(cfg: Config, tap_params, cg_params) -> TrainState:
+    opt = make_optimizer(cfg)
+    return TrainState(
+        tap_params=tap_params,
+        cg_params=cg_params,
+        tap_opt=opt.init(tap_params),
+        cg_opt=opt.init(cg_params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def set_lr(state: TrainState, lr: float) -> TrainState:
+    """Epoch step-decay LR injection (reference: utils.set_lr + train.py:232-240)."""
+    tap_opt = state.tap_opt
+    cg_opt = state.cg_opt
+    tap_opt = tap_opt._replace(hyperparams={**tap_opt.hyperparams, "learning_rate": jnp.asarray(lr)})
+    cg_opt = cg_opt._replace(hyperparams={**cg_opt.hyperparams, "learning_rate": jnp.asarray(lr)})
+    return state._replace(tap_opt=tap_opt, cg_opt=cg_opt)
+
+
+def _select_props(batch: VideoBatch, phase: str) -> Tuple[ProposalBatch, Array, Array]:
+    """GT proposals for 'cg'/'gt_tap_cg', sampled good proposals otherwise
+    (reference: train.py:265-271)."""
+    if phase in ("cg", "gt_tap_cg"):
+        props = ProposalBatch(batch.gts_ind, batch.gts_soi, batch.gts_mask)
+        return props, batch.gts_cg_labels, batch.gts_cg_masks
+    props = ProposalBatch(batch.ind_select, batch.soi, batch.prop_mask)
+    return props, batch.cg_labels, batch.cg_masks
+
+
+def _one_video_losses(
+    tap_params,
+    cg_params,
+    cfg: Config,
+    batch: VideoBatch,
+    phase: str,
+    rng: Optional[Array],
+    train: bool,
+    ss_prob: float,
+) -> Dict[str, Array]:
+    r_tap = r_cg = None
+    if rng is not None:
+        r_tap, r_cg = jax.random.split(rng)
+    tap_feats, scores = sst_forward(
+        tap_params, batch.feats, train=train, rng=r_tap,
+        dropout_rate=cfg.tap.rnn_dropout,
+    )
+    tap_l = losses.tap_loss(scores, batch.tap_masks, batch.tap_labels, batch.w1, batch.n_frames)
+    out = {"tap_loss": tap_l}
+    if phase != "tap":
+        props, cg_labels, cg_masks = _select_props(batch, phase)
+        logprobs = captioner_train_forward(
+            cg_params, cfg, tap_feats, batch.feats, batch.lda, cg_labels, props,
+            frame_mask=batch.frame_mask, train=train, rng=r_cg, ss_prob=ss_prob,
+        )
+        cg_l = losses.language_model_loss(logprobs, cg_labels[:, 1:], cg_masks[:, 1:])
+        out["cg_loss"] = cg_l
+        out["total_loss"] = cfg.train.lambda1 * tap_l + cfg.train.lambda2 * cg_l
+    return out
+
+
+def _phase_loss(metrics: Dict[str, Array], phase: str, cfg: Config) -> Array:
+    if phase == "tap":
+        return metrics["tap_loss"]
+    if phase in ("cg", "gt_tap_cg"):
+        return metrics["cg_loss"]
+    return metrics["total_loss"]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "phase", "ss_prob", "update_tap", "update_cg")
+)
+def train_step(
+    state: TrainState,
+    batch: VideoBatch,  # leaves with leading [B] axis
+    rng: Array,
+    cfg: Config,
+    phase: str,
+    ss_prob: float = 0.0,
+    update_tap: bool = True,
+    update_cg: bool = True,
+) -> Tuple[TrainState, Dict[str, Array]]:
+    """One data-parallel training step over a [B]-video batch."""
+    B = batch.feats.shape[0]
+    opt = make_optimizer(cfg)
+
+    def loss_fn(tap_params, cg_params):
+        rngs = jax.random.split(rng, B)
+        m = jax.vmap(
+            lambda b, r: _one_video_losses(
+                tap_params, cg_params, cfg, b, phase, r, True, ss_prob
+            )
+        )(batch, rngs)
+        m = jax.tree.map(lambda x: jnp.mean(x), m)
+        return _phase_loss(m, phase, cfg), m
+
+    (loss, metrics), (tap_g, cg_g) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(state.tap_params, state.cg_params)
+
+    new_state = state
+    if update_tap and phase != "cg":
+        upd, tap_opt = opt.update(tap_g, state.tap_opt, state.tap_params)
+        tap_params = optax.apply_updates(state.tap_params, upd)
+        new_state = new_state._replace(tap_params=tap_params, tap_opt=tap_opt)
+    if update_cg and phase != "tap":
+        upd, cg_opt = opt.update(cg_g, new_state.cg_opt, new_state.cg_params)
+        cg_params = optax.apply_updates(new_state.cg_params, upd)
+        new_state = new_state._replace(cg_params=cg_params, cg_opt=cg_opt)
+    new_state = new_state._replace(step=state.step + 1)
+    metrics["loss"] = loss
+    return new_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_step(tap_params, batch: VideoBatch, cfg: Config):
+    """Eval-mode SST encode for one video (no batch axis)."""
+    return sst_forward(tap_params, batch.feats, train=False)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "phase"))
+def val_loss_step(
+    tap_params, cg_params, batch: VideoBatch, cfg: Config, phase: str = "tap_cg"
+) -> Dict[str, Array]:
+    """Eval-mode losses for one video (reference: eval_utils.py:139-155)."""
+    return _one_video_losses(tap_params, cg_params, cfg, batch, phase, None, False, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "greedy"))
+def decode_step(
+    cg_params,
+    cfg: Config,
+    tap_feats: Array,
+    feats: Array,
+    lda: Array,
+    frame_mask: Array,
+    props: ProposalBatch,
+    greedy: bool = True,
+):
+    """Eval-mode decode of all proposals of one video."""
+    return captioner_sample(
+        cg_params, cfg, tap_feats, feats, lda, props, frame_mask=frame_mask,
+        greedy=greedy,
+    )

@@ -1,0 +1,249 @@
+"""Training runtime: curriculum, epochs, LR schedule, eval-gated checkpoints.
+
+Capability parity with the reference trainer (reference: train.py:26-508):
+curriculum construction over 'tap'/'cg'/'gt_tap_cg'/'tap_cg' phases, two
+independent Adam optimizers, epoch step-decay LR, bad-video skipping,
+periodic eval selecting the best checkpoint by METEOR (CG phases) or
+proposal F1 (TAP phase), full resume incl. mid-epoch data order.
+
+TPU-native: the whole step is one jitted device program per (phase, time
+bucket); host work is the prefetch pipeline and bookkeeping only.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from echr_tpu.config import Config
+from echr_tpu.data.batcher import VideoBatch
+from echr_tpu.data.dataset import build_dataset
+from echr_tpu.data.loader import Loader
+from echr_tpu.engine import checkpoint as ckpt
+from echr_tpu.engine.evaluate import eval_split
+from echr_tpu.engine.steps import TrainState, init_train_state, set_lr, train_step
+from echr_tpu.models.registry import init_captioner, init_tap
+
+log = logging.getLogger("echr_tpu.train")
+
+
+def get_training_list(cfg: Config) -> List[str]:
+    """Curriculum tags per epoch (reference: get_training_list, train.py:26-66)."""
+    t = cfg.train
+    mode = t.training_mode
+    if mode == "pre_tap+cotrain":
+        return ["tap"] * t.tap_epochs + ["cg"] * t.cg_epochs + ["tap_cg"] * t.tapcg_epochs
+    if mode == "cotrain":
+        assert t.tap_epochs == 0 and t.cg_epochs == 0
+        return ["tap_cg"] * t.tapcg_epochs
+    if mode == "pre_cg":
+        assert t.tap_epochs == 0
+        return ["cg"] * t.cg_epochs
+    if mode == "gt_tap_cg":
+        assert t.tap_epochs == 0
+        return ["gt_tap_cg"] * t.cg_epochs
+    if mode == "pre_tap":
+        assert t.cg_epochs == 0
+        return ["tap"] * t.tap_epochs
+    if mode == "alter":
+        assert t.cg_epochs == 0 and t.tap_epochs == 0
+        return ["gt_tap_cg", "tap_cg"] * t.tapcg_epochs
+    raise ValueError(f"training_mode {mode!r} is incorrect")
+
+
+def current_lr(cfg: Config, epoch: int) -> float:
+    """Epoch step decay (reference: train.py:232-240)."""
+    t = cfg.train
+    if epoch > t.learning_rate_decay_start >= 0:
+        frac = (epoch - t.learning_rate_decay_start) // t.learning_rate_decay_every
+        return t.lr * (t.learning_rate_decay_rate ** int(frac))
+    return t.lr
+
+
+def current_ss_prob(cfg: Config, epoch: int) -> float:
+    """Scheduled-sampling ramp.  The reference defines the flags
+    (opts.py:218-228) but never wires them into training; here they work."""
+    t = cfg.train
+    if t.scheduled_sampling_start < 0 or epoch < t.scheduled_sampling_start:
+        return 0.0
+    frac = (epoch - t.scheduled_sampling_start) // t.scheduled_sampling_increase_every
+    return min(t.scheduled_sampling_increase_prob * (frac + 1), t.scheduled_sampling_max_prob)
+
+
+def _stack_batch(batch: VideoBatch) -> VideoBatch:
+    return jax.tree.map(lambda x: np.asarray(x)[None], batch)
+
+
+def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
+    """Run the full curriculum.  Returns a summary dict."""
+    save_folder = os.path.join(cfg.save.checkpoint_path, cfg.run_id)
+    os.makedirs(os.path.join(save_folder, "pred_sent"), exist_ok=True)
+    _setup_logger(save_folder)
+    with open(os.path.join(save_folder, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=cfg.train.seed)
+    cfg = cfg.replace_in(
+        "decoder", CG_vocab_size=dataset.vocab_size, CG_seq_length=dataset.seq_length
+    )
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    k_tap, k_cg, rng = jax.random.split(rng, 3)
+    tap_params = init_tap(k_tap, cfg)
+    cg_params = init_captioner(k_cg, cfg)
+
+    epoch, iteration, best_val_score = 0, 0, -1.0
+    histories: Dict[str, Dict] = {"loss": {}, "lr": {}, "val": {}}
+
+    resume_path = os.path.join(save_folder, f"model-{cfg.save.start_from_mode}.ckpt")
+    if cfg.save.start_from and os.path.exists(resume_path):
+        payload = ckpt.load_checkpoint(resume_path)
+        state = payload["state"]
+        iteration = payload["iteration"]
+        epoch = payload["epoch"]
+        best_val_score = payload["best_val_score"]
+        histories = payload.get("histories") or histories
+        if payload.get("loader_state"):
+            loader.load_state(payload["loader_state"])
+        log.info("resumed from %s at iter %d epoch %d", resume_path, iteration, epoch)
+    else:
+        if cfg.save.pretrain and cfg.save.pretrain_path:
+            warm = ckpt.load_params_only(cfg.save.pretrain_path, cfg.save.pretrain)
+            tap_params = warm.get("tap_params", tap_params)
+            cg_params = warm.get("cg_params", cg_params)
+            log.info("warm-started %s from %s", cfg.save.pretrain, cfg.save.pretrain_path)
+        state = init_train_state(cfg, tap_params, cg_params)
+
+    curriculum = get_training_list(cfg)
+    log.info("curriculum: %s (%d epochs)", cfg.train.training_mode, len(curriculum))
+
+    loss_sum: Dict[str, float] = {}
+    loss_count = 0
+    bad_video_num = 0
+    t_start = time.time()
+    lr = None
+
+    while epoch < len(curriculum):
+        phase = curriculum[epoch]
+        new_lr = current_lr(cfg, epoch)
+        if new_lr != lr:
+            lr = new_lr
+            state = set_lr(state, lr)
+        ss_prob = current_ss_prob(cfg, epoch)
+
+        batch, meta = loader.get_batch("train")
+        if meta.proposal_num <= 0 or meta.n_frames <= 1:
+            bad_video_num += 1
+            if meta.wrapped:
+                epoch += 1
+            continue
+
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = train_step(
+            state, _stack_batch(batch), step_rng, cfg, phase, ss_prob=ss_prob
+        )
+        iteration += 1
+        for k, v in metrics.items():
+            loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
+        loss_count += 1
+
+        if meta.wrapped:
+            epoch += 1
+
+        if iteration % cfg.save.losses_log_every == 0:
+            avg = {k: round(v / max(loss_count, 1), 4) for k, v in loss_sum.items()}
+            dt = (time.time() - t_start) / max(loss_count, 1)
+            log.info(
+                "iter %d (epoch %d, lr %.2e, phase %s) losses=%s time/batch=%.3fs bad_vid=%d",
+                iteration, epoch, lr, phase, avg, dt, bad_video_num,
+            )
+            histories["loss"][iteration] = avg
+            histories["lr"][iteration] = lr
+            loss_sum, loss_count, bad_video_num = {}, 0, 0
+            t_start = time.time()
+
+        if (
+            iteration % cfg.save.save_checkpoint_every == 0
+            and epoch >= cfg.save.min_epoch_when_save
+        ):
+            current_score, eval_scores = _run_eval(
+                state, loader, cfg, save_folder, iteration, phase
+            )
+            histories["val"][iteration] = {
+                k: (np.asarray(v).tolist() if hasattr(v, "tolist") else v)
+                for k, v in eval_scores.items()
+            }
+            _save(state, cfg, save_folder, iteration, epoch, best_val_score, loader,
+                  histories, dataset)
+            if current_score > best_val_score:
+                best_val_score = current_score
+                _save(state, cfg, save_folder, iteration, epoch, best_val_score, loader,
+                      histories, dataset, best=True)
+                log.info("new best %.4f at iter %d", best_val_score, iteration)
+
+        if max_iterations and iteration >= max_iterations:
+            break
+
+    _save(state, cfg, save_folder, iteration, epoch, best_val_score, loader, histories, dataset)
+    return {
+        "iteration": iteration,
+        "epoch": epoch,
+        "best_val_score": best_val_score,
+        "save_folder": save_folder,
+        "state": state,
+        "config": cfg,
+        "loader": loader,
+    }
+
+
+def _run_eval(state: TrainState, loader: Loader, cfg: Config, save_folder: str,
+              iteration: int, phase: str):
+    json_path = os.path.join(save_folder, "pred_sent", f"pred_iter{iteration}.json")
+    flag = "tap" if phase == "tap" else "cg"
+    eval_kwargs = {
+        "num_vids_eval": cfg.eval.num_vids_eval or loader.split_size("val"),
+        "topN": 1000 if phase == "tap" else 100,
+        "val_all_metrics": True,
+    }
+    preds, scores, val_loss = eval_split(
+        state.tap_params, state.cg_params, loader, cfg, json_path,
+        eval_kwargs, flag_eval_what=flag,
+    )
+    recall = np.asarray(scores.get("Recall", [0.0]))
+    precision = np.asarray(scores.get("Precision", [0.0]))
+    f1 = float((2 * recall * precision / np.maximum(recall + precision, 1e-8)).mean())
+    if phase != "tap":
+        current = float(np.asarray(scores.get("METEOR", [0.0])).mean() * 100)
+    else:
+        current = f1
+    mean_scores = {k: float(np.asarray(v).mean()) for k, v in scores.items()}
+    log.info("eval iter %d: score=%.4f f1=%.4f all=%s val_loss=%s",
+             iteration, current, f1, mean_scores, np.round(val_loss, 4).tolist())
+    return current, scores
+
+
+def _save(state, cfg, save_folder, iteration, epoch, best_val_score, loader,
+          histories, dataset, best: bool = False):
+    name = "model-best.ckpt" if best else "model-last.ckpt"
+    ckpt.save_checkpoint(
+        os.path.join(save_folder, name), state, cfg,
+        iteration=iteration, epoch=epoch, best_val_score=best_val_score,
+        loader_state=loader.state(), histories=histories,
+        vocab=dataset.ix_to_word,
+    )
+
+
+def _setup_logger(save_folder: str) -> None:
+    fmt = "[%(asctime)s] %(message)s"
+    logging.basicConfig(format=fmt, datefmt="%d %H:%M", level=logging.INFO)
+    root = logging.getLogger("echr_tpu")
+    root.setLevel(logging.INFO)
+    fh = logging.FileHandler(os.path.join(save_folder, "train.log"))
+    fh.setFormatter(logging.Formatter(fmt))
+    root.addHandler(fh)

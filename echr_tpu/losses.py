@@ -32,8 +32,15 @@ def tap_loss(
     labels = labels * masks
     weights = labels * w0[None, :] + (1.0 - labels) * w1[None, :]
     scores = scores * masks
-    log_p = jnp.maximum(jnp.log(jnp.maximum(scores, 0.0)), _LOG_CLAMP)
-    log_1mp = jnp.maximum(jnp.log(jnp.maximum(1.0 - scores, 0.0)), _LOG_CLAMP)
+    # double-where safe logs: the zero-coefficient branch must not see a
+    # log(0), or autodiff produces 0 * inf = NaN gradients
+    pos = labels > 0
+    log_p = jnp.maximum(
+        jnp.log(jnp.where(pos, jnp.maximum(scores, 1e-38), 1.0)), _LOG_CLAMP
+    )
+    log_1mp = jnp.maximum(
+        jnp.log(jnp.where(pos, 1.0, jnp.maximum(1.0 - scores, 1e-38))), _LOG_CLAMP
+    )
     bce = -(labels * log_p + (1.0 - labels) * log_1mp)
     return jnp.sum(weights * bce) / jnp.maximum(n_valid_frames, 1.0)
 

@@ -1,0 +1,80 @@
+"""Device mesh construction and sharding rules.
+
+Net-new vs the reference, which is strictly single-process single-GPU
+(SURVEY §2.15/§5.8: no torch.distributed/NCCL/MPI anywhere).  The
+TPU-native scaling story:
+
+  * axis "data"  — data parallelism: each chip trains on different videos;
+    gradients are reduced by XLA-inserted collectives over ICI (psum from
+    the sharded-batch jit, no hand-written NCCL analogue).
+  * axis "model" — tensor parallelism for the wide pieces: the vocab-sized
+    logit/embedding matmuls and the TSRM head axis shard cleanly.
+
+Shardings are expressed as `NamedSharding`/PartitionSpec on the arguments
+of one jitted train step; XLA lays collectives on ICI.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from echr_tpu.config import Config
+
+
+def build_mesh(cfg: Optional[Config] = None, devices=None, shape: Optional[Tuple[int, int]] = None) -> Mesh:
+    """Build a (data, model) mesh.  Defaults to all local devices on the
+    data axis; `shape` overrides (dp, tp)."""
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        shape = cfg.runtime.mesh_shape if cfg is not None else (len(devices), 1)
+    dp, tp = shape
+    if dp * tp != len(devices):
+        dp, tp = len(devices) // max(tp, 1), max(tp, 1)
+        if dp * tp != len(devices):
+            dp, tp = len(devices), 1
+    names = cfg.runtime.mesh_axis_names if cfg is not None else ("data", "model")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, names)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch axis split over the data axis, rest replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def param_sharding_rules(mesh: Mesh):
+    """PartitionSpec tree rules for tensor-parallel parameters.
+
+    Returns a function mapping a param path/leaf to a NamedSharding.  The
+    wide vocab-dim matrices shard over "model"; everything else replicates.
+    (With mesh model=1 this degenerates to full replication.)
+    """
+
+    def rule(path: Tuple[str, ...], leaf) -> NamedSharding:
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        joined = "/".join(str(n) for n in names)
+        if "embed" in joined and leaf.ndim == 2:
+            return NamedSharding(mesh, P("model", None))  # [V+1, E] over vocab
+        if "logit" in joined and leaf.ndim == 2:
+            return NamedSharding(mesh, P(None, "model"))  # [H, V+1] over vocab
+        if "logit" in joined and leaf.ndim == 1:
+            return NamedSharding(mesh, P("model"))
+        if "out_w" in joined and leaf.ndim == 3:
+            return NamedSharding(mesh, P("model", None, None))  # TSRM heads
+        return NamedSharding(mesh, P())
+
+    return rule
+
+
+def shard_params(params, mesh: Mesh):
+    rule = param_sharding_rules(mesh)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jax.device_put(leaf, rule(path, leaf)), params
+    )
