@@ -1,0 +1,197 @@
+"""Benchmark: captions/sec/chip on the flagship ECHR configuration.
+
+Workload = the reference's eval inner loop per video (SURVEY §3.3): SST
+encode over the C3D sequence, hierarchical context build + TSRM relation
+attention, and greedy decode of one caption per proposal — at reference
+dims (video_dim 500, hidden 512, d_feats/d_o 512, 16 heads, vocab ~6000,
+30-step captions, 128 proposals/video, T=256 frame bucket).
+
+Baseline for `vs_baseline`: the reference architecture re-created with
+stock torch modules (tests/oracle_torch.py — the same oracle the parity
+tests gate against) running the same workload on this host's CPU, the only
+baseline measurable in this environment (the reference's PyTorch-0.4 GPU
+numbers are unpublished, BASELINE.md).  Torch runs with all host cores;
+per-caption cost is measured at a smaller proposal count and scaled
+linearly (reference cost is linear in N: its per-step attention re-projects
+every proposal window).
+
+Prints ONE JSON line to stdout; diagnostics go to stderr.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_PROPS = 128
+N_TORCH_PROPS = 16
+VOCAB = 6000
+SEQ_LEN = 30
+T_BUCKET = 256
+TIMED_ITERS = 30
+WARMUP_ITERS = 3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build():
+    import jax
+
+    from echr_tpu.config import flagship_config
+
+    cfg = flagship_config()
+    cfg = cfg.replace_in("data", synthetic=True, lda_dim=100, time_buckets=(T_BUCKET,))
+    cfg = cfg.replace_in("decoder", CG_vocab_size=VOCAB, CG_seq_length=SEQ_LEN)
+    cfg = cfg.validate()
+
+    from echr_tpu.models.registry import init_captioner, init_tap
+
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    tap_params = init_tap(k1, cfg)
+    cg_params = init_captioner(k2, cfg)
+    return cfg, tap_params, cg_params
+
+
+def make_inputs(cfg, seed=0):
+    rng = np.random.RandomState(seed)
+    T = T_BUCKET
+    feats = rng.randn(T, cfg.tap.video_dim).astype(np.float32) * 0.5
+    lda = rng.randn(cfg.data.lda_dim).astype(np.float32)
+    frame_mask = np.ones((T,), np.float32)
+    starts = rng.randint(0, T - 8, size=N_PROPS)
+    lens = rng.randint(4, 48, size=N_PROPS)
+    soi = np.stack([starts, np.minimum(starts + lens, T)], 1).astype(np.int32)
+    ind = (soi[:, 1] - 1).astype(np.int32)
+    return feats, lda, frame_mask, ind, soi
+
+
+def bench_jax(cfg, tap_params, cg_params, feats, lda, frame_mask, ind, soi):
+    import jax
+    import jax.numpy as jnp
+
+    from echr_tpu.engine.steps import decode_step
+    from echr_tpu.models.captioner import ProposalBatch
+    from echr_tpu.models.sst import sst_forward
+
+    encode = jax.jit(lambda p, f: sst_forward(p, f, train=False))
+    props = ProposalBatch(jnp.asarray(ind), jnp.asarray(soi), jnp.ones((N_PROPS,), jnp.float32))
+    feats_d = jnp.asarray(feats)
+    lda_d = jnp.asarray(lda)
+    fm_d = jnp.asarray(frame_mask)
+
+    def one_video():
+        tap_feats, scores = encode(tap_params, feats_d)
+        seq, logps, active = decode_step(
+            cg_params, cfg, tap_feats, feats_d, lda_d, fm_d, props
+        )
+        # fetch token ids to host — what eval actually consumes; also the
+        # only reliable completion barrier through the axon relay (its
+        # block_until_ready returns before execution finishes)
+        return np.asarray(seq)
+
+    log("compiling...")
+    t0 = time.time()
+    one_video()
+    log(f"compile+first run: {time.time()-t0:.1f}s")
+    for _ in range(WARMUP_ITERS):
+        one_video()
+    t0 = time.time()
+    for _ in range(TIMED_ITERS):
+        seq = one_video()
+    dt = time.time() - t0
+    cps = N_PROPS * TIMED_ITERS / dt
+    log(f"jax: {TIMED_ITERS} videos x {N_PROPS} proposals in {dt:.2f}s -> {cps:.1f} captions/s")
+    return cps
+
+
+def bench_torch(cfg, tap_params, cg_params, feats, lda, frame_mask, ind, soi):
+    """Reference-architecture torch baseline on host CPU (ragged windows,
+    per-step re-projected attention — the reference's actual compute)."""
+    import torch
+
+    sys.path.insert(0, "tests")
+    from oracle_torch import SSTOracle, ThreeStreamOracle, TSRMOracle, padded_clip_windows
+
+    torch.set_num_threads(max(torch.get_num_threads(), 8))
+    n = N_TORCH_PROPS
+    soi_t = soi[:n].astype(np.int64)
+    sst = SSTOracle(tap_params, cfg.tap.video_dim, cfg.tap.hidden_dim, cfg.tap.K)
+    tsrm = TSRMOracle(cg_params["fusion"], cfg.tsrm_input_dim, cfg.fusion.d_feats,
+                      cfg.fusion.n_head, cfg.fusion.d_o, cfg.fusion.fST_type)
+    dec = ThreeStreamOracle(cg_params["decoder"], cfg)
+    feats_t = torch.from_numpy(feats)
+
+    @torch.no_grad()
+    def one_video():
+        tap_h, _ = sst(feats_t)
+        EC = torch.stack([feats_t[s:e].mean(0) for s, e in soi_t])
+        EH = tap_h[soi_t[:, 1] - 1]
+        event = tsrm(torch.cat([EC, EH], 1), soi_t)
+        clip, clip_mask = padded_clip_windows(feats_t, soi_t)
+        video = torch.from_numpy(lda)
+        # full-length greedy decode (no early break), same step count as jax
+        z = torch.zeros(3, n, dec.H)
+        state = (z, z.clone())
+        it = torch.zeros(n, dtype=torch.long)
+        logprobs, state = dec.step(it, video, event, clip, clip_mask, state)
+        for _ in range(SEQ_LEN):
+            _, it = torch.max(logprobs, 1)
+            logprobs, state = dec.step(it, video, event, clip, clip_mask, state)
+
+    one_video()  # warmup
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        one_video()
+    dt = time.time() - t0
+    cps = n * iters / dt
+    log(f"torch-cpu baseline: {iters} videos x {n} proposals in {dt:.2f}s -> {cps:.1f} captions/s")
+    return cps
+
+
+def main():
+    import os
+
+    import jax
+
+    # persistent compile cache — compiles through the axon relay are slow
+    try:
+        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"no persistent compile cache: {e}")
+    log(f"devices: {_devices()}")
+    cfg, tap_params, cg_params = build()
+    inputs = make_inputs(cfg)
+    cps = bench_jax(cfg, tap_params, cg_params, *inputs)
+    try:
+        base = bench_torch(cfg, tap_params, cg_params, *inputs)
+    except Exception as e:  # torch baseline is best-effort
+        log(f"torch baseline failed: {e}")
+        base = float("nan")
+    vs = cps / base if base == base and base > 0 else None
+    print(json.dumps({
+        "metric": "captions/sec/chip (flagship ECHR eval: SST+TSRM+three_stream greedy)",
+        "value": round(cps, 2),
+        "unit": "captions/s",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+def _devices():
+    import jax
+
+    try:
+        return f"{jax.default_backend()}:{jax.local_device_count()}"
+    except Exception as e:
+        return f"error:{e}"
+
+
+if __name__ == "__main__":
+    main()

@@ -57,16 +57,21 @@ def param_sharding_rules(mesh: Mesh):
     (With mesh model=1 this degenerates to full replication.)
     """
 
+    tp = mesh.shape["model"]
+
+    def fits(leaf, axis: int) -> bool:
+        return leaf.shape[axis] % tp == 0
+
     def rule(path: Tuple[str, ...], leaf) -> NamedSharding:
         names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
         joined = "/".join(str(n) for n in names)
-        if "embed" in joined and leaf.ndim == 2:
+        if "embed" in joined and leaf.ndim == 2 and fits(leaf, 0):
             return NamedSharding(mesh, P("model", None))  # [V+1, E] over vocab
-        if "logit" in joined and leaf.ndim == 2:
+        if "logit" in joined and leaf.ndim == 2 and fits(leaf, 1):
             return NamedSharding(mesh, P(None, "model"))  # [H, V+1] over vocab
-        if "logit" in joined and leaf.ndim == 1:
+        if "logit" in joined and leaf.ndim == 1 and fits(leaf, 0):
             return NamedSharding(mesh, P("model"))
-        if "out_w" in joined and leaf.ndim == 3:
+        if "out_w" in joined and leaf.ndim == 3 and fits(leaf, 0):
             return NamedSharding(mesh, P("model", None, None))  # TSRM heads
         return NamedSharding(mesh, P())
 
