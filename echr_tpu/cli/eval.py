@@ -1,0 +1,98 @@
+"""Standalone evaluation CLI (reference: eval.py:26-154).
+
+Loads the best/last checkpoint of a run folder, overlays CLI flags onto
+the checkpoint's saved config (reference: eval.py:32-35), rebuilds the
+loader and runs eval_split with the requested flag_eval_what in
+{tap, cg, tap_cg, cg_extend}.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+from echr_tpu.config import Config
+from echr_tpu.data.dataset import build_dataset
+from echr_tpu.data.loader import Loader
+from echr_tpu.engine import checkpoint as ckpt
+from echr_tpu.engine.evaluate import eval_split
+
+log = logging.getLogger("echr_tpu.eval_cli")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("echr_tpu.eval")
+    p.add_argument("--folder_id", type=str, required=True, help="run id under save/")
+    p.add_argument("--checkpoint_path", type=str, default="save")
+    p.add_argument("--model_path", type=str, default=None, help="explicit .ckpt path")
+    p.add_argument("--which", type=str, default="best", choices=["best", "last"])
+    p.add_argument("--flag_eval_what", type=str, default="tap_cg",
+                   choices=["tap", "cg", "tap_cg", "cg_extend"])
+    p.add_argument("--topN", type=int, default=1000)
+    p.add_argument("--val_score_thres", type=float, default=0.0)
+    p.add_argument("--nms_threshold", type=float, default=0.0)
+    p.add_argument("--reranking", type=int, default=0)
+    p.add_argument("--num_vids_eval", type=int, default=0)
+    p.add_argument("--no_language_eval", action="store_true")
+    p.add_argument("--val_all_metrics", type=int, default=1)
+    p.add_argument("--beam_size", type=int, default=1)
+    p.add_argument("--wait_for_checkpoint", type=int, default=0,
+                   help="poll until the checkpoint exists (reference: eval.py:53-55)")
+    return p
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO, format="[%(asctime)s] %(message)s")
+    ns = build_parser().parse_args(argv)
+    folder = os.path.join(ns.checkpoint_path, ns.folder_id)
+    path = ns.model_path or os.path.join(folder, f"model-{ns.which}.ckpt")
+    while not os.path.exists(path):
+        if not ns.wait_for_checkpoint:
+            raise FileNotFoundError(path)
+        log.info("waiting for checkpoint %s ...", path)
+        time.sleep(60)
+
+    payload = ckpt.load_checkpoint(path)
+    cfg: Config = payload["config"]
+    cfg = cfg.replace_in(
+        "eval",
+        topN=ns.topN,
+        val_score_thres=ns.val_score_thres,
+        nms_threshold=ns.nms_threshold,
+        reranking=bool(ns.reranking),
+        num_vids_eval=ns.num_vids_eval,
+        language_eval=not ns.no_language_eval,
+        val_all_metrics=bool(ns.val_all_metrics),
+        beam_size=ns.beam_size,
+    )
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    state = payload["state"]
+
+    stamp = f"{ns.flag_eval_what}_top{ns.topN}_thr{ns.val_score_thres}_nms{ns.nms_threshold}"
+    json_path = os.path.join(folder, f"eval_{stamp}.json")
+    preds, scores, val_loss = eval_split(
+        state.tap_params, state.cg_params, loader, cfg, json_path,
+        {
+            "topN": ns.topN,
+            "num_vids_eval": ns.num_vids_eval,
+            "val_all_metrics": bool(ns.val_all_metrics),
+            "language_eval": not ns.no_language_eval,
+            "nms_threshold": ns.nms_threshold,
+            "val_score_thres": ns.val_score_thres,
+            "reranking": bool(ns.reranking),
+            "beam_size": ns.beam_size,
+        },
+        flag_eval_what=ns.flag_eval_what,
+    )
+    avg = {k: float(np.asarray(v, dtype=float).mean()) for k, v in scores.items()}
+    log.info("predictions: %d videos -> %s", len(preds), json_path)
+    log.info("avg scores: %s", {k: round(v, 4) for k, v in avg.items()})
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

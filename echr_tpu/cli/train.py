@@ -1,0 +1,21 @@
+"""Training CLI: `python -m echr_tpu.cli.train [reference-style flags]`.
+
+Same flag surface as the reference's `python train.py` (reference:
+opts.py + train.py:510-513) so the published experiment scripts translate
+1:1 — see experiments/*.sh.
+"""
+from __future__ import annotations
+
+import sys
+
+from echr_tpu.config import parse_config
+from echr_tpu.engine.train import train
+
+
+def main(argv=None) -> None:
+    cfg = parse_config(argv)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

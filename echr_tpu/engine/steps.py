@@ -184,6 +184,94 @@ def train_step(
     return new_state, metrics
 
 
+# ---------------------------------------------------------------------------
+# self-critical (SCST) steps — single video
+# ---------------------------------------------------------------------------
+
+
+def _rl_forward(tap_params, cg_params, cfg: Config, batch: VideoBatch, phase: str,
+                rng: Array, forced=None):
+    """Train-mode rollout with deterministic rng splits.  Called twice with
+    the same rng: once to sample (forced=None), once to replay the sampled
+    tokens differentiably (forced=gen_seq) — dropout masks are identical."""
+    from echr_tpu.models.captioner import make_contexts
+    from echr_tpu.models.decoder import decoder_sample
+
+    r_tap, r_ctx, r_sample = jax.random.split(rng, 3)
+    tap_feats, scores = sst_forward(
+        tap_params, batch.feats, train=True, rng=r_tap,
+        dropout_rate=cfg.tap.rnn_dropout,
+    )
+    tap_l = losses.tap_loss(scores, batch.tap_masks, batch.tap_labels, batch.w1,
+                            batch.n_frames)
+    props, _, _ = _select_props(batch, phase)
+    ctxs = make_contexts({"fusion": cg_params.get("fusion")}, cfg, tap_feats,
+                         batch.feats, batch.lda, props,
+                         frame_mask=batch.frame_mask, train=True, rng=r_ctx)
+    gen_seq, gen_logps, _ = decoder_sample(
+        cg_params["decoder"], cfg, ctxs, greedy=False, rng=r_sample, train=True,
+        forced_tokens=forced,
+    )
+    return tap_l, tap_feats, gen_seq, gen_logps
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "phase"))
+def rl_rollout_step(tap_params, cg_params, batch: VideoBatch, cfg: Config,
+                    phase: str, rng: Array):
+    """Sample a train-mode rollout + an eval-mode greedy baseline
+    (reference: CaptionGenerator mode='train_rl', :32-38)."""
+    from echr_tpu.models.captioner import make_contexts
+    from echr_tpu.models.decoder import decoder_sample
+
+    tap_l, _, gen_seq, gen_logps = _rl_forward(
+        tap_params, cg_params, cfg, batch, phase, rng
+    )
+    # greedy baseline: eval mode, no dropout
+    tap_feats_eval, _ = sst_forward(tap_params, batch.feats, train=False)
+    props, _, _ = _select_props(batch, phase)
+    ctxs_eval = make_contexts({"fusion": cg_params.get("fusion")}, cfg,
+                              tap_feats_eval, batch.feats, batch.lda, props,
+                              frame_mask=batch.frame_mask, train=False)
+    greedy_seq, _, _ = decoder_sample(cg_params["decoder"], cfg, ctxs_eval,
+                                      greedy=True, train=False)
+    return tap_l, gen_seq, greedy_seq
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "phase"))
+def rl_update_step(state: TrainState, batch: VideoBatch, cfg: Config, phase: str,
+                   rng: Array, gen_seq: Array, reward: Array):
+    """Policy-gradient update on the replayed rollout."""
+    opt = make_optimizer(cfg)
+
+    def loss_fn(tap_params, cg_params):
+        tap_l, _, _, logps = _rl_forward(
+            tap_params, cg_params, cfg, batch, phase, rng, forced=gen_seq
+        )
+        rl_l = losses.reward_loss(logps, gen_seq, reward)
+        metrics = {"tap_loss": tap_l, "cg_loss": rl_l,
+                   "total_loss": cfg.train.lambda1 * tap_l + cfg.train.lambda2 * rl_l,
+                   "avg_reward": jnp.mean(reward[:, 0])}
+        return _phase_loss(metrics, phase, cfg), metrics
+
+    (loss, metrics), (tap_g, cg_g) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(state.tap_params, state.cg_params)
+
+    new_state = state
+    if phase in ("tap_cg", "gt_tap_cg"):
+        upd, tap_opt = opt.update(tap_g, state.tap_opt, state.tap_params)
+        new_state = new_state._replace(
+            tap_params=optax.apply_updates(state.tap_params, upd), tap_opt=tap_opt
+        )
+    upd, cg_opt = opt.update(cg_g, new_state.cg_opt, new_state.cg_params)
+    new_state = new_state._replace(
+        cg_params=optax.apply_updates(new_state.cg_params, upd), cg_opt=cg_opt,
+        step=state.step + 1,
+    )
+    metrics["loss"] = loss
+    return new_state, metrics
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def encode_step(tap_params, batch: VideoBatch, cfg: Config):
     """Eval-mode SST encode for one video (no batch axis)."""

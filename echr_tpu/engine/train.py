@@ -144,10 +144,20 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
                 epoch += 1
             continue
 
-        rng, step_rng = jax.random.split(rng)
-        state, metrics = train_step(
-            state, _stack_batch(batch), step_rng, cfg, phase, ss_prob=ss_prob
+        sc_flag = (
+            cfg.train.self_critical_after != -1
+            and epoch >= cfg.train.self_critical_after
+            and phase != "tap"
         )
+        rng, step_rng = jax.random.split(rng)
+        if sc_flag:
+            state, metrics = _self_critical_step(
+                state, batch, meta, cfg, phase, step_rng, dataset
+            )
+        else:
+            state, metrics = train_step(
+                state, _stack_batch(batch), step_rng, cfg, phase, ss_prob=ss_prob
+            )
         iteration += 1
         for k, v in metrics.items():
             loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
@@ -200,6 +210,33 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
         "config": cfg,
         "loader": loader,
     }
+
+
+def _self_critical_step(state, batch, meta, cfg, phase, step_rng, dataset):
+    """SCST iteration (working replacement for the reference's broken
+    self-critical path, train.py:243,303-308)."""
+    import jax.numpy as jnp
+
+    from echr_tpu.engine.rl import self_critical_reward
+    from echr_tpu.engine.steps import rl_rollout_step, rl_update_step
+
+    tap_l, gen_seq, greedy_seq = rl_rollout_step(
+        state.tap_params, state.cg_params, batch, cfg, phase, step_rng
+    )
+    if phase in ("cg", "gt_tap_cg"):
+        gt_sentences = list(meta.sentences)
+        prop_mask = batch.gts_mask
+    else:
+        gt_sentences = [meta.sentences[int(j)] for j in meta.cg_select]
+        prop_mask = batch.prop_mask
+    reward = self_critical_reward(
+        np.asarray(gen_seq), np.asarray(greedy_seq), gt_sentences,
+        dataset.ix_to_word, np.asarray(prop_mask),
+        meteor_weight=cfg.train.meteor_reward_weight,
+    )
+    return rl_update_step(
+        state, batch, cfg, phase, step_rng, gen_seq, jnp.asarray(reward)
+    )
 
 
 def _run_eval(state: TrainState, loader: Loader, cfg: Config, save_folder: str,

@@ -455,6 +455,7 @@ def decoder_sample(
     temperature: float = 1.0,
     rng: Optional[Array] = None,
     train: bool = False,
+    forced_tokens: Optional[Array] = None,
 ) -> Tuple[Array, Array, Array]:
     """Greedy or multinomial decode.
 
@@ -464,6 +465,12 @@ def decoder_sample(
     simply shorter).  Emitted tokens are zero-masked after a sequence ends
     and the per-step argmax/sample logprob is recorded as-is, matching the
     reference's cg_score accumulation (eval_utils.py:134).
+
+    ``forced_tokens`` [N, L] replays a previously sampled rollout: tokens are
+    taken from it instead of argmax/categorical while rng consumption stays
+    identical, so the gathered per-step logprobs are bit-equal to the
+    original rollout but differentiable w.r.t. params — the self-critical
+    update path (see engine/steps.rl_update_step).
     """
     N = ctxs.prop_mask.shape[0]
     L = cfg.decoder.CG_seq_length
@@ -476,7 +483,10 @@ def decoder_sample(
 
     def body(carry, t):
         state, logprobs, unfinished = carry
-        if greedy:
+        if forced_tokens is not None:
+            it = forced_tokens[:, t - 1].astype(jnp.int32)
+            sample_logp = jnp.take_along_axis(logprobs, it[:, None], axis=1)[:, 0]
+        elif greedy:
             sample_logp = jnp.max(logprobs, axis=1)
             it = jnp.argmax(logprobs, axis=1).astype(jnp.int32)
         else:
