@@ -130,6 +130,7 @@ def eval_split(
         else:
             raise ValueError(f"flag_eval_what {flag_eval_what!r} not supported")
 
+        beam_size = int(kw.get("beam_size", cfg.eval.beam_size) or 1)
         if len(ind) == 0:
             sents: List[str] = []
         elif flag_eval_what == "tap":
@@ -138,17 +139,28 @@ def eval_split(
         else:
             nb = _prop_bucket(len(ind))
             props = _pad_props(ind[:nb], soi[:nb], nb)
-            seq, logps, active = decode_step(
-                cg_params, cfg, tap_feats, feats, jnp.asarray(batch.lda),
-                jnp.asarray(batch.frame_mask), props,
-            )
             n_real = min(len(ind), nb)
-            seq_np = np.asarray(seq)[:n_real]
-            if not bool(np.asarray(active)[0]):
-                sents = []  # reference: sample() returned [] (all ended at t=1)
-            else:
-                cg_score = np.asarray(logps)[:n_real].sum(axis=1).astype(float).tolist()
+            if beam_size > 1:
+                from echr_tpu.engine.steps import beam_decode_step
+
+                seq, logprob = beam_decode_step(
+                    cg_params, cfg, tap_feats, feats, jnp.asarray(batch.lda),
+                    jnp.asarray(batch.frame_mask), props, beam_size,
+                )
+                seq_np = np.asarray(seq)[:n_real]
+                cg_score = np.asarray(logprob)[:n_real].astype(float).tolist()
                 sents = decode_sequence(vocab, seq_np)
+            else:
+                seq, logps, active = decode_step(
+                    cg_params, cfg, tap_feats, feats, jnp.asarray(batch.lda),
+                    jnp.asarray(batch.frame_mask), props,
+                )
+                seq_np = np.asarray(seq)[:n_real]
+                if not bool(np.asarray(active)[0]):
+                    sents = []  # reference: sample() returned [] (all ended at t=1)
+                else:
+                    cg_score = np.asarray(logps)[:n_real].sum(axis=1).astype(float).tolist()
+                    sents = decode_sequence(vocab, seq_np)
 
         if get_eval_loss and split != "test" and len(cg_sel):
             m = val_loss_step(tap_params, cg_params, _to_device(batch), cfg,

@@ -286,6 +286,29 @@ def val_loss_step(
     return _one_video_losses(tap_params, cg_params, cfg, batch, phase, None, False, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "beam_size", "length_alpha"))
+def beam_decode_step(
+    cg_params,
+    cfg: Config,
+    tap_feats: Array,
+    feats: Array,
+    lda: Array,
+    frame_mask: Array,
+    props: ProposalBatch,
+    beam_size: int,
+    length_alpha: float = 0.0,
+):
+    """Beam-search decode of all proposals of one video (net-new; the
+    reference only stubs beam search, OldModel_NEW.py:144-146)."""
+    from echr_tpu.models.beam import beam_search
+    from echr_tpu.models.captioner import make_contexts
+
+    ctxs = make_contexts(cg_params, cfg, tap_feats, feats, lda, props,
+                         frame_mask=frame_mask, train=False)
+    res = beam_search(cg_params["decoder"], cfg, ctxs, beam_size, length_alpha)
+    return res.seq, res.logprob
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "greedy"))
 def decode_step(
     cg_params,

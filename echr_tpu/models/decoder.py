@@ -57,6 +57,8 @@ def _logit_input_size(cfg: Config) -> int:
     """Width of the core output feeding the logit head (reference: :41-51)."""
     m = cfg.decoder.caption_model
     H = cfg.decoder.CG_rnn_size
+    if m == "h3_dense_add":  # core outputs a single residual hidden (:508)
+        return H
     if "two_stream" in m or "three_stream_2stream" in m:
         return 2 * H
     if "three_stream" in m:
@@ -227,31 +229,41 @@ def _init_h3(rng: Array, cfg: Config):
 
 def _make_h3_step(variant: str):
     def step(p, cfg, xt, ctxs, pre_att, state, train, rng):
-        """reference: H3_Core / H3_dense_Core / H3_dense_add_Core :404-508 —
-        stacked hierarchy: layer0(word+video+prev-top-h) -> layer1(+event) ->
-        layer2(+attended clip)."""
+        """reference: H3_Core :404-436 / H3_dense_Core :438-471 /
+        H3_dense_add_Core :474-508 — stacked hierarchy
+        layer0(word+video+prev-top-h) -> layer1(event, h0) ->
+        layer2(attended-clip, h1), with the reference's exact concat order,
+        residual adds, and which (raw vs dropped) hiddens go into state."""
         N = xt.shape[0]
         r = jax.random.split(rng, 2) if rng is not None else (None, None)
         pre_h = state.h[-1]
         video = jnp.broadcast_to(ctxs.video[None, :], (N, ctxs.video.shape[0]))
 
         x0 = jnp.concatenate([xt, video, pre_h], 1)
-        h0, c0 = lstm_cell(p["layer0"], x0, state.h[0], state.c[0])
-        h0d = dropout(r[0], h0, 0.5, train)
-        x1 = jnp.concatenate([h0d, ctxs.event], 1)
-        h1, c1 = lstm_cell(p["layer1"], x1, state.h[1], state.c[1])
-        h1d = dropout(r[1], h1, 0.5, train)
-        att, _ = additive_attention_step(p["attention"], h1d, ctxs.clip_feats, pre_att, ctxs.clip_mask)
-        x2 = jnp.concatenate([h1d, att], 1)
-        h2, c2 = lstm_cell(p["layer2"], x2, state.h[2], state.c[2])
+        h0_raw, c0 = lstm_cell(p["layer0"], x0, state.h[0], state.c[0])
+        h0 = dropout(r[0], h0_raw, 0.5, train)
+        x1 = jnp.concatenate([ctxs.event, h0], 1)
+        h1_raw, c1 = lstm_cell(p["layer1"], x1, state.h[1], state.c[1])
 
-        new_state = DecoderState(jnp.stack([h0, h1, h2]), jnp.stack([c0, c1, c2]))
+        if variant == "h3_dense_add":
+            h1 = dropout(r[1], h1_raw + h0, 0.5, train)
+        else:
+            h1 = dropout(r[1], h1_raw, 0.5, train)
+        att, _ = additive_attention_step(p["attention"], h1, ctxs.clip_feats, pre_att, ctxs.clip_mask)
+        x2 = jnp.concatenate([att, h1], 1)
+        h2_raw, c2 = lstm_cell(p["layer2"], x2, state.h[2], state.c[2])
+
         if variant == "h3":
-            out = h2
+            new_state = DecoderState(jnp.stack([h0, h1, h2_raw]), jnp.stack([c0, c1, c2]))
+            out = h2_raw
         elif variant == "h3_dense":
-            out = jnp.concatenate([h0d, h1d, h2], 1)
-        else:  # h3_dense_add
-            out = jnp.concatenate([h0d, h1d, h0d + h1d + h2], 1)
+            new_state = DecoderState(jnp.stack([h0, h1, h2_raw]), jnp.stack([c0, c1, c2]))
+            out = jnp.concatenate([h0_raw, h1_raw, h2_raw], 1)
+        else:  # h3_dense_add: raw hiddens in state, residual output
+            new_state = DecoderState(
+                jnp.stack([h0_raw, h1_raw, h2_raw]), jnp.stack([c0, c1, c2])
+            )
+            out = h2_raw + h1
         return out, new_state
 
     return step
@@ -282,6 +294,113 @@ def _step_two_stream(p, cfg, xt, ctxs, pre_att, state, train, rng):
     return jnp.concatenate([h0, h1], axis=1), new_state
 
 
+def _step_two_stream_jump(p, cfg, xt, ctxs, pre_att, state, train, rng):
+    """reference: TwoStream_jump_Core.forward :925-941 — each stream also
+    sees the *other* stream's previous hidden ('jump' connections)."""
+    r = jax.random.split(rng, 2) if rng is not None else (None, None)
+    pre_h0, pre_h1 = state.h[0], state.h[1]
+    h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, ctxs.event, pre_h1], 1),
+                       state.h[0], state.c[0])
+    h0 = dropout(r[0], h0, 0.5, train)
+    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask)
+    h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att, pre_h0], 1),
+                       state.h[1], state.c[1])
+    h1 = dropout(r[1], h1, 0.5, train)
+    return jnp.concatenate([h0, h1], 1), DecoderState(jnp.stack([h0, h1]), jnp.stack([c0, c1]))
+
+
+def _init_two_stream_jump(rng: Array, cfg: Config):
+    d, c = cfg.decoder, cfg
+    ks = jax.random.split(rng, 3)
+    E, H = d.CG_input_encoding_size, d.CG_rnn_size
+    return {
+        "layer0": lstm_cell_init(ks[0], c.event_context_dim + E + H, H),
+        "layer1": lstm_cell_init(ks[1], c.clip_context_dim + E + H, H),
+        "attention": additive_attention_init(ks[2], c.clip_context_dim, H, d.CG_att_hid_size),
+    }
+
+
+def _init_two_stream_3lstm(rng: Array, cfg: Config):
+    d, c = cfg.decoder, cfg
+    ks = jax.random.split(rng, 4)
+    E, H = d.CG_input_encoding_size, d.CG_rnn_size
+    return {
+        "layer0": lstm_cell_init(ks[0], c.event_context_dim + H, H),
+        "layer1": lstm_cell_init(ks[1], c.clip_context_dim + H, H),
+        "layer2": lstm_cell_init(ks[2], c.video_context_dim + E, H),
+        "attention": additive_attention_init(ks[3], c.clip_context_dim, H, d.CG_att_hid_size),
+    }
+
+
+def _step_two_stream_3lstm(p, cfg, xt, ctxs, pre_att, state, train, rng):
+    """reference: TwoStream3LSTM_Core.forward :985-1006 — a base word+video
+    LSTM feeds both the event and clip-attention streams; output is the two
+    stream hiddens only."""
+    N = xt.shape[0]
+    r = jax.random.split(rng, 3) if rng is not None else (None, None, None)
+    pre_h1 = state.h[1]
+    video = jnp.broadcast_to(ctxs.video[None, :], (N, ctxs.video.shape[0]))
+    h2, c2 = lstm_cell(p["layer2"], jnp.concatenate([xt, video], 1), state.h[2], state.c[2])
+    h2 = dropout(r[2], h2, 0.5, train)
+    h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([h2, ctxs.event], 1), state.h[0], state.c[0])
+    h0 = dropout(r[0], h0, 0.5, train)
+    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask)
+    h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([h2, att], 1), state.h[1], state.c[1])
+    h1 = dropout(r[1], h1, 0.5, train)
+    new_state = DecoderState(jnp.stack([h0, h1, h2]), jnp.stack([c0, c1, c2]))
+    return jnp.concatenate([h0, h1], 1), new_state
+
+
+def _init_ts2_lda(rng: Array, cfg: Config):
+    d, c = cfg.decoder, cfg
+    ks = jax.random.split(rng, 3)
+    E, H = d.CG_input_encoding_size, d.CG_rnn_size
+    return {
+        "layer0": lstm_cell_init(ks[0], c.video_context_dim + E, H),
+        "layer1": lstm_cell_init(ks[1], c.clip_context_dim + E, H),
+        "attention": additive_attention_init(ks[2], c.clip_context_dim, H, d.CG_att_hid_size),
+    }
+
+
+def _step_ts2_lda(p, cfg, xt, ctxs, pre_att, state, train, rng):
+    """reference: ThreeStream_Core_2stream_CLDA :738-760 — video + clip-
+    attention streams (event stream ablated)."""
+    N = xt.shape[0]
+    r = jax.random.split(rng, 2) if rng is not None else (None, None)
+    pre_h1 = state.h[1]
+    video = jnp.broadcast_to(ctxs.video[None, :], (N, ctxs.video.shape[0]))
+    h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, video], 1), state.h[0], state.c[0])
+    h0 = dropout(r[0], h0, 0.5, train)
+    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask)
+    h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])
+    h1 = dropout(r[1], h1, 0.5, train)
+    return jnp.concatenate([h0, h1], 1), DecoderState(jnp.stack([h0, h1]), jnp.stack([c0, c1]))
+
+
+def _init_ts2_cc(rng: Array, cfg: Config):
+    d, c = cfg.decoder, cfg
+    ks = jax.random.split(rng, 3)
+    E, H = d.CG_input_encoding_size, d.CG_rnn_size
+    return {
+        "layer0": lstm_cell_init(ks[0], c.clip_context_dim + E, H),
+        "layer1": lstm_cell_init(ks[1], c.clip_context_dim + E, H),
+        "attention": additive_attention_init(ks[2], c.clip_context_dim, H, d.CG_att_hid_size),
+    }
+
+
+def _step_ts2_cc(p, cfg, xt, ctxs, pre_att, state, train, rng):
+    """reference: ThreeStream_Core_2stream_CC :672-696 — both streams take
+    the same attended clip feature."""
+    r = jax.random.split(rng, 2) if rng is not None else (None, None)
+    pre_h1 = state.h[1]
+    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask)
+    h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, att], 1), state.h[0], state.c[0])
+    h0 = dropout(r[0], h0, 0.5, train)
+    h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])
+    h1 = dropout(r[1], h1, 0.5, train)
+    return jnp.concatenate([h0, h1], 1), DecoderState(jnp.stack([h0, h1]), jnp.stack([c0, c1]))
+
+
 def ctxs_soi(ctxs: Contexts) -> Array:
     """Recover [N, 2] windows from the clip mask (start = first 1, end = last 1+1)."""
     m = ctxs.clip_mask
@@ -293,6 +412,9 @@ def ctxs_soi(ctxs: Contexts) -> Array:
 
 
 CORE_REGISTRY = {
+    # reference registry classes (OldModel_NEW.py:1009-1069); setup_lm only
+    # reaches show_attend_tell/three_stream (models/__init__.py:6-12) but
+    # every shipped core is available here
     "three_stream": (_init_three_stream, _step_three_stream, lambda cfg: 3),
     "show_attend_tell": (_init_show_attend_tell, _step_show_attend_tell, lambda cfg: cfg.decoder.CG_num_layers),
     "all_img": (_init_all_img, _step_all_img, lambda cfg: cfg.decoder.CG_num_layers),
@@ -300,6 +422,11 @@ CORE_REGISTRY = {
     "h3_dense": (_init_h3, _make_h3_step("h3_dense"), lambda cfg: 3),
     "h3_dense_add": (_init_h3, _make_h3_step("h3_dense_add"), lambda cfg: 3),
     "two_stream": (_init_two_stream, _step_two_stream, lambda cfg: 2),
+    "two_stream_jump": (_init_two_stream_jump, _step_two_stream_jump, lambda cfg: 2),
+    "two_stream_3lstm": (_init_two_stream_3lstm, _step_two_stream_3lstm, lambda cfg: 3),
+    "three_stream_2stream": (_init_two_stream, _step_two_stream, lambda cfg: 2),
+    "three_stream_2stream_LDA": (_init_ts2_lda, _step_ts2_lda, lambda cfg: 2),
+    "three_stream_2stream_CC": (_init_ts2_cc, _step_ts2_cc, lambda cfg: 2),
 }
 
 

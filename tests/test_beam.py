@@ -1,0 +1,74 @@
+"""Beam search: beam-1 == greedy; larger beams never score worse; eval path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from test_train_e2e import tiny_cfg
+
+from echr_tpu.data.dataset import build_dataset
+from echr_tpu.data.loader import Loader
+from echr_tpu.engine.steps import init_train_state
+from echr_tpu.models.beam import beam_search
+from echr_tpu.models.captioner import ProposalBatch, make_contexts
+from echr_tpu.models.decoder import decoder_sample
+from echr_tpu.models.registry import init_captioner, init_tap
+from echr_tpu.models.sst import sst_forward
+
+
+def _setup(tmp_path):
+    cfg = tiny_cfg(tmp_path)
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=dataset.vocab_size,
+                         CG_seq_length=dataset.seq_length)
+    rng = jax.random.PRNGKey(3)
+    state = init_train_state(cfg, init_tap(rng, cfg), init_captioner(rng, cfg))
+    batch, meta = loader.get_batch("train")
+    while meta.proposal_num <= 0 or meta.n_frames <= 1:
+        batch, meta = loader.get_batch("train")
+    tap_feats, _ = sst_forward(state.tap_params, jnp.asarray(batch.feats))
+    props = ProposalBatch(jnp.asarray(batch.ind_select), jnp.asarray(batch.soi),
+                          jnp.asarray(batch.prop_mask))
+    ctxs = make_contexts(state.cg_params, cfg, tap_feats, jnp.asarray(batch.feats),
+                         jnp.asarray(batch.lda), props,
+                         frame_mask=jnp.asarray(batch.frame_mask))
+    return cfg, state, ctxs, loader
+
+
+def test_beam1_matches_greedy(tmp_path):
+    cfg, state, ctxs, _ = _setup(tmp_path)
+    g_seq, g_logps, active = decoder_sample(state.cg_params["decoder"], cfg, ctxs)
+    b = beam_search(state.cg_params["decoder"], cfg, ctxs, beam_size=1)
+    g = np.asarray(g_seq)
+    bs = np.asarray(b.seq)
+    # compare up to each greedy row's end (greedy zero-masks after the global
+    # break; beam keeps decoding per-row)
+    for i in range(g.shape[0]):
+        row = g[i]
+        L = int((row > 0).sum())
+        np.testing.assert_array_equal(bs[i, :L], row[:L])
+
+
+def test_wider_beam_no_worse(tmp_path):
+    cfg, state, ctxs, _ = _setup(tmp_path)
+    b1 = beam_search(state.cg_params["decoder"], cfg, ctxs, beam_size=1)
+    b4 = beam_search(state.cg_params["decoder"], cfg, ctxs, beam_size=4)
+    assert (np.asarray(b4.logprob) >= np.asarray(b1.logprob) - 1e-4).all()
+    # beams are returned best-first
+    al = np.asarray(b4.all_logprobs)
+    assert (np.diff(al, axis=1) <= 1e-5).all()
+
+
+def test_beam_eval_path(tmp_path):
+    from echr_tpu.engine.evaluate import eval_split
+
+    cfg, state, _, loader = _setup(tmp_path)
+    preds, scores, _ = eval_split(
+        state.tap_params, state.cg_params, loader, cfg, str(tmp_path / "pb.json"),
+        {"num_vids_eval": 1, "val_all_metrics": False, "topN": 10, "beam_size": 3},
+        flag_eval_what="cg",
+    )
+    assert len(preds) >= 1
+    for vid, info in preds.items():
+        for p in info:
+            assert "sentence" in p
