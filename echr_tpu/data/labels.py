@@ -104,6 +104,19 @@ def iou_grid(
             return out + (np.zeros((T, T), np.float32), _s_mask(T, K))
         return out
 
+    from echr_tpu import native
+
+    if native.available():
+        iou_scores, gts_f, mask = native.iou_grid(featstamps, T, K)
+        if not with_s_grid:
+            return iou_scores, gts_f, mask
+        tt, kk = np.nonzero(mask.astype(bool))
+        S_iou = np.zeros((T, T), dtype=np.float32)
+        S_mask = np.zeros((T, T), dtype=np.float32)
+        S_iou[(tt - kk - 1).astype(int), tt] = iou_scores[tt, kk]
+        S_mask[(tt - kk - 1).astype(int), tt] = 1.0
+        return iou_scores, gts_f, mask, S_iou, S_mask
+
     gt = np.asarray(featstamps, dtype=np.float64)  # [G, 2]
     gs = gt[:, 0] - 0.01  # reference nudges, dataloader.py:271-272
     ge = gt[:, 1] + 0.01

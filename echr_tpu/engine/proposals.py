@@ -75,19 +75,24 @@ def top_proposals_nms(
         else None
     )
 
-    t1, t2 = props[:, 0].astype(np.float64), props[:, 1].astype(np.float64)
-    area = t2 - t1 + 1.0
-    ind = np.argsort(scores, kind="stable")
-    pick: List[int] = []
-    while len(ind) > 0 and len(pick) < topN:
-        i = ind[-1]
-        pick.append(i)
-        ind = ind[:-1]
-        tt1 = np.maximum(t1[i], t1[ind])
-        tt2 = np.minimum(t2[i], t2[ind])
-        wh = np.maximum(0.0, tt2 - tt1 + 1.0)
-        o = wh / (area[i] + area[ind] - wh)
-        ind = ind[o <= overlap]
+    from echr_tpu import native
+
+    if native.available():
+        pick = native.nms_temporal(props, scores, overlap, topN).tolist()
+    else:
+        t1, t2 = props[:, 0].astype(np.float64), props[:, 1].astype(np.float64)
+        area = t2 - t1 + 1.0
+        ind = np.argsort(scores, kind="stable")
+        pick = []
+        while len(ind) > 0 and len(pick) < topN:
+            i = ind[-1]
+            pick.append(i)
+            ind = ind[:-1]
+            tt1 = np.maximum(t1[i], t1[ind])
+            tt2 = np.minimum(t2[i], t2[ind])
+            wh = np.maximum(0.0, tt2 - tt1 + 1.0)
+            o = wh / (area[i] + area[ind] - wh)
+            ind = ind[o <= overlap]
 
     nms_props = props[pick]
     nms_scores = scores[pick]

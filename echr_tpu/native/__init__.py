@@ -1,0 +1,107 @@
+"""ctypes bindings for the native host kernels (see echr_native.cc).
+
+The library auto-builds with g++ on first use and degrades gracefully: all
+call sites keep a pure-numpy fallback (`available()` gates dispatch), so
+the framework works without a toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger("echr_tpu.native")
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "echr_native.so")
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def ensure_built() -> bool:
+    src = os.path.join(_DIR, "echr_native.cc")
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(src):
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+             "-o", _SO, src],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception as e:  # pragma: no cover
+        log.warning("native build failed, using numpy fallbacks: %s", e)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("ECHR_TPU_NO_NATIVE"):
+        return None
+    if not ensure_built():
+        return None
+    lib = ctypes.CDLL(_SO)
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.iou_grid.argtypes = [i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                             f32p, f32p, f32p]
+    lib.iou_grid.restype = None
+    lib.nms_temporal.argtypes = [i64p, f64p, ctypes.c_int, ctypes.c_double,
+                                 ctypes.c_int, ctypes.c_double, i32p]
+    lib.nms_temporal.restype = ctypes.c_int
+    lib.nms_external.argtypes = [f64p, f64p, f64p, ctypes.c_int,
+                                 ctypes.c_double, ctypes.c_int, i32p]
+    lib.nms_external.restype = ctypes.c_int
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def iou_grid(featstamps, nfeats: int, K: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Native IoU grid: returns (iou [T,K] f32, gts_index [T,K] f32, mask [T,K] f32)."""
+    lib = _load()
+    assert lib is not None
+    gt = np.ascontiguousarray(np.asarray(featstamps, dtype=np.int64).reshape(-1, 2))
+    T = int(nfeats)
+    iou = np.empty((T, K), np.float32)
+    gts = np.empty((T, K), np.float32)
+    mask = np.empty((T, K), np.float32)
+    lib.iou_grid(gt, gt.shape[0], T, K, iou, gts, mask)
+    return iou, gts, mask
+
+
+def nms_temporal(props: np.ndarray, scores: np.ndarray, overlap: float,
+                 topN: int, pad: float = 1.0) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    props = np.ascontiguousarray(props, dtype=np.int64)
+    scores = np.ascontiguousarray(scores, dtype=np.float64)
+    pick = np.empty((min(topN, len(scores)),), np.int32)
+    n = lib.nms_temporal(props, scores, len(scores), float(overlap),
+                         len(pick), float(pad), pick)
+    return pick[:n]
+
+
+def nms_external(props: np.ndarray, prop_scores: np.ndarray, sent_scores: np.ndarray,
+                 overlap: float, topN: int) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    props = np.ascontiguousarray(props, dtype=np.float64)
+    prop_scores = np.ascontiguousarray(prop_scores, dtype=np.float64)
+    sent_scores = np.ascontiguousarray(sent_scores, dtype=np.float64)
+    pick = np.empty((min(topN, len(prop_scores)),), np.int32)
+    n = lib.nms_external(props, prop_scores, sent_scores, len(prop_scores),
+                         float(overlap), len(pick), pick)
+    return pick[:n]

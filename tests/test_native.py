@@ -1,0 +1,99 @@
+"""Native C++ kernels match the numpy/python implementations exactly."""
+import numpy as np
+import pytest
+
+from echr_tpu import native
+from echr_tpu.data import labels
+
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="no native lib")
+
+
+def _numpy_grid(featstamps, T, K):
+    """Force the numpy broadcast path."""
+    import os
+
+    os.environ["ECHR_TPU_NO_NATIVE"] = "1"
+    try:
+        # bypass native dispatch by calling the broadcast internals directly
+        gt = np.asarray(featstamps, dtype=np.float64)
+        gs, ge = gt[:, 0] - 0.01, gt[:, 1] + 0.01
+        t = np.arange(T, dtype=np.float64)[:, None, None]
+        k = np.arange(K, dtype=np.float64)[None, :, None]
+        a_start = t - k - 1.0
+        inter = np.clip(np.minimum(ge, t) - np.maximum(gs, a_start), 0.0, None)
+        union = np.minimum(np.maximum(ge, t) - np.minimum(gs, a_start), (ge - gs) + (k + 1.0))
+        iou = inter / (union + 1e-8)
+        best = iou.max(axis=2)
+        G = len(featstamps)
+        gts = (G - 1) - np.argmax(iou[:, :, ::-1], axis=2)
+        mask = labels.anchor_mask(T, K).astype(bool)
+        return (
+            np.where(mask, best, 0.0).astype(np.float32),
+            np.where(mask, gts.astype(np.float64), 0.0).astype(np.float32),
+        )
+    finally:
+        del os.environ["ECHR_TPU_NO_NATIVE"]
+
+
+@pytest.mark.parametrize("T,K,gts", [
+    (30, 16, [(0, 5), (3, 9)]),
+    (64, 32, [(2, 40), (10, 20), (10, 20), (50, 63)]),
+    (12, 8, [(1, 2)]),
+])
+def test_native_iou_grid_matches_numpy(T, K, gts):
+    iou_n, gts_n, mask_n = native.iou_grid(gts, T, K)
+    iou_p, gts_p = _numpy_grid(gts, T, K)
+    np.testing.assert_allclose(iou_n, iou_p, atol=2e-7)
+    np.testing.assert_array_equal(gts_n, gts_p)
+
+
+def test_native_nms_matches_python_loop():
+    rng = np.random.RandomState(0)
+    n = 400
+    starts = rng.randint(0, 100, n)
+    lens = rng.randint(1, 30, n)
+    props = np.stack([starts, starts + lens], 1).astype(np.int64)
+    scores = rng.rand(n)
+
+    # python reference loop (reference: eval_utils.py:310-323)
+    t1, t2 = props[:, 0].astype(float), props[:, 1].astype(float)
+    area = t2 - t1 + 1.0
+    ind = np.argsort(scores, kind="stable")
+    pick = []
+    topN = 50
+    overlap = 0.7
+    while len(ind) > 0 and len(pick) < topN:
+        i = ind[-1]
+        pick.append(int(i))
+        ind = ind[:-1]
+        tt1 = np.maximum(t1[i], t1[ind])
+        tt2 = np.minimum(t2[i], t2[ind])
+        wh = np.maximum(0.0, tt2 - tt1 + 1.0)
+        o = wh / (area[i] + area[ind] - wh)
+        ind = ind[o <= overlap]
+
+    got = native.nms_temporal(props, scores, overlap, topN)
+    np.testing.assert_array_equal(got, pick)
+
+
+def test_native_nms_external_matches_python_loop():
+    from echr_tpu.engine.proposals import external_proposals_nms
+
+    rng = np.random.RandomState(1)
+    n = 120
+    starts = rng.rand(n) * 50
+    lens = rng.rand(n) * 20 + 0.5
+    props = np.stack([starts, starts + lens], 1)
+    prop_scores = rng.rand(n)
+    sent_scores = rng.rand(n)
+    _, _, pick_py = external_proposals_nms(props, prop_scores, sent_scores,
+                                           nms_overlap=0.8, topN=30)
+    pick_c = native.nms_external(props, prop_scores, sent_scores, 0.8, 30)
+    np.testing.assert_array_equal(pick_c, pick_py)
+
+
+def test_native_grid_used_by_labels_api():
+    iou, gts, mask = labels.iou_grid([(0, 5), (3, 9)], 30, 16)
+    iou2, gts2 = _numpy_grid([(0, 5), (3, 9)], 30, 16)
+    np.testing.assert_allclose(iou, iou2, atol=2e-7)
