@@ -61,6 +61,13 @@ class BatchMeta:
     cg_select: np.ndarray  # [n_sampled] caption index per sampled proposal
     sampled_ids: np.ndarray
     wrapped: bool = False
+    # external (SOTA) proposals (reference: dataloader.py:509-528)
+    SOTA_featstamps: Optional[List] = None
+    SOTA_scores: Optional[List] = None
+    SOTA_timestamps: Optional[List] = None
+    SOTA_ind: Optional[List] = None
+    SOTA_soi: Optional[List] = None
+    SOTA_cg_select: Optional[List] = None
 
 
 def pick_bucket(T: int, buckets: Sequence[int]) -> int:
@@ -103,7 +110,11 @@ def caption_masks(cap_labels: np.ndarray, mode: str, rng: np.random.RandomState)
 
 
 def make_batch(
-    ex: VideoExample, cfg: Config, rng: np.random.RandomState, w1: Optional[np.ndarray] = None
+    ex: VideoExample,
+    cfg: Config,
+    rng: np.random.RandomState,
+    w1: Optional[np.ndarray] = None,
+    sota_fn=None,
 ) -> Tuple[VideoBatch, BatchMeta]:
     tapc = cfg.tap
     K, N = tapc.K, tapc.prop_sample_num
@@ -181,6 +192,29 @@ def make_batch(
         gts_cg_labels=g_lab,
         gts_cg_masks=g_mk,
     )
+    sota_kw = {}
+    if sota_fn is not None:
+        s_fs, s_scores, s_ts = sota_fn(T_use)
+        if s_fs is not None:
+            fs = [list(f) for f in s_fs]
+            for i2, (x, y) in enumerate(fs):
+                assert y > x
+                # random-crop windows longer than K anchors to K
+                # (reference: dataloader.py:515-520)
+                if y - x >= K + 1:
+                    r = int(rng.randint(0, y - x - (K - 1)))
+                    fs[i2] = [x + r, x + r + K]
+            sota_kw = dict(
+                SOTA_featstamps=fs,
+                SOTA_scores=list(s_scores),
+                SOTA_timestamps=list(s_ts),
+                SOTA_ind=[f[1] for f in fs],
+                SOTA_soi=[[f[0], f[1] + 1] for f in fs],
+                SOTA_cg_select=[
+                    int(tap_gts_for_good[f[1], f[1] - f[0] - 1]) for f in fs
+                ],
+            )
+
     meta = BatchMeta(
         vid=ex.vid,
         duration=ex.duration,
@@ -195,5 +229,6 @@ def make_batch(
         gts_index=gts_index,
         cg_select=lm_list[sampled],
         sampled_ids=sampled,
+        **sota_kw,
     )
     return batch, meta

@@ -41,6 +41,7 @@ class BaseDataset:
     seq_length: int
     w1: np.ndarray  # [K] per-anchor-length positive rate
     split_ix: Dict[str, List[int]]
+    sota_proposals: Optional[Dict] = None  # vid (no 'v_' prefix) -> [{segment, score}]
 
     def __len__(self) -> int:
         raise NotImplementedError
@@ -51,6 +52,21 @@ class BaseDataset:
     @property
     def vocab_size(self) -> int:
         return len(self.ix_to_word)
+
+    def get_sota(self, vid: str, nfeats: int, duration: float):
+        """External (SOTA) proposals for a video, converted to featstamps
+        (reference: get_SOTA_TEP_label, dataloader.py:304-318 — keys are the
+        video id without its 'v_' prefix).  Returns (featstamps, scores,
+        timestamps) or (None, None, None)."""
+        if not self.sota_proposals or vid[2:] not in self.sota_proposals:
+            return None, None, None
+        from echr_tpu.data.labels import timestamp_to_featstamp
+
+        events = self.sota_proposals[vid[2:]]
+        timestamps = [e["segment"] for e in events]
+        featstamps = [timestamp_to_featstamp(t, nfeats, duration) for t in timestamps]
+        scores = [e["score"] for e in events]
+        return featstamps, scores, timestamps
 
 
 class ActivityNetDataset(BaseDataset):
@@ -93,6 +109,11 @@ class ActivityNetDataset(BaseDataset):
                 self.split_ix[split].append(ix)
             elif d.train_only == 0:  # restval (reference: dataloader.py:239)
                 self.split_ix["train"].append(ix)
+
+        self.sota_proposals = None
+        if d.SOTA_json and os.path.exists(d.SOTA_json):
+            with open(d.SOTA_json) as f:
+                self.sota_proposals = json.load(f)["results"]
 
     def __len__(self) -> int:
         return len(self.info["videos"])
@@ -162,6 +183,29 @@ class SyntheticDataset(BaseDataset):
             "val": list(range(n_train, self.num_videos)),
             "test": [],
         }
+        self._synthetic_sota = cfg.data.SOTA_json == "synthetic"
+
+    def get_sota(self, vid: str, nfeats: int, duration: float):
+        """Synthetic external proposals: GT events jittered + noise windows."""
+        if not self._synthetic_sota:
+            return None, None, None
+        from echr_tpu.data.labels import timestamp_to_featstamp
+
+        ix = int(vid[-5:])
+        rng = np.random.RandomState(self.seed * 7919 + ix)
+        ex_rng = np.random.RandomState(self.seed * 100003 + ix)
+        T = int(ex_rng.randint(40, 220))  # reproduce get_example's draws
+        timestamps = []
+        scores = []
+        ex = self.get_example(ix)
+        for s, e in ex.timestamps:
+            for _ in range(3):
+                j = (rng.rand(2) - 0.5) * 0.2 * (e - s)
+                ts = [max(0.0, s + j[0]), min(ex.duration, max(s + j[0] + 0.5, e + j[1]))]
+                timestamps.append(ts)
+                scores.append(float(rng.rand()))
+        featstamps = [timestamp_to_featstamp(t, nfeats, duration) for t in timestamps]
+        return featstamps, scores, timestamps
 
     def __len__(self) -> int:
         return self.num_videos

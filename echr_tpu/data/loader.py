@@ -77,7 +77,12 @@ class Loader:
         ex = self.dataset.get_example(ix)
         # per-example rng keyed by global rng draw for reproducible sampling
         sub = np.random.RandomState(self.rng.randint(0, 2**31 - 1))
-        return make_batch(ex, self.cfg, sub, w1=self.dataset.w1)
+        sota_fn = None
+        if getattr(self.dataset, "sota_proposals", None) or getattr(
+            self.dataset, "_synthetic_sota", False
+        ):
+            sota_fn = lambda nfeats: self.dataset.get_sota(ex.vid, nfeats, ex.duration)  # noqa: E731
+        return make_batch(ex, self.cfg, sub, w1=self.dataset.w1, sota_fn=sota_fn)
 
     def get_batch(self, split: str) -> Tuple[VideoBatch, BatchMeta]:
         if split not in self._fetchers:

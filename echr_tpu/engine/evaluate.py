@@ -116,6 +116,36 @@ def eval_split(
                 featstamp_to_time(s, e, meta.n_frames, meta.duration) for s, e in soi
             ]
             tap_prob = [1.0] * len(ind)
+        elif flag_eval_what == "SOTA_TEP":
+            # external proposals with score threshold / NMS / topN cap
+            # (reference: eval_utils.py:76-104)
+            if meta.SOTA_scores is None:
+                log.info("bad video for SOTA_TEP, vid:%s", meta.vid)
+                bad_vid_num += 1
+                if meta.wrapped or it >= num_vids_eval:
+                    break
+                continue
+            _ind, _soi = meta.SOTA_ind, meta.SOTA_soi
+            _cg, _ts, _tp = meta.SOTA_cg_select, meta.SOTA_timestamps, meta.SOTA_scores
+            if nms_threshold > 0:
+                _, _, pick = P.external_proposals_nms(
+                    _ts, _tp, _tp, nms_overlap=nms_threshold, topN=1000
+                )
+                pick = set(int(p) for p in pick)
+            else:
+                pick = set(range(len(_tp)))
+            ind, soi, cg_sel, timestamps, tap_prob = [], [], [], [], []
+            for i2, p_score in enumerate(_tp):
+                if i2 not in pick:
+                    continue
+                if p_score >= val_score_thres:
+                    ind.append(_ind[i2])
+                    soi.append(_soi[i2])
+                    cg_sel.append(_cg[i2])
+                    timestamps.append(_ts[i2])
+                    tap_prob.append(_tp[i2])
+                if len(ind) >= topN:
+                    break
         elif flag_eval_what in ("tap", "tap_cg"):
             if nms_threshold:
                 ind, soi, cg_sel, timestamps, tap_prob = P.top_proposals_nms(

@@ -184,6 +184,52 @@ def train_step(
     return new_state, metrics
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "phase", "ss_prob"))
+def grad_step(
+    state: TrainState,
+    batch: VideoBatch,
+    rng: Array,
+    cfg: Config,
+    phase: str,
+    ss_prob: float = 0.0,
+):
+    """Gradients only — for m_batch accumulation (reference sums grads over
+    m_batch backward passes before stepping, train.py:281-283,294)."""
+    B = batch.feats.shape[0]
+
+    def loss_fn(tap_params, cg_params):
+        rngs = jax.random.split(rng, B)
+        m = jax.vmap(
+            lambda b, r: _one_video_losses(tap_params, cg_params, cfg, b, phase, r, True, ss_prob)
+        )(batch, rngs)
+        m = jax.tree.map(lambda x: jnp.mean(x), m)
+        return _phase_loss(m, phase, cfg), m
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+        state.tap_params, state.cg_params
+    )
+    metrics["loss"] = loss
+    return grads, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "phase"))
+def apply_grads(state: TrainState, tap_g, cg_g, cfg: Config, phase: str) -> TrainState:
+    """Apply (possibly accumulated) gradients with the per-phase optimizers."""
+    opt = make_optimizer(cfg)
+    new_state = state
+    if phase not in ("tap",):
+        upd, cg_opt = opt.update(cg_g, state.cg_opt, state.cg_params)
+        new_state = new_state._replace(
+            cg_params=optax.apply_updates(state.cg_params, upd), cg_opt=cg_opt
+        )
+    if phase not in ("cg",):
+        upd, tap_opt = opt.update(tap_g, new_state.tap_opt, new_state.tap_params)
+        new_state = new_state._replace(
+            tap_params=optax.apply_updates(new_state.tap_params, upd), tap_opt=tap_opt
+        )
+    return new_state._replace(step=state.step + 1)
+
+
 # ---------------------------------------------------------------------------
 # self-critical (SCST) steps — single video
 # ---------------------------------------------------------------------------

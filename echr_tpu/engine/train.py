@@ -53,6 +53,13 @@ def get_training_list(cfg: Config) -> List[str]:
     if mode == "alter":
         assert t.cg_epochs == 0 and t.tap_epochs == 0
         return ["gt_tap_cg", "tap_cg"] * t.tapcg_epochs
+    if mode == "alter2":
+        # phase indexed by ITERATION, not epoch (reference: train.py:53-55,249-250)
+        assert t.cg_epochs == 0 and t.tap_epochs == 0
+        return (["gt_tap_cg"] * 500 + ["tap_cg"] * 500) * t.tapcg_epochs * 10
+    if mode == "alter3":
+        assert t.cg_epochs == 0 and t.tap_epochs == 0
+        return ["gt_tap_cg"] * 5 * 10009 + (["gt_tap_cg"] * 500 + ["tap_cg"] * 500) * t.tapcg_epochs
     raise ValueError(f"training_mode {mode!r} is incorrect")
 
 
@@ -123,14 +130,20 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
     curriculum = get_training_list(cfg)
     log.info("curriculum: %s (%d epochs)", cfg.train.training_mode, len(curriculum))
 
+    from echr_tpu.utils.tb import TBWriter
+
+    tb = TBWriter(os.path.join(save_folder, "tf_summary_train"))
     loss_sum: Dict[str, float] = {}
     loss_count = 0
     bad_video_num = 0
     t_start = time.time()
     lr = None
+    iter_indexed = cfg.train.training_mode == "alter2"  # reference: train.py:249-250
+    acc_grads = None  # m_batch gradient accumulation
 
     while epoch < len(curriculum):
-        phase = curriculum[epoch]
+        phase = curriculum[min(iteration, len(curriculum) - 1)] if iter_indexed \
+            else curriculum[epoch]
         new_lr = current_lr(cfg, epoch)
         if new_lr != lr:
             lr = new_lr
@@ -154,6 +167,20 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             state, metrics = _self_critical_step(
                 state, batch, meta, cfg, phase, step_rng, dataset
             )
+        elif cfg.train.m_batch > 1:
+            # accumulate summed grads over m_batch iterations, one update
+            # (reference: train.py:281-283,294,316-329)
+            from echr_tpu.engine.steps import apply_grads, grad_step
+
+            grads, metrics = grad_step(
+                state, _stack_batch(batch), step_rng, cfg, phase, ss_prob=ss_prob
+            )
+            acc_grads = grads if acc_grads is None else jax.tree.map(
+                jnp.add, acc_grads, grads
+            )
+            if (iteration + 1) % cfg.train.m_batch == 0:
+                state = apply_grads(state, acc_grads[0], acc_grads[1], cfg, phase)
+                acc_grads = None
         else:
             state, metrics = train_step(
                 state, _stack_batch(batch), step_rng, cfg, phase, ss_prob=ss_prob
@@ -175,6 +202,9 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             )
             histories["loss"][iteration] = avg
             histories["lr"][iteration] = lr
+            tb.scalar("lr", lr, iteration)
+            for k, v in avg.items():
+                tb.scalar(f"train_{k}", v, iteration)
             loss_sum, loss_count, bad_video_num = {}, 0, 0
             t_start = time.time()
 
@@ -185,6 +215,14 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             current_score, eval_scores = _run_eval(
                 state, loader, cfg, save_folder, iteration, phase
             )
+            tb.scalar("val_score", current_score, iteration)
+            for k, v in eval_scores.items():
+                tb.scalar(f"val_{k}", float(np.asarray(v, dtype=float).mean()), iteration)
+            # parameter histograms at checkpoints (reference: train.py:417-422)
+            for name, leaf in list(
+                jax.tree_util.tree_leaves_with_path(state.cg_params)
+            )[:20]:
+                tb.histogram("cg/" + jax.tree_util.keystr(name), np.asarray(leaf), iteration)
             histories["val"][iteration] = {
                 k: (np.asarray(v).tolist() if hasattr(v, "tolist") else v)
                 for k, v in eval_scores.items()
@@ -201,6 +239,7 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             break
 
     _save(state, cfg, save_folder, iteration, epoch, best_val_score, loader, histories, dataset)
+    tb.close()
     return {
         "iteration": iteration,
         "epoch": epoch,

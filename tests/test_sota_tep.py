@@ -1,0 +1,38 @@
+"""External (SOTA) proposal evaluation path."""
+import jax
+import numpy as np
+
+from test_train_e2e import tiny_cfg
+
+from echr_tpu.data.dataset import build_dataset
+from echr_tpu.data.loader import Loader
+from echr_tpu.engine.evaluate import eval_split
+from echr_tpu.engine.steps import init_train_state
+from echr_tpu.models.registry import init_captioner, init_tap
+
+
+def test_sota_tep_eval(tmp_path):
+    cfg = tiny_cfg(tmp_path, **{"data.SOTA_json": "synthetic"})
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=dataset.vocab_size,
+                         CG_seq_length=dataset.seq_length)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(cfg, init_tap(rng, cfg), init_captioner(rng, cfg))
+
+    batch, meta = loader.get_batch("val")
+    assert meta.SOTA_featstamps is not None
+    assert len(meta.SOTA_ind) == len(meta.SOTA_scores)
+    for (s, e) in meta.SOTA_featstamps:
+        assert e > s and e - s <= cfg.tap.K  # K-clamped crop
+
+    preds, scores, _ = eval_split(
+        state.tap_params, state.cg_params, loader, cfg, str(tmp_path / "ps.json"),
+        {"num_vids_eval": 2, "val_all_metrics": False, "topN": 20,
+         "nms_threshold": 0.9},
+        flag_eval_what="SOTA_TEP",
+    )
+    assert len(preds) >= 1
+    for vid, info in preds.items():
+        for p in info:
+            assert p["proposal_score"] <= 1.0
