@@ -1,0 +1,132 @@
+"""Scorer and protocol sanity: hand-checkable values and protocol behavior."""
+import json
+
+import numpy as np
+import pytest
+
+from echr_tpu.metrics import scorers
+from echr_tpu.metrics.eval_score import ANETCaptions, eval_score
+from echr_tpu.metrics.tokenizer import tokenize_caption
+
+
+def test_tokenizer_ptb_style():
+    assert tokenize_caption("A man, running; fast!") == "a man running fast"
+    assert tokenize_caption("It's FINE.") == "it's fine"
+    assert tokenize_caption("") == ""
+
+
+def test_bleu_identical_is_one():
+    gts = {0: ["a man is running fast"], 1: ["the dog jumps over a log"]}
+    res = {0: ["a man is running fast"], 1: ["the dog jumps over a log"]}
+    scores, _ = scorers.Bleu(4).compute_score(gts, res)
+    for s in scores:
+        assert s == pytest.approx(1.0, abs=1e-6)
+
+
+def test_bleu_brevity_penalty():
+    gts = {0: ["a man is running very fast today"]}
+    res = {0: ["a man is running"]}  # short candidate -> BP < 1
+    scores, _ = scorers.Bleu(4).compute_score(gts, res)
+    assert scores[0] < 1.0
+    assert scores[0] == pytest.approx(np.exp(1 - 7 / 4), rel=1e-3)
+
+
+def test_rouge_l():
+    gts = {0: ["a b c d"]}
+    res = {0: ["a b c d"]}
+    s, _ = scorers.Rouge().compute_score(gts, res)
+    assert s == pytest.approx(1.0)
+    # lcs = 2 ("a", then "d"): p = 2/3, r = 2/4
+    gts = {0: ["a b c d"]}
+    res = {0: ["a x d"]}
+    s, _ = scorers.Rouge().compute_score(gts, res)
+    b2 = 1.2**2
+    p, r = 2 / 3, 2 / 4
+    assert s == pytest.approx((1 + b2) * p * r / (r + b2 * p), rel=1e-6)
+
+
+def test_cider_identical_pair():
+    # sentences must be >= 4 tokens so every n-gram order has support
+    gts = {0: ["a man runs very fast"], 1: ["a dog barks loudly at night"]}
+    res = {0: ["a man runs very fast"], 1: ["a dog barks loudly at night"]}
+    s, per = scorers.Cider().compute_score(gts, res)
+    assert s == pytest.approx(10.0, rel=1e-6)
+    # degenerate single-document case: idf = log(1) == 0 everywhere, so the
+    # tf-idf vectors vanish (same as pycocoevalcap's CiderScorer)
+    s2, _ = scorers.Cider().compute_score({0: ["a man runs"]}, {0: ["a man runs"]})
+    assert s2 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_meteor_identical_and_fragmented():
+    m = scorers.Meteor()
+    gts = {0: ["a man is running"]}
+    res = {0: ["a man is running"]}
+    s, _ = m.compute_score(gts, res)
+    # P=R=1 -> F=1; chunks=1, matches=4 -> pen = 0.6*(1/4)^0.2
+    assert s == pytest.approx(1 - 0.6 * (0.25**0.2), rel=1e-6)
+    # stem matching: running vs run
+    s2 = m._pair_score("the man run".split(), "the man running".split())
+    assert s2 > 0.3
+    # disjoint -> 0
+    assert m._pair_score("x y".split(), "a b".split()) == 0.0
+
+
+def _pred(vid, ts, sentence, score=1.0):
+    return {
+        "timestamp": list(ts),
+        "sentence": sentence,
+        "proposal_score": score,
+        "re_score": score,
+        "num": [0, 1],
+    }
+
+
+def test_protocol_detection_and_garbage(tmp_path):
+    gt = {
+        "v_a": {"timestamps": [[0, 10], [20, 30]],
+                 "sentences": ["a man is running", "a dog barks"]},
+    }
+    # one matching prediction, one far-off prediction
+    submission = {
+        "results": {
+            "v_a": [
+                _pred("v_a", (0, 10), "a man is running"),
+                _pred("v_a", (50, 60), "nothing here"),
+            ]
+        },
+        "version": "VERSION 1.0",
+        "external_data": {"used": False, "details": ""},
+    }
+    ev = ANETCaptions([gt], submission, tious=[0.5], verbose=True)
+    scores = ev.evaluate()
+    assert scores["Recall"][0] == pytest.approx(0.5)  # 1 of 2 GT covered
+    assert scores["Precision"][0] == pytest.approx(0.5)  # 1 of 2 preds valid
+    # mean of (identical pair ~0.545, garbage pair 0.0) ~= 0.27
+    assert 0.2 < scores["METEOR"][0] < 1.0
+    assert scores["Bleu_1"][0] > 0.4
+
+
+def test_eval_score_entry_with_reference_files(tmp_path):
+    gt = {"v_x": {"timestamps": [[0, 5]], "sentences": ["hello world foo"]}}
+    ref_path = tmp_path / "val_1.json"
+    ref_path.write_text(json.dumps(gt))
+    sub = {
+        "results": {"v_x": [_pred("v_x", (0, 5), "hello world foo")]},
+        "version": "VERSION 1.0",
+        "external_data": {"used": False, "details": ""},
+    }
+    sub_path = tmp_path / "sub.json"
+    sub_path.write_text(json.dumps(sub))
+    scores = eval_score(str(sub_path), references=[str(ref_path)], verbose=True)
+    assert len(scores["METEOR"]) == 4  # tIoUs 0.3/0.5/0.7/0.9
+    assert all(s > 0.5 for s in scores["METEOR"])
+    assert scores["tiou"] == [0.3, 0.5, 0.7, 0.9]
+
+
+def test_prediction_topN_cap():
+    gt = {"v_a": {"timestamps": [[0, 10]], "sentences": ["a"]}}
+    preds = [_pred("v_a", (0, 10), "a", score=i) for i in range(5)]
+    submission = {"results": {"v_a": preds}, "version": "1", "external_data": {}}
+    ev = ANETCaptions([gt], submission, tious=[0.5], max_proposals=2)
+    assert len(ev.prediction["v_a"]) == 2  # capped at top-N by proposal_score
+    assert all(p["proposal_score"] >= 3 for p in ev.prediction["v_a"])
