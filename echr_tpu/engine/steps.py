@@ -35,6 +35,13 @@ from echr_tpu.models.captioner import (
     captioner_train_forward,
 )
 from echr_tpu.models.sst import sst_forward
+from echr_tpu.ops.core import cast_compute_dtype
+
+
+def _cast(params, cfg: "Config"):
+    """Mixed precision: cast matrix weights to the runtime compute dtype
+    inside the jitted step (master weights stay fp32 in the state)."""
+    return cast_compute_dtype(params, cfg.runtime.compute_dtype)
 
 Array = jax.Array
 
@@ -157,10 +164,11 @@ def train_step(
     opt = make_optimizer(cfg)
 
     def loss_fn(tap_params, cg_params):
+        tap_c, cg_c = _cast(tap_params, cfg), _cast(cg_params, cfg)
         rngs = jax.random.split(rng, B)
         m = jax.vmap(
             lambda b, r: _one_video_losses(
-                tap_params, cg_params, cfg, b, phase, r, True, ss_prob
+                tap_c, cg_c, cfg, b, phase, r, True, ss_prob
             )
         )(batch, rngs)
         m = jax.tree.map(lambda x: jnp.mean(x), m)
@@ -198,9 +206,10 @@ def grad_step(
     B = batch.feats.shape[0]
 
     def loss_fn(tap_params, cg_params):
+        tap_c, cg_c = _cast(tap_params, cfg), _cast(cg_params, cfg)
         rngs = jax.random.split(rng, B)
         m = jax.vmap(
-            lambda b, r: _one_video_losses(tap_params, cg_params, cfg, b, phase, r, True, ss_prob)
+            lambda b, r: _one_video_losses(tap_c, cg_c, cfg, b, phase, r, True, ss_prob)
         )(batch, rngs)
         m = jax.tree.map(lambda x: jnp.mean(x), m)
         return _phase_loss(m, phase, cfg), m
@@ -321,7 +330,7 @@ def rl_update_step(state: TrainState, batch: VideoBatch, cfg: Config, phase: str
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def encode_step(tap_params, batch: VideoBatch, cfg: Config):
     """Eval-mode SST encode for one video (no batch axis)."""
-    return sst_forward(tap_params, batch.feats, train=False)
+    return sst_forward(_cast(tap_params, cfg), batch.feats, train=False)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "phase"))
@@ -329,7 +338,37 @@ def val_loss_step(
     tap_params, cg_params, batch: VideoBatch, cfg: Config, phase: str = "tap_cg"
 ) -> Dict[str, Array]:
     """Eval-mode losses for one video (reference: eval_utils.py:139-155)."""
-    return _one_video_losses(tap_params, cg_params, cfg, batch, phase, None, False, 0.0)
+    return _one_video_losses(_cast(tap_params, cfg), _cast(cg_params, cfg), cfg,
+                             batch, phase, None, False, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode_step_batched(tap_params, feats: Array, cfg: Config):
+    """Eval-mode SST encode over a [B, T, D] video batch — B videos fill the
+    MXU sublanes that a single video leaves idle."""
+    from echr_tpu.models.sst import sst_forward_batched
+
+    return sst_forward_batched(_cast(tap_params, cfg), feats, train=False)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "greedy"))
+def decode_step_batched(
+    cg_params,
+    cfg: Config,
+    tap_feats: Array,  # [B, T, H]
+    feats: Array,  # [B, T, D]
+    lda: Array,  # [B, lda_dim]
+    frame_mask: Array,  # [B, T]
+    props: ProposalBatch,  # leaves with leading [B]
+    greedy: bool = True,
+):
+    """Decode B videos' proposals in one program (vmapped captioner)."""
+    cg_c = _cast(cg_params, cfg)
+    return jax.vmap(
+        lambda th, f, l, fm, pr: captioner_sample(
+            cg_c, cfg, th, f, l, pr, frame_mask=fm, greedy=greedy
+        )
+    )(tap_feats, feats, lda, frame_mask, props)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "beam_size", "length_alpha"))
@@ -349,9 +388,10 @@ def beam_decode_step(
     from echr_tpu.models.beam import beam_search
     from echr_tpu.models.captioner import make_contexts
 
-    ctxs = make_contexts(cg_params, cfg, tap_feats, feats, lda, props,
+    cg_c = _cast(cg_params, cfg)
+    ctxs = make_contexts(cg_c, cfg, tap_feats, feats, lda, props,
                          frame_mask=frame_mask, train=False)
-    res = beam_search(cg_params["decoder"], cfg, ctxs, beam_size, length_alpha)
+    res = beam_search(cg_c["decoder"], cfg, ctxs, beam_size, length_alpha)
     return res.seq, res.logprob
 
 
@@ -368,6 +408,6 @@ def decode_step(
 ):
     """Eval-mode decode of all proposals of one video."""
     return captioner_sample(
-        cg_params, cfg, tap_feats, feats, lda, props, frame_mask=frame_mask,
-        greedy=greedy,
+        _cast(cg_params, cfg), cfg, tap_feats, feats, lda, props,
+        frame_mask=frame_mask, greedy=greedy,
     )

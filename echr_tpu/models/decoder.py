@@ -43,6 +43,11 @@ from echr_tpu.ops.recurrent import lstm_cell, lstm_cell_init
 Array = jax.Array
 
 
+def _use_pallas(cfg: "Config", train: bool) -> bool:
+    """Pallas fused attention only on no-grad paths (it has no custom VJP)."""
+    return bool(cfg.runtime.use_pallas) and not train
+
+
 class DecoderState(NamedTuple):
     h: Array  # [num_layers, N, H]
     c: Array  # [num_layers, N, H]
@@ -137,7 +142,8 @@ def _step_three_stream(p, cfg, xt, ctxs, pre_att, state, train, rng):
 
     h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, ctxs.event], 1), state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
-    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask)
+    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask,
+                                 use_pallas=_use_pallas(cfg, train))
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])
     h1 = dropout(r[1], h1, 0.5, train)
     h2, c2 = lstm_cell(p["layer2"], jnp.concatenate([xt, video], 1), state.h[2], state.c[2])
@@ -168,7 +174,8 @@ def _step_show_attend_tell(p, cfg, xt, ctxs, pre_att, state, train, rng):
     the top-layer hidden state before the update; a (possibly multi-layer)
     LSTM advances one step with inter-layer dropout."""
     d = cfg.decoder
-    att, _ = additive_attention_step(p["attention"], state.h[-1], ctxs.clip_feats, pre_att, ctxs.clip_mask)
+    att, _ = additive_attention_step(p["attention"], state.h[-1], ctxs.clip_feats, pre_att, ctxs.clip_mask,
+                                 use_pallas=_use_pallas(cfg, train))
     input_feats = _gather_input_feats(cfg, ctxs, att, xt.shape[0])
     x = xt if input_feats is None else jnp.concatenate([xt, input_feats], 1)
     hs, cs = [], []
@@ -249,7 +256,8 @@ def _make_h3_step(variant: str):
             h1 = dropout(r[1], h1_raw + h0, 0.5, train)
         else:
             h1 = dropout(r[1], h1_raw, 0.5, train)
-        att, _ = additive_attention_step(p["attention"], h1, ctxs.clip_feats, pre_att, ctxs.clip_mask)
+        att, _ = additive_attention_step(p["attention"], h1, ctxs.clip_feats, pre_att, ctxs.clip_mask,
+                                 use_pallas=_use_pallas(cfg, train))
         x2 = jnp.concatenate([att, h1], 1)
         h2_raw, c2 = lstm_cell(p["layer2"], x2, state.h[2], state.c[2])
 
@@ -287,7 +295,8 @@ def _step_two_stream(p, cfg, xt, ctxs, pre_att, state, train, rng):
     pre_h1 = state.h[1]
     h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, ctxs.event], 1), state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
-    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask)
+    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask,
+                                 use_pallas=_use_pallas(cfg, train))
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])
     h1 = dropout(r[1], h1, 0.5, train)
     new_state = DecoderState(jnp.stack([h0, h1]), jnp.stack([c0, c1]))
@@ -302,7 +311,8 @@ def _step_two_stream_jump(p, cfg, xt, ctxs, pre_att, state, train, rng):
     h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, ctxs.event, pre_h1], 1),
                        state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
-    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask)
+    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask,
+                                 use_pallas=_use_pallas(cfg, train))
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att, pre_h0], 1),
                        state.h[1], state.c[1])
     h1 = dropout(r[1], h1, 0.5, train)
@@ -344,7 +354,8 @@ def _step_two_stream_3lstm(p, cfg, xt, ctxs, pre_att, state, train, rng):
     h2 = dropout(r[2], h2, 0.5, train)
     h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([h2, ctxs.event], 1), state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
-    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask)
+    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask,
+                                 use_pallas=_use_pallas(cfg, train))
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([h2, att], 1), state.h[1], state.c[1])
     h1 = dropout(r[1], h1, 0.5, train)
     new_state = DecoderState(jnp.stack([h0, h1, h2]), jnp.stack([c0, c1, c2]))
@@ -371,7 +382,8 @@ def _step_ts2_lda(p, cfg, xt, ctxs, pre_att, state, train, rng):
     video = jnp.broadcast_to(ctxs.video[None, :], (N, ctxs.video.shape[0]))
     h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, video], 1), state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
-    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask)
+    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask,
+                                 use_pallas=_use_pallas(cfg, train))
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])
     h1 = dropout(r[1], h1, 0.5, train)
     return jnp.concatenate([h0, h1], 1), DecoderState(jnp.stack([h0, h1]), jnp.stack([c0, c1]))
@@ -393,7 +405,8 @@ def _step_ts2_cc(p, cfg, xt, ctxs, pre_att, state, train, rng):
     the same attended clip feature."""
     r = jax.random.split(rng, 2) if rng is not None else (None, None)
     pre_h1 = state.h[1]
-    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask)
+    att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask,
+                                 use_pallas=_use_pallas(cfg, train))
     h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, att], 1), state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])

@@ -44,7 +44,7 @@ def sst_forward(
     train: bool = False,
     rng: Optional[Array] = None,
     dropout_rate: float = 0.5,
-    compute_dtype=jnp.float32,
+    compute_dtype=None,
 ) -> Tuple[Array, Array]:
     """feats [T, D] -> (tap_feats [T, H], proposal_scores [T, K] in (0,1))."""
     if "reduce_dim" in params:
@@ -65,7 +65,7 @@ def sst_forward_batched(
     train: bool = False,
     rng: Optional[Array] = None,
     dropout_rate: float = 0.5,
-    compute_dtype=jnp.float32,
+    compute_dtype=None,
 ) -> Tuple[Array, Array]:
     """Batched variant: feats [B, T, D] -> ([B, T, H], [B, T, K]).
 

@@ -91,7 +91,7 @@ def tsrm_forward(
     cfg: Config,
     train: bool = False,
     rng: Optional[Array] = None,
-    compute_dtype=jnp.float32,
+    compute_dtype=None,
 ) -> Array:
     """feats [N, in_dim], soi [N, 2], prop_mask [N] -> [N, d_o].
 
@@ -99,6 +99,8 @@ def tsrm_forward(
     softmax as keys; their own outputs are unspecified (callers mask them).
     """
     f = cfg.fusion
+    if compute_dtype is None:
+        compute_dtype = params["event_emb"]["w"].dtype
     N = feats.shape[0]
     d = f.d_feats
     g = f.n_head

@@ -45,16 +45,30 @@ def additive_attention_step(
     feats: Array,
     pre_att: Array,
     frame_mask: Array,
-    compute_dtype=jnp.float32,
+    compute_dtype=None,
+    use_pallas: bool = False,
 ) -> Tuple[Array, Array]:
     """One attention step for all proposals at once.
 
     h: [N, Hq] query; feats: [T, D]; pre_att: [T, Hatt] (precomputed);
     frame_mask: [N, T] window mask.  Returns (att_res [N, D], weights [N, T]).
+
+    use_pallas routes the score computation through the fused Pallas kernel
+    (no [N, T, H] HBM intermediate) — no-grad decode paths only.
     """
+    if compute_dtype is None:
+        compute_dtype = p["h2att"]["w"].dtype
     att_h = dense(p["h2att"], h, compute_dtype)  # [N, Hatt]
-    dot = jnp.tanh(pre_att[None, :, :] + att_h[:, None, :])  # [N, T, Hatt]
-    scores = dense(p["alpha_net"], dot, compute_dtype)[..., 0]  # [N, T]
+    if use_pallas:
+        from echr_tpu.ops import pallas_attention
+
+        if pallas_attention.supported(pre_att, att_h):
+            scores = pallas_attention.attention_scores(pre_att, att_h, p["alpha_net"])
+        else:
+            use_pallas = False
+    if not use_pallas:
+        dot = jnp.tanh(pre_att[None, :, :] + att_h[:, None, :])  # [N, T, Hatt]
+        scores = dense(p["alpha_net"], dot, compute_dtype)[..., 0]  # [N, T]
     weights = masked_softmax(scores, frame_mask, axis=-1)
     att_res = jnp.dot(
         weights.astype(compute_dtype), feats.astype(compute_dtype),

@@ -31,8 +31,14 @@ def dense_init(rng: Array, in_dim: int, out_dim: int, bias: bool = True, bound: 
     return p
 
 
-def dense(p, x: Array, compute_dtype=jnp.float32) -> Array:
-    """y = x @ w (+ b), accumulating in fp32 on the MXU."""
+def dense(p, x: Array, compute_dtype=None) -> Array:
+    """y = x @ w (+ b), accumulating in fp32 on the MXU.
+
+    compute_dtype=None follows the weight dtype, so casting a param tree to
+    bf16 once (see cast_compute_dtype) switches the whole forward to bf16
+    inputs with fp32 accumulation."""
+    if compute_dtype is None:
+        compute_dtype = p["w"].dtype
     y = jnp.dot(
         x.astype(compute_dtype),
         p["w"].astype(compute_dtype),
@@ -41,6 +47,19 @@ def dense(p, x: Array, compute_dtype=jnp.float32) -> Array:
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y
+
+
+def cast_compute_dtype(params, dtype_name: str):
+    """Cast all matrix-shaped weights (ndim >= 2) to the compute dtype; keep
+    biases/1-D leaves in fp32.  Master weights stay fp32 in the train state;
+    casting inside the loss makes gradients flow back to fp32 (standard
+    mixed precision)."""
+    if dtype_name in ("float32", "fp32", None):
+        return params
+    dt = jnp.dtype(dtype_name)
+    return jax.tree.map(
+        lambda x: x.astype(dt) if hasattr(x, "ndim") and x.ndim >= 2 else x, params
+    )
 
 
 def dropout(rng: Optional[Array], x: Array, rate: float, train: bool) -> Array:

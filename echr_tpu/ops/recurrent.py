@@ -43,8 +43,10 @@ def _gates(pre: Array, hidden_dim: int) -> Tuple[Array, Array, Array, Array]:
     return i, f, g, o
 
 
-def lstm_cell(p, x: Array, h: Array, c: Array, compute_dtype=jnp.float32) -> Tuple[Array, Array]:
+def lstm_cell(p, x: Array, h: Array, c: Array, compute_dtype=None) -> Tuple[Array, Array]:
     """One LSTMCell step; x [..., in], h/c [..., H] -> (h', c')."""
+    if compute_dtype is None:
+        compute_dtype = p["w_ih"].dtype
     H = h.shape[-1]
     pre = jnp.dot(x.astype(compute_dtype), p["w_ih"].astype(compute_dtype),
                   preferred_element_type=jnp.float32)
@@ -63,7 +65,7 @@ def lstm_layer(
     xs: Array,
     h0: Optional[Array] = None,
     c0: Optional[Array] = None,
-    compute_dtype=jnp.float32,
+    compute_dtype=None,
 ) -> Tuple[Array, Tuple[Array, Array]]:
     """Run one LSTM layer over a [T, B, in] sequence. Returns ([T, B, H], (hT, cT)).
 
@@ -71,6 +73,8 @@ def lstm_layer(
     only h @ W_hh stays inside the scan.
     """
     T, B, _ = xs.shape
+    if compute_dtype is None:
+        compute_dtype = p["w_ih"].dtype
     H = p["w_hh"].shape[0]
     if h0 is None:
         h0 = jnp.zeros((B, H), jnp.float32)
@@ -113,7 +117,7 @@ def lstm_stack(
     dropout_rate: float = 0.0,
     train: bool = False,
     rng: Optional[Array] = None,
-    compute_dtype=jnp.float32,
+    compute_dtype=None,
 ) -> Tuple[Array, List[Tuple[Array, Array]]]:
     """Stacked LSTM over [T, B, in] with torch nn.LSTM inter-layer dropout
     (applied to every layer's output except the last, train-time only)."""
