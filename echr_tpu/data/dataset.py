@@ -118,12 +118,38 @@ class ActivityNetDataset(BaseDataset):
     def __len__(self) -> int:
         return len(self.info["videos"])
 
+    def _load_twostream(self, vid: str) -> Optional[np.ndarray]:
+        """Two-stream CSV features, [::2]-strided (reference: dataloader.py:
+        55-69,84-87): spatial + optical-flow CSVs truncated to the shorter
+        length and concatenated; missing CSVs yield zeros."""
+        d = self.cfg.data
+        path = os.path.join(d.input_twostream_dir, "spatial", "csv_action", vid + ".csv")
+        if not os.path.exists(path):
+            c3d = np.load(os.path.join(d.input_c3d_dir2, vid + ".npy"))
+            return np.zeros((c3d.shape[0] * 2, 400), np.float32)[::2]
+        import pandas as pd
+
+        spatial = pd.read_csv(path).to_numpy()
+        of = pd.read_csv(
+            os.path.join(d.input_twostream_dir, "OF", "csv_action", vid + ".csv")
+        ).to_numpy()
+        n = min(spatial.shape[0], of.shape[0])
+        return np.concatenate([spatial[:n], of[:n]], 1).astype(np.float32)[::2]
+
     def get_example(self, ix: int) -> VideoExample:
         d = self.cfg.data
         video = self.info["videos"][ix]
         vid = video["video_id"]
-        feats = np.load(os.path.join(d.input_c3d_dir2, vid + ".npy")).astype(np.float32)
-        feats = (feats - C3D_MEAN) / np.sqrt(C3D_VAR)
+        parts = []
+        if d.use_c3d_feature:
+            f = np.load(os.path.join(d.input_c3d_dir2, vid + ".npy")).astype(np.float32)
+            parts.append((f - C3D_MEAN) / np.sqrt(C3D_VAR))
+        if d.use_2stream_feature:
+            parts.append(self._load_twostream(vid))
+        # multi-stream concat truncates to the shortest stream
+        # (reference: dataloader.py:91-96)
+        n = min(p.shape[0] for p in parts)
+        feats = np.concatenate([p[:n] for p in parts], 1).astype(np.float32)
         ann = self.annotations[vid]
         split = "train" if ix < self.train_videos else "val"
         if split == "train":

@@ -93,6 +93,7 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
     _setup_logger(save_folder)
     with open(os.path.join(save_folder, "config.json"), "w") as f:
         f.write(cfg.to_json())
+    _snapshot_source(save_folder)
 
     dataset = build_dataset(cfg)
     loader = Loader(dataset, cfg, seed=cfg.train.seed)
@@ -313,6 +314,27 @@ def _save(state, cfg, save_folder, iteration, epoch, best_val_score, loader,
         loader_state=loader.state(), histories=histories,
         vocab=dataset.ix_to_word,
     )
+
+
+def _snapshot_source(save_folder: str) -> None:
+    """Snapshot the framework source into the run folder so results trace to
+    exact code (reference: train.py:99-106 copies models/, misc/, train.py
+    etc. into the save dir)."""
+    import shutil
+
+    dst = os.path.join(save_folder, "src_snapshot")
+    if os.path.exists(dst):
+        return
+    try:
+        import echr_tpu
+
+        src = os.path.dirname(os.path.abspath(echr_tpu.__file__))
+        shutil.copytree(
+            src, os.path.join(dst, "echr_tpu"),
+            ignore=shutil.ignore_patterns("__pycache__", "*.so", "*.pyc"),
+        )
+    except Exception as e:  # snapshotting must never break training
+        log.warning("source snapshot failed: %s", e)
 
 
 def _setup_logger(save_folder: str) -> None:

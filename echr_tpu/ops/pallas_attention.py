@@ -22,8 +22,9 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-_TILE_N = 64
-_TILE_T = 8
+# output block is [TILE_N, TILE_T]: TPU requires (sublane % 8, lane % 128)
+_TILE_N = 8
+_TILE_T = 128
 
 
 def _kernel(pre_att_ref, att_h_ref, w_ref, b_ref, out_ref):
@@ -71,7 +72,7 @@ def supported(pre_att: Array, att_h: Array) -> bool:
         and T % _TILE_T == 0
         and H % 128 == 0
         and pre_att.dtype == jnp.float32
-    )
+    )  # T buckets below 128 fall back to the jnp path
 
 
 def attention_scores(pre_att: Array, att_h: Array, alpha_params) -> Array:

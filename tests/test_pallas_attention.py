@@ -11,7 +11,7 @@ from echr_tpu.ops.core import dense
 
 def test_pallas_scores_match_jnp():
     rng = jax.random.PRNGKey(0)
-    T, H, N, D = 64, 128, 64, 96
+    T, H, N, D = 128, 128, 16, 96
     p = additive_attention_init(rng, D, H, H)
     pre_att = jax.random.normal(jax.random.fold_in(rng, 1), (T, H))
     att_h = jax.random.normal(jax.random.fold_in(rng, 2), (N, H))
@@ -22,7 +22,7 @@ def test_pallas_scores_match_jnp():
 
 def test_attention_step_pallas_flag_consistent():
     rng = jax.random.PRNGKey(1)
-    T, H, N, D = 64, 128, 64, 96
+    T, H, N, D = 128, 128, 16, 96
     p = additive_attention_init(rng, D, H, H)
     feats = jax.random.normal(jax.random.fold_in(rng, 3), (T, D))
     pre_att = dense(p["ctx2att"], feats)
