@@ -32,7 +32,7 @@ SEQ_LEN = 30
 T_BUCKET = 256
 TIMED_ITERS = 30
 WARMUP_ITERS = 3
-BATCH_VIDEOS = 8  # batched serving pipeline
+BATCH_VIDEOS = 32  # batched serving pipeline (throughput still rising at 32)
 
 
 def log(*a):

@@ -253,3 +253,168 @@ def _to_device(batch):
     import jax
 
     return jax.tree.map(lambda x: x, batch)
+
+
+def eval_split_batched(
+    tap_params,
+    cg_params,
+    loader: Loader,
+    cfg: Config,
+    json_path: str,
+    eval_kwargs: Optional[Dict] = None,
+    flag_eval_what: str = "tap_cg",
+    batch_videos: int = 8,
+) -> Tuple[Dict, Dict, np.ndarray]:
+    """Throughput variant of eval_split: groups videos by time bucket and
+    runs encode + greedy decode for `batch_videos` videos per device program
+    (identical per-video math — the decode is the vmapped captioner).
+
+    Supports flag_eval_what in {cg, cg_extend, tap, tap_cg}; no val-loss
+    bookkeeping (use eval_split for checkpoint selection).
+    """
+    import jax.numpy as jnp
+
+    from echr_tpu.engine.steps import decode_step_batched, encode_step_batched
+
+    kw = dict(eval_kwargs or {})
+    split = kw.get("split", "val")
+    lang_eval = kw.get("language_eval", cfg.eval.language_eval)
+    val_score_thres = kw.get("val_score_thres", cfg.eval.val_score_thres)
+    nms_threshold = kw.get("nms_threshold", cfg.eval.nms_threshold)
+    is_reranking = kw.get("reranking", cfg.eval.reranking)
+    topN = kw.get("topN", cfg.eval.topN)
+    num_vids_eval = kw.get("num_vids_eval", cfg.eval.num_vids_eval) or loader.split_size(split)
+    val_all_metrics = kw.get("val_all_metrics", cfg.eval.val_all_metrics)
+
+    loader.reset_iterator(split)
+    vocab = loader.dataset.ix_to_word
+    predictions: Dict[str, List[dict]] = {}
+
+    groups: Dict[int, List] = {}
+    done = False
+    seen = 0
+
+    def flush(bucket: int):
+        items = groups.pop(bucket, [])
+        if not items:
+            return
+        B = len(items)
+        feats_b = jnp.asarray(np.stack([b.feats for b, _ in items]))
+        tap_feats_b, pred_props_b = encode_step_batched(tap_params, feats_b, cfg)
+        pp_b = np.asarray(pred_props_b)
+
+        # host-side proposal selection per video
+        sel = []
+        max_n = 1
+        for i, (batch, meta) in enumerate(items):
+            pp = pp_b[i][: meta.n_frames]
+            masks = np.asarray(batch.tap_masks)[: meta.n_frames]
+            cg_gts = meta.gts_index * (
+                meta.iou_scores >= cfg.tap.iou_threshold_for_good_proposal
+            )
+            if flag_eval_what == "cg":
+                ind = [f[1] for f in meta.gt_featstamps]
+                soi = [[f[0], f[1] + 1] for f in meta.gt_featstamps]
+                ts = list(meta.timestamps)
+                tp = [1.0] * len(ind)
+            elif flag_eval_what == "cg_extend":
+                pm = np.asarray(batch.prop_mask) > 0
+                ind = np.asarray(batch.ind_select)[pm].tolist()
+                soi = np.asarray(batch.soi)[pm].tolist()
+                ts = [featstamp_to_time(s, e, meta.n_frames, meta.duration) for s, e in soi]
+                tp = [1.0] * len(ind)
+            else:
+                if nms_threshold:
+                    ind, soi, _, ts, tp = P.top_proposals_nms(
+                        pp, masks, meta.gts_index, meta.duration, featstamp_to_time,
+                        overlap=nms_threshold, topN=topN,
+                    )
+                else:
+                    ind, soi, _, ts, tp = P.top_proposals(
+                        pp, masks, cg_gts, meta.duration, featstamp_to_time,
+                        val_score_thres=val_score_thres, topN=topN,
+                    )
+            sel.append((ind, soi, ts, tp))
+            max_n = max(max_n, len(ind))
+
+        if flag_eval_what == "tap":
+            for (batch, meta), (ind, soi, ts, tp) in zip(items, sel):
+                vid_info = [
+                    {"sentence": "", "timestamp": list(ts[i]),
+                     "sentence_confidence": 0.0, "proposal_score": float(tp[i]),
+                     "re_score": 10 * float(tp[i]), "num": [i, len(ind)]}
+                    for i in range(len(ind))
+                ]
+                if vid_info:
+                    predictions[meta.vid] = vid_info
+            return
+
+        nb = _prop_bucket(max_n)
+        props = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[_pad_props(ind[:nb], soi[:nb], nb) for (ind, soi, _, _) in sel],
+        )
+        lda_b = jnp.asarray(np.stack([b.lda for b, _ in items]))
+        fm_b = jnp.asarray(np.stack([b.frame_mask for b, _ in items]))
+        seq_b, logps_b, active_b = decode_step_batched(
+            cg_params, cfg, tap_feats_b, feats_b, lda_b, fm_b, props
+        )
+        seq_np, logps_np, active_np = (
+            np.asarray(seq_b), np.asarray(logps_b), np.asarray(active_b),
+        )
+        for i, ((batch, meta), (ind, soi, ts, tp)) in enumerate(zip(items, sel)):
+            n_real = min(len(ind), nb)
+            if n_real == 0 or not bool(active_np[i][0]):
+                continue
+            sents = decode_sequence(vocab, seq_np[i][:n_real])
+            cg_score = logps_np[i][:n_real].sum(axis=1)
+            vid_info = [
+                {
+                    "sentence": s,
+                    "timestamp": list(ts[j]),
+                    "sentence_confidence": float(cg_score[j]),
+                    "proposal_score": float(tp[j]),
+                    "re_score": 10 * float(tp[j]) + float(cg_score[j]),
+                    "num": [j, len(sents)],
+                }
+                for j, s in enumerate(sents)
+            ]
+            if is_reranking:
+                vid_info = P.rerank_top10(vid_info)
+            predictions[meta.vid] = vid_info
+
+    import jax
+
+    while not done:
+        batch, meta = loader.get_batch(split)
+        seen += 1
+        done = meta.wrapped or seen >= num_vids_eval
+        if meta.proposal_num > 0 and meta.n_frames > 1:
+            groups.setdefault(meta.t_bucket, []).append((batch, meta))
+            if len(groups[meta.t_bucket]) >= batch_videos:
+                flush(meta.t_bucket)
+    for bucket in list(groups):
+        flush(bucket)
+
+    pred2json = {
+        "results": predictions,
+        "version": "VERSION 1.0",
+        "external_data": {"used": True, "details": "C3D features"},
+    }
+    os.makedirs(os.path.dirname(json_path) or ".", exist_ok=True)
+    with open(json_path, "w") as f:
+        json.dump(pred2json, f)
+
+    score: Dict[str, np.ndarray] = {}
+    if lang_eval:
+        from echr_tpu.metrics.eval_score import eval_score
+
+        references = kw.get("references") or list(cfg.eval.references)
+        sample_score = eval_score(
+            json_path, only_recall=(flag_eval_what == "tap"),
+            verbose=bool(val_all_metrics), topN=topN, references=references,
+            gt_from_loader=loader,
+        )
+        for k, v in sample_score.items():
+            score[k] = np.array(v)
+    return predictions, score, np.zeros(5)
