@@ -154,6 +154,35 @@ def bench_jax_batched(cfg, tap_params, cg_params, feats, lda, frame_mask, ind, s
     return cps
 
 
+def bench_beam_latency(cfg, tap_params, cg_params, feats, lda, frame_mask, ind, soi):
+    """p50 beam-search latency per video (BASELINE.md secondary metric)."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from echr_tpu.engine.steps import beam_decode_step, decode_step
+    from echr_tpu.models.captioner import ProposalBatch
+    from echr_tpu.models.sst import sst_forward
+
+    encode = jax.jit(lambda p, f: sst_forward(p, f, train=False))
+    props = ProposalBatch(jnp.asarray(ind), jnp.asarray(soi), jnp.ones((N_PROPS,), jnp.float32))
+    fd, ld, fmd = jnp.asarray(feats), jnp.asarray(lda), jnp.asarray(frame_mask)
+    tap_feats, _ = encode(tap_params, fd)
+
+    for beam in (4,):
+        seq, lp = beam_decode_step(cg_params, cfg, tap_feats, fd, ld, fmd, props, beam)
+        _ = np.asarray(seq)  # compile + barrier
+        samples = []
+        for _ in range(10):
+            t0 = _t.time()
+            seq, lp = beam_decode_step(cg_params, cfg, tap_feats, fd, ld, fmd, props, beam)
+            _ = np.asarray(seq)
+            samples.append(_t.time() - t0)
+        p50 = float(np.percentile(samples, 50))
+        log(f"beam-{beam} p50 latency: {1000*p50:.1f} ms/video ({N_PROPS} proposals)")
+
+
 def bench_torch(cfg, tap_params, cg_params, feats, lda, frame_mask, ind, soi):
     """Reference-architecture torch baseline on host CPU (ragged windows,
     per-step re-projected attention — the reference's actual compute)."""
@@ -221,6 +250,10 @@ def main():
         log(f"batched pipeline failed: {e}")
         cps_batched = 0.0
     cps = max(cps_single, cps_batched)
+    try:
+        bench_beam_latency(cfg, tap_params, cg_params, *inputs)
+    except Exception as e:
+        log(f"beam latency bench failed: {e}")
     try:
         base = bench_torch(cfg, tap_params, cg_params, *inputs)
     except Exception as e:  # torch baseline is best-effort

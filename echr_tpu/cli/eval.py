@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--beam_size", type=int, default=1)
     p.add_argument("--wait_for_checkpoint", type=int, default=0,
                    help="poll until the checkpoint exists (reference: eval.py:53-55)")
+    p.add_argument("--batch_videos", type=int, default=1,
+                   help=">1 selects the batched throughput eval pipeline")
     return p
 
 
@@ -75,9 +77,15 @@ def main(argv=None) -> None:
 
     stamp = f"{ns.flag_eval_what}_top{ns.topN}_thr{ns.val_score_thres}_nms{ns.nms_threshold}"
     json_path = os.path.join(folder, f"eval_{stamp}.json")
-    preds, scores, val_loss = eval_split(
+    if ns.batch_videos > 1:
+        from echr_tpu.engine.evaluate import eval_split_batched
+
+        runner = lambda *a, **k: eval_split_batched(*a, batch_videos=ns.batch_videos, **k)  # noqa: E731
+    else:
+        runner = eval_split
+    preds, scores, val_loss = runner(
         state.tap_params, state.cg_params, loader, cfg, json_path,
-        {
+        eval_kwargs={
             "topN": ns.topN,
             "num_vids_eval": ns.num_vids_eval,
             "val_all_metrics": bool(ns.val_all_metrics),

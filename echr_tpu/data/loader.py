@@ -8,7 +8,9 @@ device step without pickling whole batches across processes.
 
 Iterator semantics match the reference: per-split epoch order reshuffled on
 wrap (dataloader.py:707-708), `wrapped` flag on the batch, restorable
-iterator/order state for mid-epoch resume (train.py:162-163).
+iterator/order state for mid-epoch resume (train.py:162-163).  Checkpoint
+state is tracked on the CONSUMER side — the prefetch thread runs ahead, so
+the producer cursor would over-count queued-but-unconsumed items.
 """
 from __future__ import annotations
 
@@ -29,25 +31,33 @@ class Loader:
         self.cfg = cfg
         self.prefetch = max(1, prefetch)
         self.rng = np.random.RandomState(seed)
+        # producer-side state
         self.iterators: Dict[str, int] = {s: 0 for s in dataset.split_ix}
         self.split_order: Dict[str, List[int]] = {
             s: list(ix) for s, ix in dataset.split_ix.items()
         }
         self._shuffle_if_needed("train", initial=True)
+        # consumer-side state (what checkpoints must capture)
+        self._consumed: Dict[str, Tuple[int, List[int]]] = {}
         self._fetchers: Dict[str, "_Prefetcher"] = {}
 
     # -- iterator state (checkpointable, reference: train.py:477,493) --------
 
     def state(self) -> Dict:
-        return {
-            "iterators": dict(self.iterators),
-            "split_order": {k: list(v) for k, v in self.split_order.items()},
-        }
+        """Consumer-side positions: resuming replays exactly the items the
+        training loop had not yet consumed."""
+        iterators = dict(self.iterators)
+        orders = {k: list(v) for k, v in self.split_order.items()}
+        for split, (pos, order) in self._consumed.items():
+            iterators[split] = pos
+            orders[split] = list(order)
+        return {"iterators": iterators, "split_order": orders}
 
     def load_state(self, st: Dict) -> None:
         self.iterators.update(st.get("iterators", {}))
         for k, v in st.get("split_order", {}).items():
             self.split_order[k] = list(v)
+        self._consumed.clear()
         self._restart_fetchers()
 
     # ------------------------------------------------------------------
@@ -58,6 +68,7 @@ class Loader:
 
     def reset_iterator(self, split: str) -> None:
         self.iterators[split] = 0
+        self._consumed.pop(split, None)
         if split in self._fetchers:
             self._fetchers[split].stop()
             del self._fetchers[split]
@@ -87,12 +98,15 @@ class Loader:
     def get_batch(self, split: str) -> Tuple[VideoBatch, BatchMeta]:
         if split not in self._fetchers:
             self._fetchers[split] = _Prefetcher(self, split, self.prefetch)
-        batch, meta = self._fetchers[split].get()
+        batch, meta, pos, order = self._fetchers[split].get()
+        # consumer cursor: next position to replay on resume
+        self._consumed[split] = (0 if meta.wrapped else pos + 1, order)
         return batch, meta
 
 
 class _Prefetcher:
-    """Bounded-queue background producer for one split."""
+    """Bounded-queue background producer for one split.  Each item carries
+    its (position, epoch-order) so the consumer can checkpoint exactly."""
 
     def __init__(self, loader: Loader, split: str, depth: int):
         self.loader = loader
@@ -111,19 +125,22 @@ class _Prefetcher:
             wrapped = pos + 1 >= len(order)
             batch, meta = ld._make(ix)
             meta.wrapped = wrapped
+            item = (batch, meta, pos, order)
             if wrapped:
                 ld.iterators[self.split] = 0
+                # reshuffle produces a NEW list; queued items keep the old one
+                ld.split_order[self.split] = list(order)
                 ld._shuffle_if_needed(self.split)
             else:
                 ld.iterators[self.split] = pos + 1
             while not self._stop.is_set():
                 try:
-                    self.q.put((batch, meta), timeout=0.25)
+                    self.q.put(item, timeout=0.25)
                     break
                 except queue.Full:
                     continue
 
-    def get(self) -> Tuple[VideoBatch, BatchMeta]:
+    def get(self):
         return self.q.get()
 
     def stop(self) -> None:

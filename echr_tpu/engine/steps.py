@@ -97,9 +97,14 @@ def set_lr(state: TrainState, lr: float) -> TrainState:
     return state._replace(tap_opt=tap_opt, cg_opt=cg_opt)
 
 
+UPDATES_TAP = ("tap", "tap_cg", "gt_tap_cg")
+UPDATES_CG = ("cg", "gt_tap_cg", "tap_cg", "LP_cg")
+
+
 def _select_props(batch: VideoBatch, phase: str) -> Tuple[ProposalBatch, Array, Array]:
-    """GT proposals for 'cg'/'gt_tap_cg', sampled good proposals otherwise
-    (reference: train.py:265-271)."""
+    """GT proposals for 'cg'/'gt_tap_cg', sampled good proposals otherwise —
+    including 'LP_cg', which trains the captioner on sampled proposals
+    (reference: train.py:265-271,312)."""
     if phase in ("cg", "gt_tap_cg"):
         props = ProposalBatch(batch.gts_ind, batch.gts_soi, batch.gts_mask)
         return props, batch.gts_cg_labels, batch.gts_cg_masks
@@ -141,7 +146,7 @@ def _one_video_losses(
 def _phase_loss(metrics: Dict[str, Array], phase: str, cfg: Config) -> Array:
     if phase == "tap":
         return metrics["tap_loss"]
-    if phase in ("cg", "gt_tap_cg"):
+    if phase in ("cg", "gt_tap_cg", "LP_cg"):
         return metrics["cg_loss"]
     return metrics["total_loss"]
 
@@ -179,11 +184,11 @@ def train_step(
     )(state.tap_params, state.cg_params)
 
     new_state = state
-    if update_tap and phase != "cg":
+    if update_tap and phase in UPDATES_TAP:
         upd, tap_opt = opt.update(tap_g, state.tap_opt, state.tap_params)
         tap_params = optax.apply_updates(state.tap_params, upd)
         new_state = new_state._replace(tap_params=tap_params, tap_opt=tap_opt)
-    if update_cg and phase != "tap":
+    if update_cg and phase in UPDATES_CG:
         upd, cg_opt = opt.update(cg_g, new_state.cg_opt, new_state.cg_params)
         cg_params = optax.apply_updates(new_state.cg_params, upd)
         new_state = new_state._replace(cg_params=cg_params, cg_opt=cg_opt)
@@ -226,12 +231,12 @@ def apply_grads(state: TrainState, tap_g, cg_g, cfg: Config, phase: str) -> Trai
     """Apply (possibly accumulated) gradients with the per-phase optimizers."""
     opt = make_optimizer(cfg)
     new_state = state
-    if phase not in ("tap",):
+    if phase in UPDATES_CG:
         upd, cg_opt = opt.update(cg_g, state.cg_opt, state.cg_params)
         new_state = new_state._replace(
             cg_params=optax.apply_updates(state.cg_params, upd), cg_opt=cg_opt
         )
-    if phase not in ("cg",):
+    if phase in UPDATES_TAP:
         upd, tap_opt = opt.update(tap_g, new_state.tap_opt, new_state.tap_params)
         new_state = new_state._replace(
             tap_params=optax.apply_updates(new_state.tap_params, upd), tap_opt=tap_opt

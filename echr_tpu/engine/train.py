@@ -44,6 +44,9 @@ def get_training_list(cfg: Config) -> List[str]:
     if mode == "pre_cg":
         assert t.tap_epochs == 0
         return ["cg"] * t.cg_epochs
+    if mode == "pre_LP_cg":
+        assert t.tap_epochs == 0
+        return ["LP_cg"] * t.cg_epochs
     if mode == "gt_tap_cg":
         assert t.tap_epochs == 0
         return ["gt_tap_cg"] * t.cg_epochs
@@ -84,6 +87,30 @@ def current_ss_prob(cfg: Config, epoch: int) -> float:
 
 def _stack_batch(batch: VideoBatch) -> VideoBatch:
     return jax.tree.map(lambda x: np.asarray(x)[None], batch)
+
+
+def _collate(batches: List[VideoBatch]) -> VideoBatch:
+    """Stack same-bucket videos into a [B, ...] batch (the data-parallel
+    unit the reference never had — its effective batch is always 1 video,
+    SURVEY §2.2)."""
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *batches)
+
+
+class _BucketCollator:
+    """Groups same-time-bucket videos until `batch_size` are available."""
+
+    def __init__(self, batch_size: int):
+        self.batch_size = batch_size
+        self.groups: Dict[int, List] = {}
+
+    def add(self, batch: VideoBatch, meta) -> Optional[VideoBatch]:
+        g = self.groups.setdefault(meta.t_bucket, [])
+        g.append(batch)
+        if len(g) >= self.batch_size:
+            out = _collate(g)
+            self.groups[meta.t_bucket] = []
+            return out
+        return None
 
 
 def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
@@ -141,6 +168,7 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
     lr = None
     iter_indexed = cfg.train.training_mode == "alter2"  # reference: train.py:249-250
     acc_grads = None  # m_batch gradient accumulation
+    collator = _BucketCollator(cfg.train.batch_size) if cfg.train.batch_size > 1 else None
 
     while epoch < len(curriculum):
         phase = curriculum[min(iteration, len(curriculum) - 1)] if iter_indexed \
@@ -182,6 +210,15 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             if (iteration + 1) % cfg.train.m_batch == 0:
                 state = apply_grads(state, acc_grads[0], acc_grads[1], cfg, phase)
                 acc_grads = None
+        elif collator is not None:
+            stacked = collator.add(batch, meta)
+            if stacked is None:
+                if meta.wrapped:
+                    epoch += 1
+                continue
+            state, metrics = train_step(
+                state, stacked, step_rng, cfg, phase, ss_prob=ss_prob
+            )
         else:
             state, metrics = train_step(
                 state, _stack_batch(batch), step_rng, cfg, phase, ss_prob=ss_prob

@@ -495,12 +495,11 @@ def init_state(params, cfg: Config, ctxs: Contexts, N: int) -> DecoderState:
     return DecoderState(m, m)
 
 
-def step_logprobs(
+def step_logits(
     params, cfg: Config, it: Array, ctxs: Contexts, pre_att, state: DecoderState,
     train: bool = False, rng: Optional[Array] = None,
 ) -> Tuple[Array, DecoderState]:
-    """One decode step: token ids -> log p(next token)
-    (reference: get_logprobs_state :133-137)."""
+    """One decode step: token ids -> unnormalised logits over V+1."""
     xt = params["embed"][it]
     r_core = r_drop = None
     if rng is not None:
@@ -508,7 +507,16 @@ def step_logprobs(
     step = CORE_REGISTRY[cfg.decoder.caption_model][1]
     out, state = step(params["core"], cfg, xt, ctxs, pre_att, state, train, r_core)
     out = dropout(r_drop, out, cfg.decoder.CG_drop_prob, train)
-    logits = dense(params["logit"], out)
+    return dense(params["logit"], out), state
+
+
+def step_logprobs(
+    params, cfg: Config, it: Array, ctxs: Contexts, pre_att, state: DecoderState,
+    train: bool = False, rng: Optional[Array] = None,
+) -> Tuple[Array, DecoderState]:
+    """One decode step: token ids -> log p(next token)
+    (reference: get_logprobs_state :133-137)."""
+    logits, state = step_logits(params, cfg, it, ctxs, pre_att, state, train, rng)
     return jax.nn.log_softmax(logits, axis=-1), state
 
 
@@ -619,30 +627,32 @@ def decoder_sample(
 
     it0 = jnp.zeros((N,), jnp.int32)  # <bos> == 0
     r0 = jax.random.fold_in(rng, 0) if rng is not None else None
-    logprobs, state = step_logprobs(params, cfg, it0, ctxs, pre_att, state, train=train, rng=r0)
+    # carry raw logits; per-token logprob = logit - logsumexp avoids the full
+    # [N, V] log_softmax normalize every step (argmax is unchanged)
+    logits, state = step_logits(params, cfg, it0, ctxs, pre_att, state, train=train, rng=r0)
 
     def body(carry, t):
-        state, logprobs, unfinished = carry
+        state, logits, unfinished = carry
+        lse = jax.scipy.special.logsumexp(logits, axis=1)
         if forced_tokens is not None:
             it = forced_tokens[:, t - 1].astype(jnp.int32)
-            sample_logp = jnp.take_along_axis(logprobs, it[:, None], axis=1)[:, 0]
+            sample_logp = jnp.take_along_axis(logits, it[:, None], axis=1)[:, 0] - lse
         elif greedy:
-            sample_logp = jnp.max(logprobs, axis=1)
-            it = jnp.argmax(logprobs, axis=1).astype(jnp.int32)
+            sample_logp = jnp.max(logits, axis=1) - lse
+            it = jnp.argmax(logits, axis=1).astype(jnp.int32)
         else:
             r_t = jax.random.fold_in(rng, 10_000 + t) if rng is not None else None
-            scaled = logprobs / temperature
-            it = jax.random.categorical(r_t, scaled, axis=-1).astype(jnp.int32)
-            sample_logp = jnp.take_along_axis(logprobs, it[:, None], axis=1)[:, 0]
+            it = jax.random.categorical(r_t, logits / temperature, axis=-1).astype(jnp.int32)
+            sample_logp = jnp.take_along_axis(logits, it[:, None], axis=1)[:, 0] - lse
         unfinished = unfinished & (it > 0)
         active = jnp.any(unfinished & (ctxs.prop_mask > 0))
         emit_it = it * unfinished
         r_t2 = jax.random.fold_in(rng, 20_000 + t) if rng is not None else None
-        logprobs, state = step_logprobs(params, cfg, it, ctxs, pre_att, state, train=train, rng=r_t2)
-        return (state, logprobs, unfinished), (emit_it, sample_logp, active)
+        logits, state = step_logits(params, cfg, it, ctxs, pre_att, state, train=train, rng=r_t2)
+        return (state, logits, unfinished), (emit_it, sample_logp, active)
 
     (_, _, _), (seq, logps, active) = jax.lax.scan(
-        body, (state, logprobs, jnp.ones((N,), bool)), jnp.arange(1, L + 1)
+        body, (state, logits, jnp.ones((N,), bool)), jnp.arange(1, L + 1)
     )
     # a step is "appended" by the reference iff any real proposal was still
     # unfinished after the token update (its loop breaks *before* appending)
