@@ -1,0 +1,42 @@
+"""Frame-axis sharded encoder == unsharded encoder (8-device CPU mesh)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from echr_tpu.config import flagship_config
+from echr_tpu.models.registry import init_tap
+from echr_tpu.models.sst import sst_forward
+from echr_tpu.ops.recurrent import lstm_cell_init, lstm_layer
+from echr_tpu.parallel.mesh import build_mesh
+from echr_tpu.parallel.sequence import sequence_sharded_lstm_layer, sequence_sharded_sst
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if jax.local_device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    return build_mesh(shape=(8, 1))
+
+
+def test_sharded_lstm_layer_matches(mesh):
+    rng = jax.random.PRNGKey(0)
+    T, B, D, H = 64, 2, 16, 32
+    p = lstm_cell_init(rng, D, H)
+    xs = jax.random.normal(jax.random.fold_in(rng, 1), (T, B, D))
+    ref, _ = lstm_layer(p, xs)
+    got = sequence_sharded_lstm_layer(p, xs, mesh, "data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_sharded_sst_matches(mesh):
+    cfg = flagship_config()
+    cfg = cfg.replace_in("tap", video_dim=16, hidden_dim=32, K=16, rnn_num_layers=2)
+    cfg = cfg.replace_in("data", lda_dim=8)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=50, CG_seq_length=8)
+    params = init_tap(jax.random.PRNGKey(1), cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(2), (128, 16))
+    ref_h, ref_s = sst_forward(params, feats)
+    got_h, got_s = sequence_sharded_sst(params, feats, mesh, "data")
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref_h), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), atol=1e-5)

@@ -115,3 +115,11 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     warm = ckpt.load_params_only(path, "tap")
     assert "tap_params" in warm and "cg_params" not in warm
+
+
+def test_train_loop_batched_videos(tmp_path):
+    from echr_tpu.engine.train import train
+
+    cfg = tiny_cfg(tmp_path, **{"train.batch_size": 2})
+    out = train(cfg, max_iterations=3)
+    assert out["iteration"] == 3
