@@ -14,7 +14,7 @@ gathered logprobs match the rollout bit-for-bit while being differentiable
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -351,6 +351,15 @@ def _save(state, cfg, save_folder, iteration, epoch, best_val_score, loader,
         loader_state=loader.state(), histories=histories,
         vocab=dataset.ix_to_word,
     )
+    if not best and cfg.save.save_all_checkpoint:
+        # per-iteration files (reference: --save_all_checkpoint, train.py:463-466)
+        import shutil
+
+        src = os.path.join(save_folder, name)
+        dst = os.path.join(save_folder, f"model_iter_{iteration}.ckpt")
+        shutil.copyfile(src, dst)
+        if os.path.exists(src + ".config.json"):
+            shutil.copyfile(src + ".config.json", dst + ".config.json")
 
 
 def _snapshot_source(save_folder: str) -> None:

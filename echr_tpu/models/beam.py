@@ -14,7 +14,7 @@ decode_sequence convention (misc/utils.py:24-38).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ mesh with `shard_map`:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

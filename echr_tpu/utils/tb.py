@@ -4,7 +4,6 @@ unavailable."""
 from __future__ import annotations
 
 import logging
-from typing import Optional
 
 log = logging.getLogger("echr_tpu.tb")
 
