@@ -182,3 +182,44 @@ def sample_proposals(
     ids = np.arange(proposal_num, dtype=np.int64)
     rng.shuffle(ids)
     return ids[: min(proposal_num, prop_sample_num)]
+
+
+def event_distance(featstamp1, featstamp2) -> float:
+    """Symmetric overlap ratio between two events
+    (reference: dataloader.py:283-289)."""
+    s1, e1 = featstamp1
+    s2, e2 = featstamp2
+    intersection = max(0, min(e1, e2) - max(s1, s2))
+    return float(intersection) / (e1 - s1) + float(intersection) / (e2 - s2)
+
+
+def event_pair_indices(soi_select_list) -> np.ndarray:
+    """[N, N, 10] event-pair decomposition index templates.
+
+    Vectorized port of the reference's (dead but documented) pairwise
+    intersection / left-difference / right-difference window templates
+    (reference: get_segment_indics, dataloader.py:575-610): for each pair
+    (host i, customer j) the 10 columns are the [start, end] bounds of
+    A∩B, A-B(left), A-B(right), B-A(left), B-A(right), each zeroed where
+    the corresponding segment is empty.
+    """
+    soi = np.asarray([(s, e - 1) for s, e in soi_select_list], dtype=np.int64)
+    s1, e1 = soi[:, None, 0:1], soi[:, None, 1:2]  # [N, 1, 1]
+    s2, e2 = soi[None, :, 0:1], soi[None, :, 1:2]  # [1, N, 1]
+    templates = np.concatenate(
+        [
+            np.maximum(s1, s2), np.minimum(e1, e2),
+            s1 + 0 * s2, np.minimum(e1, s2),
+            np.maximum(e2, s1), e1 + 0 * e2,
+            s2 + 0 * s1, np.minimum(e2, s1),
+            np.maximum(e1, s2), e2 + 0 * e1,
+        ],
+        axis=2,
+    )  # [N, N, 10]
+    m1 = np.minimum(e1, e2) - np.maximum(s1, s2) > 0
+    m21 = np.minimum(e1, s2) - s1 > 0
+    m22 = e1 - np.maximum(e2, s1) > 0
+    m31 = np.minimum(e2, s1) - s2 > 0
+    m32 = e2 - np.maximum(e1, s2) > 0
+    masks = np.concatenate([m1, m1, m21, m21, m22, m22, m31, m31, m32, m32], axis=2)
+    return templates * masks
