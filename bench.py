@@ -131,23 +131,29 @@ def bench_jax_batched(cfg, tap_params, cg_params, feats, lda, frame_mask, ind, s
         jnp.ones((B, N_PROPS), jnp.float32),
     )
 
-    def one_batch():
+    def dispatch():
         tap_feats, _ = encode_step_batched(tap_params, feats_b, cfg)
         seq, logps, active = decode_step_batched(
             cg_params, cfg, tap_feats, feats_b, lda_b, fm_b, props
         )
-        return np.asarray(seq)
+        return seq
 
     log("compiling batched pipeline...")
     t0 = time.time()
-    one_batch()
+    np.asarray(dispatch())
     log(f"batched compile+first run: {time.time()-t0:.1f}s")
     for _ in range(WARMUP_ITERS):
-        one_batch()
-    iters = max(TIMED_ITERS // B, 4)
+        np.asarray(dispatch())
+    # two batches in flight: the next dispatch overlaps the previous fetch,
+    # hiding host<->device round-trip latency
+    iters = max(2 * TIMED_ITERS // B, 8)
     t0 = time.time()
-    for _ in range(iters):
-        seq = one_batch()
+    pending = dispatch()
+    for _ in range(iters - 1):
+        nxt = dispatch()
+        np.asarray(pending)
+        pending = nxt
+    np.asarray(pending)
     dt = time.time() - t0
     cps = B * N_PROPS * iters / dt
     log(f"jax-batched: {iters} x {B} videos x {N_PROPS} proposals in {dt:.2f}s -> {cps:.1f} captions/s")

@@ -247,3 +247,122 @@ def padded_clip_windows(c3d, soi):
         clip[i, : len(w)] = w
         mask[i, : len(w)] = 1
     return clip, mask
+
+
+class ShowAttendTellOracle(nn.Module):
+    """Single/stacked no-bias LSTM with inline additive attention and
+    selected-context inputs (spec: OldModel_NEW.py ShowAttendTellCore +
+    OldModel wrapper; input_feats per CG_input_feats_type, init state from
+    CG_init_feats_type)."""
+
+    def __init__(self, params, cfg):
+        super().__init__()
+        d = cfg.decoder
+        E, H, V = d.CG_input_encoding_size, d.CG_rnn_size, d.CG_vocab_size
+        self.cfg = cfg
+        self.H, self.L = H, d.CG_num_layers
+        self.seq_length = d.CG_seq_length
+        self.embed = nn.Embedding(V + 1, E)
+        self.embed.load_state_dict({"weight": t(params["embed"])})
+        self.logit = nn.Linear(H, V + 1)
+        self.logit.load_state_dict(
+            {"weight": t(params["logit"]["w"]).T.contiguous(), "bias": t(params["logit"]["b"])}
+        )
+        core = params["core"]
+        in_dim = E + self._input_dim(cfg)
+        self.rnn = nn.LSTM(in_dim, H, d.CG_num_layers, bias=False)
+        sd = {}
+        for l, lp in enumerate(core["layers"]):
+            sd[f"weight_ih_l{l}"] = t(lp["w_ih"]).T.contiguous()
+            sd[f"weight_hh_l{l}"] = t(lp["w_hh"]).T.contiguous()
+        self.rnn.load_state_dict(sd)
+        att = core["attention"]
+        self.ctx2att = nn.Linear(cfg.clip_context_dim, d.CG_att_hid_size)
+        self.h2att = nn.Linear(H, d.CG_att_hid_size)
+        self.alpha_net = nn.Linear(d.CG_att_hid_size, 1)
+        for mod, p in [(self.ctx2att, att["ctx2att"]), (self.h2att, att["h2att"]),
+                       (self.alpha_net, att["alpha_net"])]:
+            mod.load_state_dict({"weight": t(p["w"]).T.contiguous(), "bias": t(p["b"])})
+        # init_linear (CG_init_feats_type non-empty)
+        self.init_linear = None
+        if "init_linear" in params:
+            dim = params["init_linear"]["w"].shape[0]
+            self.init_linear = nn.Linear(dim, self.L * H)
+            self.init_linear.load_state_dict(
+                {"weight": t(params["init_linear"]["w"]).T.contiguous(),
+                 "bias": t(params["init_linear"]["b"])}
+            )
+
+    def _input_dim(self, cfg):
+        tt = cfg.context.CG_input_feats_type
+        d = 0
+        if "V" in tt:
+            d += cfg.video_context_dim
+        if "E" in tt:
+            d += cfg.event_context_dim
+        if "C" in tt:
+            d += cfg.clip_context_dim
+        return d
+
+    def init_state(self, video, event, clip, clip_mask):
+        N = event.shape[0]
+        if self.init_linear is None:
+            z = torch.zeros(self.L, N, self.H)
+            return (z, z.clone())
+        tt = self.cfg.context.CG_init_feats_type
+        parts = []
+        if "V" in tt:
+            parts.append(video.unsqueeze(0).expand(N, -1))
+        if "E" in tt:
+            parts.append(event)
+        if "C" in tt:
+            parts.append(clip.mean(1))  # padded-window mean (reference quirk)
+        m = self.init_linear(torch.cat(parts, 1)).view(N, self.L, self.H).transpose(0, 1)
+        return (m.contiguous(), m.contiguous())
+
+    def attention(self, h, clip, clip_mask):
+        N, S, D = clip.shape
+        att = self.ctx2att(clip.reshape(-1, D)).view(N, S, -1)
+        ah = self.h2att(h).unsqueeze(1).expand_as(att)
+        dot = self.alpha_net(torch.tanh(att + ah).view(N * S, -1)).view(N, S)
+        w = F.softmax(dot, dim=1)
+        w = w * clip_mask
+        w = w / w.sum(1, keepdim=True)
+        return torch.bmm(w.unsqueeze(1), clip).squeeze(1)
+
+    def step(self, it, video, event, clip, clip_mask, state):
+        xt = self.embed(it)
+        att = self.attention(state[0][-1], clip, clip_mask)
+        tt = self.cfg.context.CG_input_feats_type
+        N = event.shape[0]
+        parts = []
+        if "V" in tt:
+            parts.append(video.unsqueeze(0).expand(N, -1))
+        if "E" in tt:
+            parts.append(event)
+        if "C" in tt:
+            parts.append(att)
+        x = torch.cat([xt] + parts, 1) if parts else xt
+        out, state = self.rnn(x.unsqueeze(0), state)
+        logprobs = F.log_softmax(self.logit(out.squeeze(0)), dim=1)
+        return logprobs, state
+
+    @torch.no_grad()
+    def sample_greedy(self, video, event, clip, clip_mask):
+        N = event.shape[0]
+        state = self.init_state(video, event, clip, clip_mask)
+        it = torch.zeros(N, dtype=torch.long)
+        seq, logps = [], []
+        unfinished = None
+        logprobs, state = self.step(it, video, event, clip, clip_mask, state)
+        for tstep in range(1, self.seq_length + 1):
+            sample_logp, it = torch.max(logprobs, 1)
+            unfinished = (it > 0) if tstep == 1 else unfinished * (it > 0)
+            if unfinished.sum() == 0:
+                break
+            seq.append(it * unfinished.long())
+            logps.append(sample_logp)
+            logprobs, state = self.step(it, video, event, clip, clip_mask, state)
+        if not seq:
+            return torch.zeros(N, 0, dtype=torch.long), torch.zeros(N, 0)
+        return torch.stack(seq, 1), torch.stack(logps, 1)
