@@ -318,17 +318,34 @@ def _self_critical_step(state, batch, meta, cfg, phase, step_rng, dataset):
 
 def _run_eval(state: TrainState, loader: Loader, cfg: Config, save_folder: str,
               iteration: int, phase: str):
+    """Checkpoint-gating evaluation (reference: train.py:366-415): TAP phases
+    score proposals only (F1); CG phases always run the GT-proposal eval
+    with full metrics and, unless --fast_eval_cg, additionally the
+    model-proposal (tap_cg) eval whose scores gate the checkpoint."""
     json_path = os.path.join(save_folder, "pred_sent", f"pred_iter{iteration}.json")
-    flag = "tap" if phase == "tap" else "cg"
-    eval_kwargs = {
-        "num_vids_eval": cfg.eval.num_vids_eval or loader.split_size("val"),
-        "topN": 1000 if phase == "tap" else 100,
-        "val_all_metrics": True,
-    }
-    preds, scores, val_loss = eval_split(
-        state.tap_params, state.cg_params, loader, cfg, json_path,
-        eval_kwargs, flag_eval_what=flag,
-    )
+    n_eval = cfg.eval.num_vids_eval or loader.split_size("val")
+    if phase == "tap":
+        preds, scores, val_loss = eval_split(
+            state.tap_params, state.cg_params, loader, cfg, json_path,
+            {"num_vids_eval": n_eval, "topN": 1000, "val_all_metrics": False},
+            flag_eval_what="tap",
+        )
+        scores2 = scores
+    else:
+        preds2, scores2, val_loss2 = eval_split(
+            state.tap_params, state.cg_params, loader, cfg,
+            json_path.replace(".json", "_gt.json"),
+            {"num_vids_eval": n_eval, "topN": 100, "val_all_metrics": True},
+            flag_eval_what="cg",
+        )
+        if cfg.eval.fast_eval_cg:
+            preds, scores, val_loss = preds2, scores2, val_loss2
+        else:
+            preds, scores, val_loss = eval_split(
+                state.tap_params, state.cg_params, loader, cfg, json_path,
+                {"num_vids_eval": n_eval, "topN": 100, "val_all_metrics": False},
+                flag_eval_what="tap_cg",
+            )
     recall = np.asarray(scores.get("Recall", [0.0]))
     precision = np.asarray(scores.get("Precision", [0.0]))
     f1 = float((2 * recall * precision / np.maximum(recall + precision, 1e-8)).mean())
@@ -337,8 +354,10 @@ def _run_eval(state: TrainState, loader: Loader, cfg: Config, save_folder: str,
     else:
         current = f1
     mean_scores = {k: float(np.asarray(v).mean()) for k, v in scores.items()}
-    log.info("eval iter %d: score=%.4f f1=%.4f all=%s val_loss=%s",
-             iteration, current, f1, mean_scores, np.round(val_loss, 4).tolist())
+    gt_means = {k: float(np.asarray(v).mean()) for k, v in scores2.items()}
+    log.info("eval iter %d: score=%.4f f1=%.4f all=%s gt=%s val_loss=%s",
+             iteration, current, f1, mean_scores, gt_means,
+             np.round(val_loss, 4).tolist())
     return current, scores
 
 
