@@ -152,7 +152,8 @@ def _phase_loss(metrics: Dict[str, Array], phase: str, cfg: Config) -> Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "phase", "ss_prob", "update_tap", "update_cg")
+    jax.jit, static_argnames=("cfg", "phase", "ss_prob", "update_tap", "update_cg"),
+    donate_argnames=("state",),  # reuse param/optimizer buffers in place
 )
 def train_step(
     state: TrainState,
@@ -374,6 +375,32 @@ def decode_step_batched(
             cg_c, cfg, th, f, l, pr, frame_mask=fm, greedy=greedy
         )
     )(tap_feats, feats, lda, frame_mask, props)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "beam_size", "length_alpha"))
+def beam_decode_step_batched(
+    cg_params,
+    cfg: Config,
+    tap_feats: Array,  # [B, T, H]
+    feats: Array,  # [B, T, D]
+    lda: Array,  # [B, lda_dim]
+    frame_mask: Array,  # [B, T]
+    props: ProposalBatch,  # leaves with leading [B]
+    beam_size: int,
+    length_alpha: float = 0.0,
+):
+    """Beam decode B videos per program (vmapped beam search)."""
+    from echr_tpu.models.beam import beam_search
+    from echr_tpu.models.captioner import make_contexts
+
+    cg_c = _cast(cg_params, cfg)
+
+    def one(th, f, l, fm, pr):
+        ctxs = make_contexts(cg_c, cfg, th, f, l, pr, frame_mask=fm, train=False)
+        res = beam_search(cg_c["decoder"], cfg, ctxs, beam_size, length_alpha)
+        return res.seq, res.logprob
+
+    return jax.vmap(one)(tap_feats, feats, lda, frame_mask, props)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "beam_size", "length_alpha"))

@@ -224,6 +224,13 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
                 state, _stack_batch(batch), step_rng, cfg, phase, ss_prob=ss_prob
             )
         iteration += 1
+        loss_now = float(metrics.get("loss", 0.0))
+        if not np.isfinite(loss_now):
+            # failure containment (net-new; the reference would silently
+            # poison its weights): log and keep going — the optimizer state
+            # already absorbed the step, so flag loudly for the operator
+            log.warning("non-finite loss %s at iter %d (vid %s, phase %s)",
+                        loss_now, iteration, meta.vid, phase)
         for k, v in metrics.items():
             loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
         loss_count += 1

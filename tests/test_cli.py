@@ -1,0 +1,61 @@
+"""CLI end-to-end: train a few steps via the train CLI surface, then the
+standalone eval CLI against its checkpoint (reference: eval.py flow)."""
+import os
+
+import numpy as np
+
+from test_train_e2e import tiny_cfg
+
+
+def test_eval_cli_on_checkpoint(tmp_path, capsys):
+    from echr_tpu.cli.eval import main as eval_main
+    from echr_tpu.engine.train import train
+
+    cfg = tiny_cfg(tmp_path).replace(run_id="CLI")
+    train(cfg, max_iterations=2)
+
+    eval_main([
+        "--folder_id", "CLI",
+        "--checkpoint_path", str(tmp_path),
+        "--which", "last",
+        "--flag_eval_what", "cg",
+        "--topN", "10",
+        "--num_vids_eval", "2",
+        "--val_all_metrics", "0",
+    ])
+    out_files = [f for f in os.listdir(tmp_path / "CLI") if f.startswith("eval_")]
+    assert out_files, "eval CLI wrote no prediction JSON"
+
+
+def test_config_cli_reference_flags():
+    from echr_tpu.config import parse_config
+
+    cfg = parse_config([
+        "--training_mode", "pre_tap", "--tap_epoch", "5", "--cg_epoch", "0",
+        "--caption_model", "show_attend_tell", "--K", "256", "--video_dim", "500",
+        "--id", "SST", "--save_all", "--fast_eval_cg", "1", "--lda_dim", "100",
+        "--video_context_type", "VL", "--event_context_type", "ER3",
+        "--clip_context_type", "CC",
+    ])
+    assert cfg.run_id == "SST"
+    assert cfg.train.tap_epochs == 5 and cfg.train.training_mode == "pre_tap"
+    assert cfg.save.save_all_checkpoint and cfg.eval.fast_eval_cg
+    assert cfg.tsrm_input_dim == 1012  # ER3 = video_dim 500 + hidden_dim 512
+    assert cfg.video_context_dim == 100  # VL with lda_dim 100
+
+
+def test_dropsent_modes():
+    import numpy as np
+
+    from echr_tpu.data.batcher import caption_masks
+
+    cap = np.zeros((2, 20), np.int64)
+    cap[0, 1:16] = np.arange(1, 16)  # 15 words
+    cap[1, 1:4] = [5, 6, 7]  # 3 words
+    for mode in ("nodrop", "insert", "truncate"):
+        lab, mask = caption_masks(cap.astype(np.int32), mode, np.random.RandomState(0))
+        assert lab.shape == (3, 20)  # appended zero row (reference :414)
+        assert lab[:, -1].sum() == 0
+        assert mask.shape == (2, 20)
+        # short row: mask covers words+BOS+EOS in every mode
+        assert mask[1].sum() >= 5
