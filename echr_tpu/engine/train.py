@@ -139,6 +139,8 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
     resume_path = os.path.join(save_folder, f"model-{cfg.save.start_from_mode}.ckpt")
     if cfg.save.start_from and os.path.exists(resume_path):
         payload = ckpt.load_checkpoint(resume_path)
+        if payload.get("config") is not None:
+            cfg = overlay_resumed_config(cfg, payload["config"])
         state = payload["state"]
         iteration = payload["iteration"]
         epoch = payload["epoch"]
@@ -386,6 +388,32 @@ def _save(state, cfg, save_folder, iteration, epoch, best_val_score, loader,
         shutil.copyfile(src, dst)
         if os.path.exists(src + ".config.json"):
             shutil.copyfile(src + ".config.json", dst + ".config.json")
+
+
+# fields the CLI keeps control of across a resume
+# (reference: exclude_opt, train.py:126-129)
+_RESUME_EXCLUDE = {
+    "train": ("training_mode", "tap_epochs", "cg_epochs", "tapcg_epochs", "lr",
+              "learning_rate_decay_start", "learning_rate_decay_every",
+              "learning_rate_decay_rate", "self_critical_after"),
+    "save": ("save_checkpoint_every", "pretrain", "pretrain_path",
+             "save_all_checkpoint", "min_epoch_when_save", "start_from",
+             "start_from_mode", "no_exclude_opt"),
+}
+
+
+def overlay_resumed_config(cli_cfg: Config, saved_cfg: Config) -> Config:
+    """Resume config overlay: the checkpoint's config wins except the
+    schedule/id flags the CLI keeps (reference: train.py:126-148;
+    --no_exclude_opt makes the saved config win everywhere)."""
+    if cli_cfg.save.no_exclude_opt:
+        return saved_cfg
+    cfg = saved_cfg.replace(run_id=cli_cfg.run_id, debug=cli_cfg.debug)
+    for section, names in _RESUME_EXCLUDE.items():
+        cfg = cfg.replace_in(
+            section, **{n: getattr(getattr(cli_cfg, section), n) for n in names}
+        )
+    return cfg
 
 
 def _snapshot_source(save_folder: str) -> None:

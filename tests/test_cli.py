@@ -59,3 +59,21 @@ def test_dropsent_modes():
         assert mask.shape == (2, 20)
         # short row: mask covers words+BOS+EOS in every mode
         assert mask[1].sum() >= 5
+
+
+def test_resume_config_overlay(tmp_path):
+    """Saved config wins on resume except schedule flags (reference
+    exclude_opt semantics)."""
+    from echr_tpu.engine.train import overlay_resumed_config
+
+    cli = tiny_cfg(tmp_path, **{"train.lr": 9e-9, "fusion.n_head": 4})
+    saved = tiny_cfg(tmp_path, **{"train.lr": 1e-3, "fusion.n_head": 2,
+                                  "decoder.CG_rnn_size": 48})
+    merged = overlay_resumed_config(cli, saved)
+    assert merged.train.lr == 9e-9  # excluded: CLI wins
+    assert merged.fusion.n_head == 2  # saved wins (model shape)
+    assert merged.decoder.CG_rnn_size == 48  # saved wins
+    # --no_exclude_opt: saved wins everywhere
+    cli2 = cli.replace_in("save", no_exclude_opt=True)
+    merged2 = overlay_resumed_config(cli2, saved)
+    assert merged2.train.lr == 1e-3
