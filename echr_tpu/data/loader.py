@@ -103,6 +103,16 @@ class Loader:
         self._consumed[split] = (0 if meta.wrapped else pos + 1, order)
         return batch, meta
 
+    def find_video(self, vid: str, split: str = "train", max_iters: int = None):
+        """Debug helper: iterate until a specific video comes up
+        (reference: get_v_GwIHO7HpGkY, dataloader.py:673-677)."""
+        limit = max_iters or 2 * self.split_size(split)
+        for _ in range(limit):
+            batch, meta = self.get_batch(split)
+            if meta.vid == vid:
+                return batch, meta
+        raise LookupError(f"video {vid!r} not seen in {limit} fetches")
+
 
 class _Prefetcher:
     """Bounded-queue background producer for one split.  Each item carries

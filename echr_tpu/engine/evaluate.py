@@ -86,8 +86,12 @@ def eval_split(
     it = 0
     bad_vid_num = 0
 
+    progress_every = max(num_vids_eval // 100, 1)
     while True:
         batch, meta = loader.get_batch(split)
+        if it % progress_every == 0 and it:
+            # reference: eval_utils.py:41-42 progress print
+            log.info("generating result.json: %.1f%%", 100.0 * it / num_vids_eval)
         if meta.proposal_num <= 0 or meta.n_frames <= 1:
             if meta.wrapped or it >= num_vids_eval:
                 break

@@ -72,3 +72,34 @@ def test_beam_eval_path(tmp_path):
     for vid, info in preds.items():
         for p in info:
             assert "sentence" in p
+
+
+def test_beam_batched_matches_single(tmp_path):
+    import jax.numpy as jnp
+
+    from echr_tpu.engine.steps import beam_decode_step, beam_decode_step_batched
+    from echr_tpu.models.sst import sst_forward
+
+    cfg, state, ctxs, loader = _setup(tmp_path)
+    batch, meta = loader.get_batch("train")
+    while meta.proposal_num <= 0 or meta.n_frames <= 1:
+        batch, meta = loader.get_batch("train")
+    tap_feats, _ = sst_forward(state.tap_params, jnp.asarray(batch.feats))
+    from echr_tpu.models.captioner import ProposalBatch
+
+    props = ProposalBatch(jnp.asarray(batch.ind_select), jnp.asarray(batch.soi),
+                          jnp.asarray(batch.prop_mask))
+    seq1, lp1 = beam_decode_step(
+        state.cg_params, cfg, tap_feats, jnp.asarray(batch.feats),
+        jnp.asarray(batch.lda), jnp.asarray(batch.frame_mask), props, 3)
+    stack = lambda x: jnp.stack([x, x])  # noqa: E731
+    import jax
+
+    props_b = jax.tree.map(stack, props)
+    seqB, lpB = beam_decode_step_batched(
+        state.cg_params, cfg, stack(tap_feats), stack(jnp.asarray(batch.feats)),
+        stack(jnp.asarray(batch.lda)), stack(jnp.asarray(batch.frame_mask)),
+        props_b, 3)
+    np.testing.assert_array_equal(np.asarray(seqB[0]), np.asarray(seq1))
+    np.testing.assert_array_equal(np.asarray(seqB[1]), np.asarray(seq1))
+    np.testing.assert_allclose(np.asarray(lpB[0]), np.asarray(lp1), atol=1e-4)
