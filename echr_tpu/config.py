@@ -51,6 +51,7 @@ class DataConfig:
     synthetic_num_videos: int = 64
     synthetic_vocab_size: int = 3000
     synthetic_seq_length: int = 30
+    synthetic_learnable: bool = False  # pattern-derived captions (learnable)
 
     @property
     def use_lda(self) -> bool:

@@ -189,6 +189,11 @@ class SyntheticDataset(BaseDataset):
     Every video is generated from a per-index seed: C3D-like features with
     event-correlated structure, 2-6 GT events, captions as token sequences
     rendered to 'w<i>' sentences so the full metric pipeline runs.
+
+    With ``data.synthetic_learnable`` each event carries one of 16 visual
+    patterns and its caption is a fixed token sequence determined by that
+    pattern — captioning becomes genuinely learnable from the features, so
+    METEOR moves under training (used by the learning-dynamics tests).
     """
 
     def __init__(self, cfg: Config, num_videos: Optional[int] = None, seed: int = 1234):
@@ -250,18 +255,25 @@ class SyntheticDataset(BaseDataset):
         ]
         # features: noise + per-event bias patterns so TAP has signal
         feats = rng.randn(T, D).astype(np.float32) * 0.5
+        pattern_ids = rng.randint(0, 16, size=n_events)
         for ei, (s, e) in enumerate(timestamps):
             fs = int(s / duration * T)
             fe = max(fs + 1, int(e / duration * T))
-            pattern = np.random.RandomState(1000 + ei % 16).randn(D).astype(np.float32)
+            pattern = np.random.RandomState(1000 + int(pattern_ids[ei])).randn(D).astype(np.float32)
             feats[fs:fe] += 0.5 * pattern
         lda = rng.randn(cfg.data.lda_dim).astype(np.float32) * 0.3
         L = self.seq_length
         cap = np.zeros((n_events, L), np.int32)
         sentences = []
         for i in range(n_events):
-            ln = int(rng.randint(3, min(L - 2, 14)))
-            words = rng.randint(1, self._vocab + 1, size=ln)
+            if cfg.data.synthetic_learnable:
+                # caption = fixed token sequence per visual pattern
+                crng = np.random.RandomState(7000 + int(pattern_ids[i]))
+                ln = int(crng.randint(3, min(L - 2, 8)))
+                words = crng.randint(1, min(self._vocab, 40) + 1, size=ln)
+            else:
+                ln = int(rng.randint(3, min(L - 2, 14)))
+                words = rng.randint(1, self._vocab + 1, size=ln)
             cap[i, 1 : 1 + ln] = words  # col 0 stays 0 (BOS)
             sentences.append(" ".join(f"w{w}" for w in words))
         split = "train" if ix in set(self.split_ix["train"]) else "val"

@@ -133,6 +133,24 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
     tap_params = init_tap(k_tap, cfg)
     cg_params = init_captioner(k_cg, cfg)
 
+    # multi-device: shard params by the (data, model) rules and batches over
+    # the data axis; XLA lowers the loss mean to an ICI psum — the reference
+    # has no distributed story at all (SURVEY §5.8)
+    mesh = None
+    dp, tp = cfg.runtime.mesh_shape
+    if dp * tp > 1:
+        from echr_tpu.parallel.mesh import build_mesh, shard_params
+
+        mesh = build_mesh(cfg)
+        tap_params = shard_params(tap_params, mesh)
+        cg_params = shard_params(cg_params, mesh)
+        if cfg.train.batch_size % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch_size {cfg.train.batch_size} must divide over "
+                f"{mesh.shape['data']} data-parallel devices"
+            )
+        log.info("mesh: %s", dict(mesh.shape))
+
     epoch, iteration, best_val_score = 0, 0, -1.0
     histories: Dict[str, Dict] = {"loss": {}, "lr": {}, "val": {}}
 
@@ -218,6 +236,13 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
                 if meta.wrapped:
                     epoch += 1
                 continue
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                stacked = jax.tree.map(
+                    lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))),
+                    stacked,
+                )
             state, metrics = train_step(
                 state, stacked, step_rng, cfg, phase, ss_prob=ss_prob
             )

@@ -123,3 +123,21 @@ def test_train_loop_batched_videos(tmp_path):
     cfg = tiny_cfg(tmp_path, **{"train.batch_size": 2})
     out = train(cfg, max_iterations=3)
     assert out["iteration"] == 3
+
+
+def test_train_loop_mesh_data_parallel(tmp_path):
+    """Real train loop over the 8-device CPU mesh: params sharded by rules,
+    4-video batches sharded over the data axis."""
+    import jax
+
+    if jax.local_device_count() < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from echr_tpu.engine.train import train
+
+    cfg = tiny_cfg(tmp_path, **{"train.batch_size": 4})
+    cfg = cfg.replace_in("runtime", mesh_shape=(4, 2))
+    cfg = cfg.replace_in("data", synthetic_vocab_size=59)  # V+1=60 shards over tp=2
+    out = train(cfg, max_iterations=2)
+    assert out["iteration"] == 2
