@@ -127,17 +127,37 @@ def test_train_loop_batched_videos(tmp_path):
 
 def test_train_loop_mesh_data_parallel(tmp_path):
     """Real train loop over the 8-device CPU mesh: params sharded by rules,
-    4-video batches sharded over the data axis."""
-    import jax
+    4-video batches sharded over the data axis.
 
-    if jax.local_device_count() < 8:
-        import pytest
-
-        pytest.skip("needs 8 virtual devices")
-    from echr_tpu.engine.train import train
+    Runs in a fresh subprocess: compiling the SPMD step after the full
+    suite's hundreds of cached CPU executables segfaults XLA's CPU
+    compiler under memory pressure (passes standalone)."""
+    import json
+    import os
+    import subprocess
+    import sys
 
     cfg = tiny_cfg(tmp_path, **{"train.batch_size": 4})
     cfg = cfg.replace_in("runtime", mesh_shape=(4, 2))
     cfg = cfg.replace_in("data", synthetic_vocab_size=59)  # V+1=60 shards over tp=2
-    out = train(cfg, max_iterations=2)
-    assert out["iteration"] == 2
+    cfg_path = tmp_path / "mesh_cfg.json"
+    cfg_path.write_text(cfg.to_json())
+
+    script = (
+        "import sys, json;"
+        f"sys.path.insert(0, {repr(os.getcwd())});"
+        "from echr_tpu.config import Config;"
+        "from echr_tpu.engine.train import train;"
+        f"cfg = Config.from_json(open({repr(str(cfg_path))}).read());"
+        "out = train(cfg, max_iterations=2);"
+        "print('MESH_OK', out['iteration'])"
+    )
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PALLAS_AXON_POOL_IPS": "",
+    })
+    res = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=420)
+    assert "MESH_OK 2" in res.stdout, res.stdout + res.stderr
