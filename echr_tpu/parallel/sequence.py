@@ -61,7 +61,13 @@ def sequence_sharded_lstm_layer(
             return (h_new, c_new), h_new
 
         my = jax.lax.axis_index(axis_name)
-        zero = jax.lax.pvary(jnp.zeros((B, H), jnp.float32), (axis_name,))
+        # the initial carry must be marked varying over the shard axis or the
+        # scan carry types mismatch (output depends on sharded data)
+        z = jnp.zeros((B, H), jnp.float32)
+        if hasattr(jax.lax, "pcast"):
+            zero = jax.lax.pcast(z, axis_name, to="varying")
+        else:  # older jax
+            zero = jax.lax.pvary(z, (axis_name,))
         carry = (zero, zero)
         out = jnp.zeros_like(pre[..., :H])
         perm = [(i, (i + 1) % n) for i in range(n)]
