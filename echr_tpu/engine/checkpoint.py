@@ -66,6 +66,42 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     return payload
 
 
+# ---------------------------------------------------------------------------
+# orbax backend (optional): async-capable production checkpointing
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(directory: str, state, cfg: Config, *, iteration: int,
+                          **meta) -> None:
+    """Alternative orbax backend (sharded/async-capable).  The pickle
+    backend above remains the default — it round-trips arbitrary optax
+    states and is what resume/warm-start tests gate."""
+    import orbax.checkpoint as ocp
+
+    os.makedirs(directory, exist_ok=True)
+    with ocp.StandardCheckpointer() as cp:
+        cp.save(
+            os.path.join(os.path.abspath(directory), f"step_{iteration}"),
+            _to_numpy(state),
+        )
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    with open(os.path.join(directory, "meta.json"), "w") as f:
+        json.dump({"iteration": iteration, **{k: v for k, v in meta.items()
+                                              if isinstance(v, (int, float, str))}}, f)
+
+
+def load_checkpoint_orbax(directory: str, iteration: int, target) -> Any:
+    """Restore into a pytree shaped like `target` (e.g. a fresh TrainState)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as cp:
+        return cp.restore(
+            os.path.join(os.path.abspath(directory), f"step_{iteration}"),
+            _to_numpy(target),
+        )
+
+
 def load_params_only(path: str, which: str = "tap_cg") -> Dict[str, Any]:
     """Warm-start weights only (reference pretrain semantics, train.py:183-194):
     which in {'tap', 'cg', 'tap_cg'}."""

@@ -161,3 +161,23 @@ def test_train_loop_mesh_data_parallel(tmp_path):
     res = subprocess.run([sys.executable, "-c", script], env=env,
                          capture_output=True, text=True, timeout=420)
     assert "MESH_OK 2" in res.stdout, res.stdout + res.stderr
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from echr_tpu.engine import checkpoint as ckpt
+    from echr_tpu.engine.steps import init_train_state
+    from echr_tpu.models.registry import init_captioner, init_tap
+
+    cfg = tiny_cfg(tmp_path).replace_in("decoder", CG_vocab_size=60, CG_seq_length=10)
+    rng = jax.random.PRNGKey(5)
+    state = init_train_state(cfg, init_tap(rng, cfg), init_captioner(rng, cfg))
+    d = str(tmp_path / "orbax")
+    ckpt.save_checkpoint_orbax(d, state, cfg, iteration=3, best_val_score=0.1)
+    restored = ckpt.load_checkpoint_orbax(d, 3, state)
+    a = jax.tree.leaves(state.cg_params)
+    b = jax.tree.leaves(restored.cg_params if hasattr(restored, "cg_params")
+                        else restored["cg_params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
