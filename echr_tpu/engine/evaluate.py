@@ -297,11 +297,13 @@ def eval_split_batched(
     groups: Dict[int, List] = {}
     done = False
     seen = 0
+    pending = []  # dispatched-but-uncollected groups (two in flight)
 
-    def flush(bucket: int):
+    def dispatch(bucket: int):
+        """Encode + select + dispatch decode for one group; defer fetches."""
         items = groups.pop(bucket, [])
         if not items:
-            return
+            return None
         B = len(items)
         feats_b = jnp.asarray(np.stack([b.feats for b, _ in items]))
         tap_feats_b, pred_props_b = encode_step_batched(tap_params, feats_b, cfg)
@@ -351,7 +353,7 @@ def eval_split_batched(
                 ]
                 if vid_info:
                     predictions[meta.vid] = vid_info
-            return
+            return None
 
         nb = _prop_bucket(max_n)
         props = jax.tree.map(
@@ -363,6 +365,12 @@ def eval_split_batched(
         seq_b, logps_b, active_b = decode_step_batched(
             cg_params, cfg, tap_feats_b, feats_b, lda_b, fm_b, props
         )
+        return (items, sel, nb, seq_b, logps_b, active_b)
+
+    def collect(entry):
+        if entry is None:
+            return
+        items, sel, nb, seq_b, logps_b, active_b = entry
         seq_np, logps_np, active_np = (
             np.asarray(seq_b), np.asarray(logps_b), np.asarray(active_b),
         )
@@ -396,9 +404,18 @@ def eval_split_batched(
         if meta.proposal_num > 0 and meta.n_frames > 1:
             groups.setdefault(meta.t_bucket, []).append((batch, meta))
             if len(groups[meta.t_bucket]) >= batch_videos:
-                flush(meta.t_bucket)
+                entry = dispatch(meta.t_bucket)
+                if entry is not None:
+                    pending.append(entry)
+                # keep two device batches in flight (hides fetch round trips)
+                while len(pending) > 2:
+                    collect(pending.pop(0))
     for bucket in list(groups):
-        flush(bucket)
+        entry = dispatch(bucket)
+        if entry is not None:
+            pending.append(entry)
+    for entry in pending:
+        collect(entry)
 
     pred2json = {
         "results": predictions,
