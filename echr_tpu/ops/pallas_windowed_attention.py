@@ -1,0 +1,158 @@
+"""Pallas TPU kernel: windowed additive attention (full fused step).
+
+The decode-time additive attention scores every proposal against ALL T
+frames and masks the rest — but a proposal's clip window covers only
+[s, s+len) frames, so at T=256 with typical ActivityNet windows most of
+the tanh work is thrown away by the mask.  This kernel walks each
+proposal's *contiguous* window directly: per proposal it DMAs
+pre_att[s:s+W] and feats[s:s+W] from HBM into VMEM scratch, computes
+scores = alpha . tanh(pre + q), the masked softmax, and the weighted sum —
+one fused pass, no [N, T, H] work on masked frames and no materialised
+[N, W, *] gather in HBM.
+
+Correctness contract: every window length must be <= the static W bucket
+(the caller guarantees it); windows whose DMA would run past T are clamped
+with an in-window shift so the math is unchanged.
+
+MEASURED RESULT (TPU v5e, N=4096, T=256, H=512, W=64, 31-step scan):
+243 ms vs 195 ms for the full-T masked attention — the per-proposal DMA
+issue overhead (2 copies x N/8 programs x 8 proposals) outweighs the ~4x
+tanh savings, and the per-proposal [W, H] matvecs underfill the MXU.  Kept
+as exact-parity infrastructure (tests/test_pallas_windowed.py) and a
+starting point for a gather-free variant with coarser DMA granularity;
+NOT wired into the decode path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_TILE_N = 8
+
+
+def _kernel(starts_ref, shifts_ref, lens_ref, att_h_ref, w_ref, b_ref,
+            pre_att_hbm, feats_hbm, out_ref, pre_s, feat_s, sems):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Wd = pre_s.shape[1]  # W + 8 (sublane-aligned DMA margin)
+    g = pl.program_id(0)
+
+    def dma(i):
+        # DMA start is pre-aligned to the sublane tile (8) host-side
+        s = pl.multiple_of(starts_ref[g, i], 8)
+        return (
+            pltpu.make_async_copy(pre_att_hbm.at[pl.ds(s, Wd)], pre_s.at[i], sems.at[i, 0]),
+            pltpu.make_async_copy(feats_hbm.at[pl.ds(s, Wd)], feat_s.at[i], sems.at[i, 1]),
+        )
+
+    # issue every proposal's copies up front; compute drains behind the DMAs
+    for i in range(_TILE_N):
+        c1, c2 = dma(i)
+        c1.start()
+        c2.start()
+    for i in range(_TILE_N):  # static unroll over the proposal tile
+        c1, c2 = dma(i)
+        c1.wait()
+        c2.wait()
+        # keep every intermediate 2-D — Mosaic lowers 1-D vector ops poorly
+        q = att_h_ref[i : i + 1, :]  # [1, H]
+        y = jnp.tanh(pre_s[i] + q)  # [Wd, H]
+        scores = jax.lax.dot_general(
+            y, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[0, 0]  # [Wd, 1]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (Wd, 1), 0)
+        shift = shifts_ref[g, i]
+        valid = (pos >= shift) & (pos < shift + lens_ref[g, i])
+        scores = jnp.where(valid, scores, -1e30)
+        m = jnp.max(scores)
+        e = jnp.where(valid, jnp.exp(scores - m), 0.0)  # [Wd, 1]
+        weights = e / jnp.sum(e)
+        att = jax.lax.dot_general(
+            weights, feat_s[i], dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [1, D]
+        out_ref[i, :] = att[0]
+
+
+@functools.partial(jax.jit, static_argnames=("W", "interpret"))
+def _windowed_attention_pallas(pre_att, feats, att_h, w, b, starts, shifts,
+                               lens, W: int, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, H = pre_att.shape
+    D = feats.shape[1]
+    N = att_h.shape[0]
+    grid = (N // _TILE_N,)
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((N, D), jnp.float32),
+        grid=grid,
+        in_specs=[
+            # whole scalar tables live in SMEM; indexed by program_id in-kernel
+            # (blocked SMEM specs hit the (8,128) tiling rule)
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TILE_N, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # pre_att stays off-VMEM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # feats stays off-VMEM
+        ],
+        out_specs=pl.BlockSpec((_TILE_N, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_TILE_N, W + 8, H), jnp.float32),
+            pltpu.VMEM((_TILE_N, W + 8, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((_TILE_N, 2)),
+        ],
+        interpret=interpret,
+    )(starts.reshape(-1, _TILE_N), shifts.reshape(-1, _TILE_N),
+      lens.reshape(-1, _TILE_N), att_h, w, b, pre_att, feats)
+
+
+def supported(pre_att: Array, att_h: Array, W: int) -> bool:
+    T, H = pre_att.shape
+    N = att_h.shape[0]
+    return (
+        N % _TILE_N == 0
+        and W % 8 == 0
+        and W + 8 <= T
+        and T % 8 == 0
+        and H % 128 == 0
+        and pre_att.dtype == jnp.float32
+    )
+
+
+def windowed_attention(pre_att: Array, feats: Array, att_h: Array,
+                       alpha_params, soi: Array, W: int) -> Array:
+    """Fused windowed attention step.
+
+    pre_att [T, H] (ctx2att-projected frames), feats [T, D], att_h [N, H]
+    (query-projected hiddens), soi [N, 2] int windows with len <= W.
+    Returns att_res [N, D] — equal to the full masked-softmax attention.
+    """
+    T = pre_att.shape[0]
+    s = soi[:, 0].astype(jnp.int32)
+    lens = (soi[:, 1] - soi[:, 0]).astype(jnp.int32)
+    # align the DMA start down to the sublane tile (8) and clamp so the
+    # (W + 8)-row copy stays inside [0, T); the true window begins at
+    # `shift` rows into the scratch — math unchanged
+    aligned = (s // 8) * 8
+    starts = jnp.clip(jnp.minimum(aligned, T - (W + 8)), 0, None)
+    shifts = s - starts
+    w = alpha_params["w"].astype(jnp.float32)
+    b = jnp.reshape(alpha_params["b"].astype(jnp.float32), (1, 1))
+    interpret = jax.default_backend() != "tpu"
+    return _windowed_attention_pallas(
+        pre_att.astype(jnp.float32), feats.astype(jnp.float32),
+        att_h.astype(jnp.float32), w, b, starts, shifts, lens, W=W,
+        interpret=interpret,
+    )
