@@ -180,7 +180,14 @@ def make_batch(
         lda=ex.lda.astype(np.float32),
         tap_labels=tap_labels,
         tap_masks=tap_masks,
-        w1=(np.asarray(w1, np.float32) if w1 is not None else np.zeros((K,), np.float32)),
+        # reference: dataloader.py:476 — --reverse_w0 flips the class weights
+        w1=(
+            (1.0 - np.asarray(w1, np.float32))
+            if (w1 is not None and cfg.train.reverse_w0)
+            else np.asarray(w1, np.float32)
+            if w1 is not None
+            else np.zeros((K,), np.float32)
+        ),
         ind_select=ind_sel,
         soi=soi_sel,
         prop_mask=pmask,

@@ -57,3 +57,24 @@ def test_tap_only_eval_scores_proposals(tmp_path):
     )
     assert "Recall" in scores and "Precision" in scores
     assert "METEOR" not in scores  # only_recall protocol for proposals
+
+
+def test_cg_extend_eval(tmp_path):
+    """Sampled-good-proposal eval path (reference flag 'cg_extend')."""
+    cfg = tiny_cfg(tmp_path)
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=dataset.vocab_size,
+                         CG_seq_length=dataset.seq_length)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(cfg, init_tap(rng, cfg), init_captioner(rng, cfg))
+    preds, scores, _ = eval_split(
+        state.tap_params, state.cg_params, loader, cfg, str(tmp_path / "ce.json"),
+        {"num_vids_eval": 2, "val_all_metrics": False, "topN": 10,
+         "language_eval": False, "get_eval_loss": False},
+        flag_eval_what="cg_extend",
+    )
+    assert len(preds) >= 1
+    for vid, info in preds.items():
+        for p in info:
+            assert p["proposal_score"] == 1.0  # cg_extend: unit tap prob
