@@ -70,6 +70,15 @@ class BatchMeta:
     SOTA_cg_select: Optional[List] = None
 
 
+def _class_weights(w1, K: int, reverse_w0: bool) -> np.ndarray:
+    """TAP class-weight vector; --reverse_w0 flips it (reference:
+    dataloader.py:476)."""
+    if w1 is None:
+        return np.zeros((K,), np.float32)
+    w1 = np.asarray(w1, np.float32)
+    return (1.0 - w1) if reverse_w0 else w1
+
+
 def pick_bucket(T: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if T <= b:
@@ -180,14 +189,7 @@ def make_batch(
         lda=ex.lda.astype(np.float32),
         tap_labels=tap_labels,
         tap_masks=tap_masks,
-        # reference: dataloader.py:476 — --reverse_w0 flips the class weights
-        w1=(
-            (1.0 - np.asarray(w1, np.float32))
-            if (w1 is not None and cfg.train.reverse_w0)
-            else np.asarray(w1, np.float32)
-            if w1 is not None
-            else np.zeros((K,), np.float32)
-        ),
+        w1=_class_weights(w1, K, cfg.train.reverse_w0),
         ind_select=ind_sel,
         soi=soi_sel,
         prop_mask=pmask,
