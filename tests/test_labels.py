@@ -108,3 +108,51 @@ def test_sample_proposals_is_prefix_of_shuffle():
     assert len(ids) == 64 and len(set(ids.tolist())) == 64
     ids = labels.sample_proposals(10, 64, np.random.RandomState(0))
     assert sorted(ids.tolist()) == list(range(10))
+
+
+def test_top_proposals_matches_loop_oracle():
+    """Vectorized gettop1000 == the reference's row-major threshold scan
+    (reference: eval_utils.py:259-287)."""
+    from echr_tpu.data.labels import featstamp_to_time
+    from echr_tpu.engine.proposals import top_proposals
+
+    rng = np.random.RandomState(0)
+    T, K, topN = 40, 16, 25
+    pred = rng.rand(T, K).astype(np.float32)
+    masks = labels.anchor_mask(T, K)
+    cg_gts = rng.randint(0, 5, size=(T, K))
+    duration = 33.0
+
+    # loop oracle
+    masked = pred * masks
+    thr = np.sort(masked.reshape(-1))[-min(T * K, topN)]
+    e_ind, e_fs, e_cg, e_ts, e_conf = [], [], [], [], []
+    for n in range(T):
+        for k in range(K):
+            if n >= k and masked[n, k] >= thr:
+                e_ind.append(n)
+                e_cg.append(cg_gts[n, k])
+                e_ts.append(featstamp_to_time(n - k, n + 1, T, duration))
+                e_fs.append([n - k, n + 1])
+                e_conf.append(float(masked[n, k]))
+
+    g_ind, g_fs, g_cg, g_ts, g_conf = top_proposals(
+        pred, masks, cg_gts, duration, featstamp_to_time, topN=topN
+    )
+    assert g_ind == e_ind
+    assert g_fs == e_fs
+    assert g_cg == e_cg
+    assert g_ts == e_ts
+    np.testing.assert_allclose(g_conf, e_conf, rtol=1e-6)
+
+
+def test_debug_preset():
+    from echr_tpu.config import parse_config
+
+    cfg = parse_config(["--debug", "--id", "D"])
+    # reference: opts.py:288-293
+    assert cfg.save.min_epoch_when_save == 0
+    assert cfg.save.save_checkpoint_every == 100
+    assert cfg.save.losses_log_every == 50
+    assert cfg.eval.num_vids_eval == 10
+    assert cfg.data.shuffle is False
