@@ -44,6 +44,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="poll until the checkpoint exists (reference: eval.py:53-55)")
     p.add_argument("--batch_videos", type=int, default=1,
                    help=">1 selects the batched throughput eval pipeline")
+    p.add_argument("--split", type=str, default="val", choices=["val", "test"])
     return p
 
 
@@ -86,6 +87,7 @@ def main(argv=None) -> None:
     preds, scores, val_loss = runner(
         state.tap_params, state.cg_params, loader, cfg, json_path,
         eval_kwargs={
+            "split": ns.split,
             "topN": ns.topN,
             "num_vids_eval": ns.num_vids_eval,
             "val_all_metrics": bool(ns.val_all_metrics),
