@@ -3,7 +3,8 @@
 Loads the best/last checkpoint of a run folder, overlays CLI flags onto
 the checkpoint's saved config (reference: eval.py:32-35), rebuilds the
 loader and runs eval_split with the requested flag_eval_what in
-{tap, cg, tap_cg, cg_extend}.
+{tap, cg, tap_cg, cg_extend, SOTA_TEP} (reference: eval.py:87-88,102-103);
+--SOTA_json overrides the external-proposal file (reference: eval.py:146).
 """
 from __future__ import annotations
 
@@ -31,7 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_path", type=str, default=None, help="explicit .ckpt path")
     p.add_argument("--which", type=str, default="best", choices=["best", "last"])
     p.add_argument("--flag_eval_what", type=str, default="tap_cg",
-                   choices=["tap", "cg", "tap_cg", "cg_extend"])
+                   choices=["tap", "cg", "tap_cg", "cg_extend", "SOTA_TEP"])
+    p.add_argument("--SOTA_json", type=str, default=None,
+                   help="external proposal JSON override (reference: eval.py:146)")
     p.add_argument("--topN", type=int, default=1000)
     p.add_argument("--val_score_thres", type=float, default=0.0)
     p.add_argument("--nms_threshold", type=float, default=0.0)
@@ -72,6 +75,8 @@ def main(argv=None) -> None:
         val_all_metrics=bool(ns.val_all_metrics),
         beam_size=ns.beam_size,
     )
+    if ns.SOTA_json:
+        cfg = cfg.replace_in("data", SOTA_json=ns.SOTA_json)
     dataset = build_dataset(cfg)
     loader = Loader(dataset, cfg, seed=0)
     state = payload["state"]

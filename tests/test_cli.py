@@ -27,6 +27,49 @@ def test_eval_cli_on_checkpoint(tmp_path, capsys):
     assert out_files, "eval CLI wrote no prediction JSON"
 
 
+def test_eval_cli_sota_tep_and_score_cli(tmp_path, capsys):
+    """SOTA_TEP + --SOTA_json reachable from the standalone eval CLI
+    (reference: eval.py:87-88,102-103,146), then the score-only CLI
+    (reference: external_tool/densevid_eval/evaluate.py:338-366) on the
+    produced prediction JSON."""
+    import json
+
+    from echr_tpu.cli.eval import main as eval_main
+    from echr_tpu.cli.score import main as score_main
+    from echr_tpu.data.dataset import build_dataset
+    from echr_tpu.data.loader import Loader
+    from echr_tpu.engine.train import train
+    from echr_tpu.metrics.eval_score import gt_from_dataset
+
+    cfg = tiny_cfg(tmp_path).replace(run_id="CLIS")
+    train(cfg, max_iterations=2)
+    eval_main([
+        "--folder_id", "CLIS",
+        "--checkpoint_path", str(tmp_path),
+        "--which", "last",
+        "--flag_eval_what", "SOTA_TEP",
+        "--SOTA_json", "synthetic",
+        "--topN", "5",
+        "--num_vids_eval", "2",
+        "--no_language_eval",
+    ])
+    preds = [f for f in os.listdir(tmp_path / "CLIS") if f.startswith("eval_SOTA_TEP")]
+    assert preds, "SOTA_TEP eval CLI wrote no prediction JSON"
+
+    # score-only CLI on that JSON against loader-synthesized GT
+    loader = Loader(build_dataset(cfg.replace_in("data", SOTA_json="synthetic")), cfg, seed=0)
+    gt_path = tmp_path / "gt.json"
+    gt_path.write_text(json.dumps(gt_from_dataset(loader)))
+    scores = score_main([
+        "-s", str(tmp_path / "CLIS" / preds[0]),
+        "-r", str(gt_path),
+        "-v",
+    ])
+    assert scores["tiou"] == [0.3, 0.5, 0.7, 0.9]
+    assert "METEOR" in scores and "Recall" in scores
+    assert len(scores["Recall"]) == 4
+
+
 def test_config_cli_reference_flags():
     from echr_tpu.config import parse_config
 
