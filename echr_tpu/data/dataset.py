@@ -125,8 +125,10 @@ class ActivityNetDataset(BaseDataset):
         d = self.cfg.data
         path = os.path.join(d.input_twostream_dir, "spatial", "csv_action", vid + ".csv")
         if not os.path.exists(path):
+            # reference returns zeros at C3D length, then get_data strides
+            # [::2] -> ceil(c3d_len/2) rows (dataloader.py:57-60,86)
             c3d = np.load(os.path.join(d.input_c3d_dir2, vid + ".npy"))
-            return np.zeros((c3d.shape[0] * 2, 400), np.float32)[::2]
+            return np.zeros((c3d.shape[0], 400), np.float32)[::2]
         import pandas as pd
 
         spatial = pd.read_csv(path).to_numpy()
