@@ -25,16 +25,50 @@ from echr_tpu.data.batcher import BatchMeta, VideoBatch, make_batch
 from echr_tpu.data.dataset import BaseDataset
 
 
+def _process_info():
+    """(process_index, process_count) from an already-initialised jax
+    runtime; (0, 1) when jax is absent or single-process."""
+    try:
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    except Exception:
+        return 0, 1
+
+
 class Loader:
-    def __init__(self, dataset: BaseDataset, cfg: Config, prefetch: int = 4, seed: int = 0):
+    def __init__(
+        self,
+        dataset: BaseDataset,
+        cfg: Config,
+        prefetch: int = 4,
+        seed: int = 0,
+        process_index: int = None,
+        process_count: int = None,
+        shard_splits: Tuple[str, ...] = ("train",),
+    ):
         self.dataset = dataset
         self.cfg = cfg
         self.prefetch = max(1, prefetch)
         self.rng = np.random.RandomState(seed)
+        # multi-host data sharding (net-new vs the reference, SURVEY §5.8):
+        # each process iterates a strided shard of the split so data-parallel
+        # rows across hosts see disjoint videos.  Defaults resolve from the
+        # jax runtime; eval splits stay full for checkpoint-gating scores.
+        if process_index is None or process_count is None:
+            auto_ix, auto_n = _process_info()
+            process_index = auto_ix if process_index is None else process_index
+            process_count = auto_n if process_count is None else process_count
+        self.process_index, self.process_count = process_index, process_count
         # producer-side state
         self.iterators: Dict[str, int] = {s: 0 for s in dataset.split_ix}
         self.split_order: Dict[str, List[int]] = {
-            s: list(ix) for s, ix in dataset.split_ix.items()
+            s: (
+                list(ix[process_index::process_count])
+                if process_count > 1 and s in shard_splits
+                else list(ix)
+            )
+            for s, ix in dataset.split_ix.items()
         }
         self._shuffle_if_needed("train", initial=True)
         # consumer-side state (what checkpoints must capture)

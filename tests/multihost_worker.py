@@ -1,0 +1,106 @@
+"""Worker process for the 2-process multi-host test (run via subprocess).
+
+Usage: python multihost_worker.py <coordinator_port> <process_id>
+Env (set by the parent test): JAX_PLATFORMS=cpu,
+XLA_FLAGS=--xla_force_host_platform_device_count=2
+
+Each process: joins the cluster (echr_tpu.parallel.distributed.initialize),
+builds its per-host-sharded Loader over the shared synthetic dataset, then
+runs ONE globally-sharded data-parallel train step (batch rows from ITS OWN
+shard) and prints the replicated global loss.  The parent asserts the
+shards are disjoint/complete and both processes agree on the loss.
+"""
+import json
+import sys
+
+import numpy as np
+
+
+def main(port: int, pid: int) -> None:
+    import jax
+
+    # the container's sitecustomize registers the axon TPU plugin and can
+    # flip jax_platforms after env vars are read; force CPU like conftest
+    jax.config.update("jax_platforms", "cpu")
+
+    from echr_tpu.parallel.distributed import initialize
+
+    initialize(coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.local_device_count() == 2, jax.local_device_count()
+    assert jax.device_count() == 4, jax.device_count()
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from echr_tpu.config import flagship_config
+    from echr_tpu.data.dataset import build_dataset
+    from echr_tpu.data.loader import Loader
+    from echr_tpu.engine.steps import init_train_state, train_step
+    from echr_tpu.engine.train import _collate
+    from echr_tpu.models.registry import init_captioner, init_tap
+    from echr_tpu.parallel.distributed import global_mesh
+
+    cfg = flagship_config()
+    cfg = cfg.replace_in("data", synthetic=True, synthetic_num_videos=8,
+                         synthetic_vocab_size=60, synthetic_seq_length=10,
+                         lda_dim=16, time_buckets=(256,), shuffle=False)
+    cfg = cfg.replace_in("tap", video_dim=24, hidden_dim=32, K=32,
+                         prop_sample_num=8, rnn_num_layers=2)
+    cfg = cfg.replace_in("fusion", n_head=4, d_feats=32, d_o=32)
+    cfg = cfg.replace_in("decoder", CG_rnn_size=32, CG_input_encoding_size=32,
+                         CG_att_hid_size=32)
+    cfg = cfg.validate()
+
+    dataset = build_dataset(cfg)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=dataset.vocab_size,
+                         CG_seq_length=dataset.seq_length)
+    # per-host shard resolved automatically from the jax runtime
+    loader = Loader(dataset, cfg, seed=0)
+    print("SHARD", json.dumps({
+        "pid": pid,
+        "train": loader.split_order["train"],
+        "val": loader.split_order["val"],
+        "full_train": dataset.split_ix["train"],
+    }), flush=True)
+
+    mesh = global_mesh(dp=4, tp=1)  # pure data-parallel over 4 global devices
+
+    # identical params on every process (same PRNGKey), made global/replicated
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    tap_params = init_tap(k1, cfg)
+    cg_params = init_captioner(k2, cfg)
+
+    def make_global(spec):
+        sharding = NamedSharding(mesh, spec)
+
+        def g(x):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(sharding, x)
+
+        return g
+
+    tap_params = jax.tree.map(make_global(P()), tap_params)
+    cg_params = jax.tree.map(make_global(P()), cg_params)
+
+    # 2 local batch rows from THIS host's shard -> global [4, ...] batch
+    rows = []
+    while len(rows) < 2:
+        batch, meta = loader.get_batch("train")
+        if meta.proposal_num > 0 and meta.n_frames > 1:
+            rows.append((batch, meta))
+    local = _collate([b for b, _ in rows])  # [2, ...] (single time bucket)
+    batch_g = jax.tree.map(make_global(P("data")), local)
+
+    with (jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh):
+        state = init_train_state(cfg, tap_params, cg_params)
+        state, metrics = train_step(state, batch_g, k3, cfg, "tap_cg")
+        jax.block_until_ready(metrics)
+    loss = float(np.asarray(jax.device_get(metrics["loss"])))
+    print("LOSS", json.dumps({"pid": pid, "loss": loss}), flush=True)
+    assert np.isfinite(loss)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]))

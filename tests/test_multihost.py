@@ -1,0 +1,100 @@
+"""Two-process multi-host (DCN-style) test on CPU.
+
+Launches 2 subprocesses that join a jax.distributed cluster
+(127.0.0.1 coordinator), each with 2 virtual CPU devices -> a 4-device
+global data-parallel mesh.  Verifies (VERDICT r1 item 5):
+
+  * echr_tpu.parallel.distributed.initialize wires the cluster,
+  * Loader shards the train split per process (disjoint + complete) while
+    val stays full on every host,
+  * one globally-sharded train_step runs with batch rows from each host's
+    own shard and both processes report the identical replicated loss.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_data_parallel_step():
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(__file__)), env.get("PYTHONPATH", "")]
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+
+    shards, losses = {}, {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("SHARD "):
+                d = json.loads(line[6:])
+                shards[d["pid"]] = d
+            elif line.startswith("LOSS "):
+                d = json.loads(line[5:])
+                losses[d["pid"]] = d["loss"]
+
+    assert set(shards) == {0, 1} and set(losses) == {0, 1}
+    full = shards[0]["full_train"]
+    s0, s1 = shards[0]["train"], shards[1]["train"]
+    # disjoint, complete, strided by process_index
+    assert set(s0) & set(s1) == set()
+    assert sorted(s0 + s1) == sorted(full)
+    assert s0 == full[0::2] and s1 == full[1::2]
+    # val split NOT sharded (checkpoint gating needs full-split scores)
+    assert shards[0]["val"] == shards[1]["val"]
+    # replicated global loss identical across hosts
+    assert np.isfinite(losses[0])
+    assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+
+
+def test_loader_sharding_explicit_args():
+    """Host-side sharding semantics without any jax cluster."""
+    from test_train_e2e import tiny_cfg
+
+    from echr_tpu.data.dataset import build_dataset
+    from echr_tpu.data.loader import Loader
+
+    import pathlib
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        cfg = tiny_cfg(pathlib.Path(td))
+        ds = build_dataset(cfg)
+        l0 = Loader(ds, cfg, seed=0, process_index=0, process_count=3)
+        l1 = Loader(ds, cfg, seed=0, process_index=1, process_count=3)
+        l2 = Loader(ds, cfg, seed=0, process_index=2, process_count=3)
+        tr = ds.split_ix["train"]
+        got = sorted(l0.split_order["train"] + l1.split_order["train"]
+                     + l2.split_order["train"])
+        assert got == sorted(tr)
+        assert l0.split_size("val") == len(ds.split_ix["val"])  # val full
+        # single process: identical to the dataset order
+        lall = Loader(ds, cfg, seed=0, process_index=0, process_count=1)
+        assert sorted(lall.split_order["train"]) == sorted(tr)
