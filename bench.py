@@ -189,6 +189,60 @@ def bench_beam_latency(cfg, tap_params, cg_params, feats, lda, frame_mask, ind, 
         log(f"beam-{beam} p50 latency: {1000*p50:.1f} ms/video ({N_PROPS} proposals)")
 
 
+def bench_train(cfg, tap_params, cg_params):
+    """Training throughput: full train_step (SST + TAP loss + contexts +
+    TSRM + teacher-forced three_stream + dual-Adam update) at flagship dims,
+    bucketed B in {1, 8, 32} — mirrors the reference's only perf log, its
+    time/batch line (reference: train.py:343-349)."""
+    import jax
+
+    from echr_tpu.data.batcher import make_batch
+    from echr_tpu.data.dataset import SyntheticDataset
+    from echr_tpu.engine.steps import init_train_state, train_step
+
+    import jax.numpy as jnp
+
+    ds = SyntheticDataset(cfg, num_videos=4, seed=7)
+    ex = ds.get_example(0)
+    ex.cap_labels = np.clip(ex.cap_labels, 0, cfg.decoder.CG_vocab_size)
+    host, _ = make_batch(ex, cfg, np.random.RandomState(0), w1=ds.w1)
+    rng = jax.random.PRNGKey(3)
+
+    results = {}
+    for B in (1, 8, 32):
+        batch = jax.tree.map(
+            lambda x: np.broadcast_to(np.asarray(x)[None], (B,) + np.asarray(x).shape).copy(),
+            host,
+        )
+        # fresh param copies per B: train_step donates its state buffers
+        st = init_train_state(
+            cfg,
+            jax.tree.map(jnp.array, tap_params),
+            jax.tree.map(jnp.array, cg_params),
+        )
+        t0 = time.time()
+        st, metrics = train_step(st, batch, rng, cfg, "tap_cg")
+        _ = float(np.asarray(metrics["loss"]))
+        log(f"train B={B}: compile+first {time.time()-t0:.1f}s")
+        for _i in range(2):
+            st, metrics = train_step(st, batch, rng, cfg, "tap_cg")
+        _ = float(np.asarray(metrics["loss"]))
+        iters = 10
+        t0 = time.time()
+        for _i in range(iters):
+            st, metrics = train_step(st, batch, rng, cfg, "tap_cg")
+        _ = float(np.asarray(metrics["loss"]))  # completion barrier
+        dt = time.time() - t0
+        results[B] = {
+            "videos_per_s": round(B * iters / dt, 2),
+            "time_per_batch_s": round(dt / iters, 4),
+        }
+        log(f"train B={B}: {iters} steps in {dt:.2f}s -> "
+            f"{results[B]['videos_per_s']} videos/s, "
+            f"time/batch {results[B]['time_per_batch_s']}s")
+    return results
+
+
 def bench_torch(cfg, tap_params, cg_params, feats, lda, frame_mask, ind, soi):
     """Reference-architecture torch baseline on host CPU (ragged windows,
     per-step re-projected attention — the reference's actual compute)."""
@@ -265,12 +319,18 @@ def main():
     except Exception as e:  # torch baseline is best-effort
         log(f"torch baseline failed: {e}")
         base = float("nan")
+    try:
+        train_stats = bench_train(cfg, tap_params, cg_params)
+    except Exception as e:
+        log(f"train throughput bench failed: {e}")
+        train_stats = None
     vs = cps / base if base == base and base > 0 else None
     print(json.dumps({
         "metric": "captions/sec/chip (flagship ECHR eval: SST+TSRM+three_stream greedy)",
         "value": round(cps, 2),
         "unit": "captions/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "train_throughput": train_stats,
     }))
 
 

@@ -156,6 +156,10 @@ class EvalConfig:
     language_eval: bool = True
     num_vids_eval: int = 0
     beam_size: int = 1
+    # GNMT length penalty exponent for beam ranking (net-new: the reference
+    # only stubs beam search).  1.0 counters sum-logprob's short-caption
+    # bias; 0.0 = raw sum-logprob ranking.
+    beam_length_alpha: float = 1.0
     fast_eval_cg: bool = False
     topN: int = 1000
     val_score_thres: float = 0.0

@@ -180,6 +180,8 @@ def eval_split(
                 seq, logprob = beam_decode_step(
                     cg_params, cfg, tap_feats, feats, jnp.asarray(batch.lda),
                     jnp.asarray(batch.frame_mask), props, beam_size,
+                    length_alpha=float(kw.get("beam_length_alpha",
+                                              cfg.eval.beam_length_alpha)),
                 )
                 seq_np = np.asarray(seq)[:n_real]
                 cg_score = np.asarray(logprob)[:n_real].astype(float).tolist()
@@ -273,12 +275,17 @@ def eval_split_batched(
     runs encode + greedy decode for `batch_videos` videos per device program
     (identical per-video math — the decode is the vmapped captioner).
 
-    Supports flag_eval_what in {cg, cg_extend, tap, tap_cg}; no val-loss
-    bookkeeping (use eval_split for checkpoint selection).
+    Supports flag_eval_what in {cg, cg_extend, tap, tap_cg}; val-loss
+    bookkeeping matches eval_split (vmapped val_loss_step), so checkpoint
+    gating can use this fast path.
     """
     import jax.numpy as jnp
 
-    from echr_tpu.engine.steps import decode_step_batched, encode_step_batched
+    from echr_tpu.engine.steps import (
+        decode_step_batched,
+        encode_step_batched,
+        val_loss_step_batched,
+    )
 
     kw = dict(eval_kwargs or {})
     split = kw.get("split", "val")
@@ -289,10 +296,13 @@ def eval_split_batched(
     topN = kw.get("topN", cfg.eval.topN)
     num_vids_eval = kw.get("num_vids_eval", cfg.eval.num_vids_eval) or loader.split_size(split)
     val_all_metrics = kw.get("val_all_metrics", cfg.eval.val_all_metrics)
+    get_eval_loss = kw.get("get_eval_loss", True)
 
     loader.reset_iterator(split)
     vocab = loader.dataset.ix_to_word
     predictions: Dict[str, List[dict]] = {}
+    loss_sum = np.zeros(5)
+    loss_vids = 0
 
     groups: Dict[int, List] = {}
     done = False
@@ -308,6 +318,22 @@ def eval_split_batched(
         feats_b = jnp.asarray(np.stack([b.feats for b, _ in items]))
         tap_feats_b, pred_props_b = encode_step_batched(tap_params, feats_b, cfg)
         pp_b = np.asarray(pred_props_b)
+
+        if get_eval_loss and split != "test":
+            nonlocal loss_vids
+            stacked = jax.tree.map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                *[b for b, _ in items],
+            )
+            m = val_loss_step_batched(
+                tap_params, cg_params, stacked, cfg,
+                phase=("tap" if flag_eval_what == "tap" else "tap_cg"),
+            )
+            loss_sum[0] += float(np.asarray(m["tap_loss"]).sum())
+            if flag_eval_what != "tap":
+                loss_sum[1] += float(np.asarray(m["cg_loss"]).sum())
+                loss_sum[2] += float(np.asarray(m["total_loss"]).sum())
+            loss_vids += B
 
         # host-side proposal selection per video
         sel = []
@@ -438,4 +464,4 @@ def eval_split_batched(
         )
         for k, v in sample_score.items():
             score[k] = np.array(v)
-    return predictions, score, np.zeros(5)
+    return predictions, score, loss_sum / max(loss_vids, 1)

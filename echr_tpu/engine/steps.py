@@ -348,6 +348,19 @@ def val_loss_step(
                              batch, phase, None, False, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "phase"))
+def val_loss_step_batched(
+    tap_params, cg_params, batch: VideoBatch, cfg: Config, phase: str = "tap_cg"
+) -> Dict[str, Array]:
+    """Eval-mode losses for a [B, ...] video batch (vmapped
+    _one_video_losses) — gives the fast eval pipeline the same val-loss
+    bookkeeping as eval_split (reference: eval_utils.py:139-155)."""
+    tp, cp = _cast(tap_params, cfg), _cast(cg_params, cfg)
+    return jax.vmap(
+        lambda b: _one_video_losses(tp, cp, cfg, b, phase, None, False, 0.0)
+    )(batch)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def encode_step_batched(tap_params, feats: Array, cfg: Config):
     """Eval-mode SST encode over a [B, T, D] video batch — B videos fill the

@@ -290,11 +290,26 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             tb.scalar("val_score", current_score, iteration)
             for k, v in eval_scores.items():
                 tb.scalar(f"val_{k}", float(np.asarray(v, dtype=float).mean()), iteration)
-            # parameter histograms at checkpoints (reference: train.py:417-422)
-            for name, leaf in list(
-                jax.tree_util.tree_leaves_with_path(state.cg_params)
-            )[:20]:
-                tb.histogram("cg/" + jax.tree_util.keystr(name), np.asarray(leaf), iteration)
+            # parameter AND gradient histograms for every parameter at
+            # checkpoints (reference: train.py:417-422 logs param + grad for
+            # all named parameters; the grads are a fresh forward-backward on
+            # the latest batch, matching torch's last-step .grad contents)
+            from echr_tpu.engine.steps import grad_step
+
+            hist_grads, _ = grad_step(
+                state, _stack_batch(batch), step_rng, cfg, phase, ss_prob=ss_prob
+            )
+            for prefix, tree in (
+                ("tap", state.tap_params),
+                ("cg", state.cg_params),
+                ("tap_grad", hist_grads[0]),
+                ("cg_grad", hist_grads[1]),
+            ):
+                for name, leaf in jax.tree_util.tree_leaves_with_path(tree):
+                    tb.histogram(
+                        f"{prefix}/" + jax.tree_util.keystr(name),
+                        np.asarray(leaf), iteration,
+                    )
             histories["val"][iteration] = {
                 k: (np.asarray(v).tolist() if hasattr(v, "tolist") else v)
                 for k, v in eval_scores.items()

@@ -143,7 +143,7 @@ def _step_three_stream(p, cfg, xt, ctxs, pre_att, state, train, rng):
     h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, ctxs.event], 1), state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
     att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask,
-                                 use_pallas=_use_pallas(cfg, train))
+                                 use_pallas=_use_pallas(cfg, train), remat=train)
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])
     h1 = dropout(r[1], h1, 0.5, train)
     h2, c2 = lstm_cell(p["layer2"], jnp.concatenate([xt, video], 1), state.h[2], state.c[2])
@@ -175,7 +175,7 @@ def _step_show_attend_tell(p, cfg, xt, ctxs, pre_att, state, train, rng):
     LSTM advances one step with inter-layer dropout."""
     d = cfg.decoder
     att, _ = additive_attention_step(p["attention"], state.h[-1], ctxs.clip_feats, pre_att, ctxs.clip_mask,
-                                 use_pallas=_use_pallas(cfg, train))
+                                 use_pallas=_use_pallas(cfg, train), remat=train)
     input_feats = _gather_input_feats(cfg, ctxs, att, xt.shape[0])
     x = xt if input_feats is None else jnp.concatenate([xt, input_feats], 1)
     hs, cs = [], []
@@ -257,7 +257,7 @@ def _make_h3_step(variant: str):
         else:
             h1 = dropout(r[1], h1_raw, 0.5, train)
         att, _ = additive_attention_step(p["attention"], h1, ctxs.clip_feats, pre_att, ctxs.clip_mask,
-                                 use_pallas=_use_pallas(cfg, train))
+                                 use_pallas=_use_pallas(cfg, train), remat=train)
         x2 = jnp.concatenate([att, h1], 1)
         h2_raw, c2 = lstm_cell(p["layer2"], x2, state.h[2], state.c[2])
 
@@ -296,7 +296,7 @@ def _step_two_stream(p, cfg, xt, ctxs, pre_att, state, train, rng):
     h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, ctxs.event], 1), state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
     att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask,
-                                 use_pallas=_use_pallas(cfg, train))
+                                 use_pallas=_use_pallas(cfg, train), remat=train)
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])
     h1 = dropout(r[1], h1, 0.5, train)
     new_state = DecoderState(jnp.stack([h0, h1]), jnp.stack([c0, c1]))
@@ -312,7 +312,7 @@ def _step_two_stream_jump(p, cfg, xt, ctxs, pre_att, state, train, rng):
                        state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
     att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask,
-                                 use_pallas=_use_pallas(cfg, train))
+                                 use_pallas=_use_pallas(cfg, train), remat=train)
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att, pre_h0], 1),
                        state.h[1], state.c[1])
     h1 = dropout(r[1], h1, 0.5, train)
@@ -355,7 +355,7 @@ def _step_two_stream_3lstm(p, cfg, xt, ctxs, pre_att, state, train, rng):
     h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([h2, ctxs.event], 1), state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
     att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask,
-                                 use_pallas=_use_pallas(cfg, train))
+                                 use_pallas=_use_pallas(cfg, train), remat=train)
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([h2, att], 1), state.h[1], state.c[1])
     h1 = dropout(r[1], h1, 0.5, train)
     new_state = DecoderState(jnp.stack([h0, h1, h2]), jnp.stack([c0, c1, c2]))
@@ -383,7 +383,7 @@ def _step_ts2_lda(p, cfg, xt, ctxs, pre_att, state, train, rng):
     h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, video], 1), state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
     att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask,
-                                 use_pallas=_use_pallas(cfg, train))
+                                 use_pallas=_use_pallas(cfg, train), remat=train)
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])
     h1 = dropout(r[1], h1, 0.5, train)
     return jnp.concatenate([h0, h1], 1), DecoderState(jnp.stack([h0, h1]), jnp.stack([c0, c1]))
@@ -406,7 +406,7 @@ def _step_ts2_cc(p, cfg, xt, ctxs, pre_att, state, train, rng):
     r = jax.random.split(rng, 2) if rng is not None else (None, None)
     pre_h1 = state.h[1]
     att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att, ctxs.clip_mask,
-                                 use_pallas=_use_pallas(cfg, train))
+                                 use_pallas=_use_pallas(cfg, train), remat=train)
     h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, att], 1), state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])

@@ -39,6 +39,19 @@ def additive_attention_precompute(p, feats: Array, compute_dtype=jnp.float32) ->
     return dense(p["ctx2att"], feats, compute_dtype)
 
 
+def _additive_scores(alpha_p, pre_att: Array, att_h: Array, compute_dtype) -> Array:
+    dot = jnp.tanh(pre_att[None, :, :] + att_h[:, None, :])  # [N, T, Hatt]
+    return dense(alpha_p, dot, compute_dtype)[..., 0]  # [N, T]
+
+
+# Rematerialised variant for training: without it the scan saves the
+# [steps, B, N, T, Hatt] tanh intermediate for the backward pass — 7.25 GB
+# at B=8 flagship dims, an instant OOM.  checkpoint() recomputes the tanh
+# from (pre_att, att_h) during backprop; per-step residual drops to the
+# [B, N, T] scores.  Identical gradients, ~4% extra decode-step FLOPs.
+_additive_scores_remat = jax.checkpoint(_additive_scores, static_argnums=(3,))
+
+
 def additive_attention_step(
     p,
     h: Array,
@@ -47,6 +60,7 @@ def additive_attention_step(
     frame_mask: Array,
     compute_dtype=None,
     use_pallas: bool = False,
+    remat: bool = False,
 ) -> Tuple[Array, Array]:
     """One attention step for all proposals at once.
 
@@ -55,6 +69,7 @@ def additive_attention_step(
 
     use_pallas routes the score computation through the fused Pallas kernel
     (no [N, T, H] HBM intermediate) — no-grad decode paths only.
+    remat recomputes the tanh in the backward pass — training paths.
     """
     if compute_dtype is None:
         compute_dtype = p["h2att"]["w"].dtype
@@ -67,8 +82,8 @@ def additive_attention_step(
         else:
             use_pallas = False
     if not use_pallas:
-        dot = jnp.tanh(pre_att[None, :, :] + att_h[:, None, :])  # [N, T, Hatt]
-        scores = dense(p["alpha_net"], dot, compute_dtype)[..., 0]  # [N, T]
+        fn = _additive_scores_remat if remat else _additive_scores
+        scores = fn(p["alpha_net"], pre_att, att_h, compute_dtype)
     weights = masked_softmax(scores, frame_mask, axis=-1)
     att_res = jnp.dot(
         weights.astype(compute_dtype), feats.astype(compute_dtype),

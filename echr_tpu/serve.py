@@ -126,6 +126,7 @@ class CaptionService:
                     seq, logp = beam_decode_step_batched(
                         self.cg_params, cfg, tap_feats, feats_d, lda_d, fm_d,
                         props, self.beam_size,
+                        length_alpha=float(cfg.eval.beam_length_alpha),
                     )
                     seq_np, score_np = np.asarray(seq), np.asarray(logp)
                 else:

