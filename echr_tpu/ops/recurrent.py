@@ -60,6 +60,39 @@ def lstm_cell(p, x: Array, h: Array, c: Array, compute_dtype=None) -> Tuple[Arra
     return h_new, c_new
 
 
+def lstm_cell_pre(p, pre_x: Array, h: Array, c: Array, compute_dtype=None) -> Tuple[Array, Array]:
+    """LSTMCell step from a PRECOMPUTED input projection.
+
+    pre_x must already hold x @ w_ih (+ b_ih + b_hh if biased) — the caller
+    hoists loop-invariant input pieces (e.g. a constant context's gate
+    contribution) out of the decode scan; only h @ w_hh stays per step.
+    Same math as lstm_cell modulo fp reassociation of the split dot.
+    """
+    if compute_dtype is None:
+        compute_dtype = p["w_hh"].dtype
+    H = h.shape[-1]
+    pre = pre_x + jnp.dot(h.astype(compute_dtype), p["w_hh"].astype(compute_dtype),
+                          preferred_element_type=jnp.float32)
+    i, f, g, o = _gates(pre, H)
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def lstm_input_proj(p, x: Array, col_start: int = 0, compute_dtype=None,
+                    with_bias: bool = False) -> Array:
+    """x @ w_ih[col_start : col_start + x_dim] (+ both biases if asked) —
+    one slice of the cell's input projection, for hoisting/fusing."""
+    if compute_dtype is None:
+        compute_dtype = p["w_ih"].dtype
+    w = p["w_ih"][col_start : col_start + x.shape[-1]]
+    out = jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype),
+                  preferred_element_type=jnp.float32)
+    if with_bias and "b_ih" in p:
+        out = out + p["b_ih"] + p["b_hh"]
+    return out
+
+
 def lstm_layer(
     p,
     xs: Array,
