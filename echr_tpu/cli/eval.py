@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="poll until the checkpoint exists (reference: eval.py:53-55)")
     p.add_argument("--batch_videos", type=int, default=1,
                    help=">1 selects the batched throughput eval pipeline")
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help=">1 shards the batched eval's video axis over a "
+                        "(data, model=1) mesh of that many chips")
     p.add_argument("--split", type=str, default="val", choices=["val", "test"])
     return p
 
@@ -86,7 +89,13 @@ def main(argv=None) -> None:
     if ns.batch_videos > 1:
         from echr_tpu.engine.evaluate import eval_split_batched
 
-        runner = lambda *a, **k: eval_split_batched(*a, batch_videos=ns.batch_videos, **k)  # noqa: E731
+        mesh = None
+        if ns.data_parallel > 1:
+            from echr_tpu.parallel.mesh import build_mesh
+
+            mesh = build_mesh(shape=(ns.data_parallel, 1))
+        runner = lambda *a, **k: eval_split_batched(  # noqa: E731
+            *a, batch_videos=ns.batch_videos, mesh=mesh, **k)
     else:
         runner = eval_split
     preds, scores, val_loss = runner(

@@ -270,6 +270,7 @@ def eval_split_batched(
     eval_kwargs: Optional[Dict] = None,
     flag_eval_what: str = "tap_cg",
     batch_videos: int = 8,
+    mesh=None,
 ) -> Tuple[Dict, Dict, np.ndarray]:
     """Throughput variant of eval_split: groups videos by time bucket and
     runs encode + greedy decode for `batch_videos` videos per device program
@@ -278,8 +279,22 @@ def eval_split_batched(
     Supports flag_eval_what in {cg, cg_extend, tap, tap_cg}; val-loss
     bookkeeping matches eval_split (vmapped val_loss_step), so checkpoint
     gating can use this fast path.
+
+    mesh: a (data, model) jax.sharding.Mesh for the multi-chip eval sweep —
+    the video batch axis is sharded over 'data' (groups padded to a dp
+    multiple), params replicated, and XLA partitions the vmapped
+    encode/decode across chips.  Identical outputs to single-chip.
     """
+    import jax
     import jax.numpy as jnp
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        _rep = NamedSharding(mesh, PS())
+        _dp = NamedSharding(mesh, PS("data"))
+        tap_params = jax.device_put(tap_params, _rep)
+        cg_params = jax.device_put(cg_params, _rep)
 
     from echr_tpu.engine.steps import (
         decode_step_batched,
@@ -315,24 +330,34 @@ def eval_split_batched(
         if not items:
             return None
         B = len(items)
-        feats_b = jnp.asarray(np.stack([b.feats for b, _ in items]))
+        # pad the group to a data-axis multiple so every chip gets rows;
+        # padded rows replay the last video and are dropped on collect
+        items_p = items
+        if mesh is not None:
+            pad_b = (-B) % mesh.shape["data"]
+            items_p = items + [items[-1]] * pad_b
+
+        def shard(x):
+            return jax.device_put(x, _dp) if mesh is not None else x
+
+        feats_b = shard(jnp.asarray(np.stack([b.feats for b, _ in items_p])))
         tap_feats_b, pred_props_b = encode_step_batched(tap_params, feats_b, cfg)
         pp_b = np.asarray(pred_props_b)
 
         if get_eval_loss and split != "test":
             nonlocal loss_vids
             stacked = jax.tree.map(
-                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
-                *[b for b, _ in items],
+                lambda *xs: shard(jnp.stack([jnp.asarray(x) for x in xs])),
+                *[b for b, _ in items_p],
             )
             m = val_loss_step_batched(
                 tap_params, cg_params, stacked, cfg,
                 phase=("tap" if flag_eval_what == "tap" else "tap_cg"),
             )
-            loss_sum[0] += float(np.asarray(m["tap_loss"]).sum())
+            loss_sum[0] += float(np.asarray(m["tap_loss"])[:B].sum())
             if flag_eval_what != "tap":
-                loss_sum[1] += float(np.asarray(m["cg_loss"]).sum())
-                loss_sum[2] += float(np.asarray(m["total_loss"]).sum())
+                loss_sum[1] += float(np.asarray(m["cg_loss"])[:B].sum())
+                loss_sum[2] += float(np.asarray(m["total_loss"])[:B].sum())
             loss_vids += B
 
         # host-side proposal selection per video
@@ -382,12 +407,13 @@ def eval_split_batched(
             return None
 
         nb = _prop_bucket(max_n)
+        sel_p = sel + [sel[-1]] * (len(items_p) - B)
         props = jax.tree.map(
-            lambda *xs: jnp.stack(xs),
-            *[_pad_props(ind[:nb], soi[:nb], nb) for (ind, soi, _, _) in sel],
+            lambda *xs: shard(jnp.stack(xs)),
+            *[_pad_props(ind[:nb], soi[:nb], nb) for (ind, soi, _, _) in sel_p],
         )
-        lda_b = jnp.asarray(np.stack([b.lda for b, _ in items]))
-        fm_b = jnp.asarray(np.stack([b.frame_mask for b, _ in items]))
+        lda_b = shard(jnp.asarray(np.stack([b.lda for b, _ in items_p])))
+        fm_b = shard(jnp.asarray(np.stack([b.frame_mask for b, _ in items_p])))
         seq_b, logps_b, active_b = decode_step_batched(
             cg_params, cfg, tap_feats_b, feats_b, lda_b, fm_b, props
         )

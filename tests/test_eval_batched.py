@@ -68,6 +68,39 @@ def test_batched_eval_val_losses_match_per_video(tmp_path):
     np.testing.assert_allclose(loss_a[:3], loss_b[:3], rtol=1e-3)
 
 
+def test_batched_eval_mesh_sharded_matches(tmp_path):
+    """Multi-chip eval sweep: batch axis sharded over the 8-device CPU
+    mesh's data axis must produce identical predictions (incl. a group size
+    NOT divisible by dp, exercising the padding path)."""
+    from echr_tpu.parallel.mesh import build_mesh
+
+    cfg = tiny_cfg(tmp_path)
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=dataset.vocab_size,
+                         CG_seq_length=dataset.seq_length)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(cfg, init_tap(rng, cfg), init_captioner(rng, cfg))
+
+    kw = {"val_all_metrics": False, "topN": 15, "language_eval": False,
+          "get_eval_loss": True}
+    preds_a, _, loss_a = eval_split_batched(
+        state.tap_params, state.cg_params, loader, cfg, str(tmp_path / "s.json"),
+        kw, flag_eval_what="tap_cg", batch_videos=3,  # not a dp multiple
+    )
+    mesh = build_mesh(shape=(4, 1))
+    preds_b, _, loss_b = eval_split_batched(
+        state.tap_params, state.cg_params, loader, cfg, str(tmp_path / "m.json"),
+        kw, flag_eval_what="tap_cg", batch_videos=3, mesh=mesh,
+    )
+    assert set(preds_a) == set(preds_b) and preds_a
+    for vid in preds_a:
+        for pa, pb in zip(preds_a[vid], preds_b[vid]):
+            assert pa["sentence"] == pb["sentence"], vid
+            assert pa["timestamp"] == pb["timestamp"]
+    np.testing.assert_allclose(loss_a[:3], loss_b[:3], rtol=1e-3)
+
+
 def test_grad_histograms_at_checkpoint(tmp_path):
     """Param AND grad histograms for every parameter at checkpoints
     (reference: train.py:417-422)."""
