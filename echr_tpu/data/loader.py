@@ -118,10 +118,14 @@ class Loader:
     def split_size(self, split: str) -> int:
         return len(self.split_order[split])
 
-    def _make(self, ix: int) -> Tuple[VideoBatch, BatchMeta]:
+    def _make(self, ix: int, seed: int = None) -> Tuple[VideoBatch, BatchMeta]:
         ex = self.dataset.get_example(ix)
-        # per-example rng keyed by global rng draw for reproducible sampling
-        sub = np.random.RandomState(self.rng.randint(0, 2**31 - 1))
+        # per-example rng keyed by global rng draw for reproducible sampling;
+        # under the thread pool the draw happens at position-assignment time
+        # (in epoch order, under the lock) and is passed in as `seed`
+        if seed is None:
+            seed = self.rng.randint(0, 2**31 - 1)
+        sub = np.random.RandomState(seed)
         sota_fn = None
         if getattr(self.dataset, "sota_proposals", None) or getattr(
             self.dataset, "_synthetic_sota", False
@@ -131,7 +135,8 @@ class Loader:
 
     def get_batch(self, split: str) -> Tuple[VideoBatch, BatchMeta]:
         if split not in self._fetchers:
-            self._fetchers[split] = _Prefetcher(self, split, self.prefetch)
+            n_threads = max(1, int(getattr(self.cfg.data, "nthreads", 1)))
+            self._fetchers[split] = _Prefetcher(self, split, self.prefetch, n_threads)
         batch, meta, pos, order = self._fetchers[split].get()
         # consumer cursor: next position to replay on resume
         self._consumed[split] = (0 if meta.wrapped else pos + 1, order)
@@ -149,46 +154,100 @@ class Loader:
 
 
 class _Prefetcher:
-    """Bounded-queue background producer for one split.  Each item carries
-    its (position, epoch-order) so the consumer can checkpoint exactly."""
+    """Bounded background producer pool for one split.
 
-    def __init__(self, loader: Loader, split: str, depth: int):
+    n_threads workers build batches concurrently (the reference's
+    `num_workers=opt.nthreads` BlobFetcher, dataloader.py:711-718 — threads
+    instead of processes: label synthesis is numpy/C++ and releases the
+    GIL).  Items are handed to the consumer in STRICT epoch order through a
+    reorder buffer, preserving the reference's order-preserving-sampler
+    semantics and the checkpointable (position, epoch-order) provenance."""
+
+    def __init__(self, loader: Loader, split: str, depth: int, n_threads: int = 1):
         self.loader = loader
         self.split = split
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
-        self.thread = threading.Thread(target=self._run, daemon=True)
-        self.thread.start()
+        self._lock = threading.Lock()  # guards position assignment
+        self._seq = 0  # next sequence number to assign
+        self._emit = 0  # next sequence number to emit
+        self._buf: Dict[int, Tuple] = {}
+        self._buf_cv = threading.Condition()
+        self._max_buf = depth + n_threads
+        self.threads = [
+            threading.Thread(target=self._run, daemon=True) for _ in range(max(1, n_threads))
+        ]
+        for t in self.threads:
+            t.start()
 
-    def _run(self) -> None:
+    def _next_position(self):
+        """Assign the next (seq, pos, order, ix, wrapped) under the lock and
+        advance the loader's producer cursor (wrap -> reshuffle)."""
         ld = self.loader
-        while not self._stop.is_set():
+        with self._lock:
             pos = ld.iterators[self.split]
             order = ld.split_order[self.split]
             ix = order[pos]
             wrapped = pos + 1 >= len(order)
-            batch, meta = ld._make(ix)
-            meta.wrapped = wrapped
-            item = (batch, meta, pos, order)
+            seq = self._seq
+            self._seq += 1
+            seed = ld.rng.randint(0, 2**31 - 1)  # epoch-order-deterministic
             if wrapped:
                 ld.iterators[self.split] = 0
-                # reshuffle produces a NEW list; queued items keep the old one
+                # reshuffle produces a NEW list; in-flight items keep theirs
                 ld.split_order[self.split] = list(order)
                 ld._shuffle_if_needed(self.split)
             else:
                 ld.iterators[self.split] = pos + 1
+            return seq, pos, order, ix, wrapped, seed
+
+    def _run(self) -> None:
+        ld = self.loader
+        while not self._stop.is_set():
+            # backpressure: don't run ahead of the consumer unboundedly
+            with self._buf_cv:
+                while (
+                    not self._stop.is_set()
+                    and self._seq - self._emit >= self._max_buf
+                ):
+                    self._buf_cv.wait(timeout=0.25)
+            if self._stop.is_set():
+                return
+            seq, pos, order, ix, wrapped, seed = self._next_position()
+            batch, meta = ld._make(ix, seed)
+            meta.wrapped = wrapped
+            with self._buf_cv:
+                self._buf[seq] = (batch, meta, pos, order)
+                self._buf_cv.notify_all()
+            # drain the reorder buffer head into the consumer queue
             while not self._stop.is_set():
+                with self._buf_cv:
+                    if self._emit not in self._buf:
+                        break
+                    item = self._buf.pop(self._emit)
                 try:
                     self.q.put(item, timeout=0.25)
-                    break
                 except queue.Full:
+                    with self._buf_cv:
+                        self._buf[self._emit] = item  # put back, retry later
                     continue
+                with self._buf_cv:
+                    self._emit += 1
+                    self._buf_cv.notify_all()
 
     def get(self):
-        return self.q.get()
+        while True:
+            try:
+                return self.q.get(timeout=0.25)
+            except queue.Empty:
+                if self._stop.is_set():
+                    raise
+                continue
 
     def stop(self) -> None:
         self._stop.set()
+        with self._buf_cv:
+            self._buf_cv.notify_all()
         try:
             while True:
                 self.q.get_nowait()

@@ -276,9 +276,9 @@ def eval_split_batched(
     runs encode + greedy decode for `batch_videos` videos per device program
     (identical per-video math — the decode is the vmapped captioner).
 
-    Supports flag_eval_what in {cg, cg_extend, tap, tap_cg}; val-loss
-    bookkeeping matches eval_split (vmapped val_loss_step), so checkpoint
-    gating can use this fast path.
+    Supports every flag_eval_what mode (cg, cg_extend, tap, tap_cg,
+    SOTA_TEP); val-loss bookkeeping matches eval_split (vmapped
+    val_loss_step), so checkpoint gating can use this fast path.
 
     mesh: a (data, model) jax.sharding.Mesh for the multi-chip eval sweep —
     the video batch axis is sharded over 'data' (groups padded to a dp
@@ -380,6 +380,27 @@ def eval_split_batched(
                 soi = np.asarray(batch.soi)[pm].tolist()
                 ts = [featstamp_to_time(s, e, meta.n_frames, meta.duration) for s, e in soi]
                 tp = [1.0] * len(ind)
+            elif flag_eval_what == "SOTA_TEP":
+                # external proposals (reference: eval_utils.py:76-104);
+                # SOTA-less videos were filtered out at grouping time
+                _ts, _tp = meta.SOTA_timestamps, meta.SOTA_scores
+                if nms_threshold > 0:
+                    _, _, pick = P.external_proposals_nms(
+                        _ts, _tp, _tp, nms_overlap=nms_threshold, topN=1000)
+                    pick = set(int(x) for x in pick)
+                else:
+                    pick = set(range(len(_tp)))
+                ind, soi, ts, tp = [], [], [], []
+                for i2, p_score in enumerate(_tp):
+                    if i2 not in pick:
+                        continue
+                    if p_score >= val_score_thres:
+                        ind.append(meta.SOTA_ind[i2])
+                        soi.append(meta.SOTA_soi[i2])
+                        ts.append(_ts[i2])
+                        tp.append(_tp[i2])
+                    if len(ind) >= topN:
+                        break
             else:
                 if nms_threshold:
                     ind, soi, _, ts, tp = P.top_proposals_nms(
@@ -453,7 +474,10 @@ def eval_split_batched(
         batch, meta = loader.get_batch(split)
         seen += 1
         done = meta.wrapped or seen >= num_vids_eval
-        if meta.proposal_num > 0 and meta.n_frames > 1:
+        usable = meta.proposal_num > 0 and meta.n_frames > 1
+        if flag_eval_what == "SOTA_TEP" and meta.SOTA_scores is None:
+            usable = False  # reference: bad video for SOTA_TEP (eval_utils.py:77-80)
+        if usable:
             groups.setdefault(meta.t_bucket, []).append((batch, meta))
             if len(groups[meta.t_bucket]) >= batch_videos:
                 entry = dispatch(meta.t_bucket)

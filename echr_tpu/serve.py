@@ -52,7 +52,7 @@ class CaptionService:
 
     def __init__(self, cfg: Config, tap_params, cg_params, vocab: Dict[str, str],
                  batch_videos: int = 32, topN: int = 100,
-                 nms_threshold: float = 0.0, beam_size: int = 1):
+                 nms_threshold: float = 0.0, beam_size: int = 1, mesh=None):
         self.cfg = cfg
         self.tap_params = tap_params
         self.cg_params = cg_params
@@ -61,6 +61,17 @@ class CaptionService:
         self.topN = topN
         self.nms_threshold = nms_threshold
         self.beam_size = beam_size
+        # multi-chip serving: replicate params, shard the video batch axis
+        # over the mesh's data axis (chunks padded to a dp multiple)
+        self.mesh = mesh
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as PS
+
+            rep = NamedSharding(mesh, PS())
+            self.tap_params = jax.device_put(tap_params, rep)
+            self.cg_params = jax.device_put(cg_params, rep)
+            self._dp_sharding = NamedSharding(mesh, PS("data"))
 
     def caption(self, requests: Sequence[CaptionRequest]) -> Dict[str, List[Caption]]:
         import jax.numpy as jnp
@@ -76,17 +87,29 @@ class CaptionService:
             for i0 in range(0, len(reqs), self.batch_videos):
                 chunk = reqs[i0 : i0 + self.batch_videos]
                 B = len(chunk)
+                Bp = B  # padded batch rows (multi-chip: dp multiple)
+                if self.mesh is not None:
+                    dp = self.mesh.shape["data"]
+                    Bp = B + ((-B) % dp)
                 D = chunk[0].feats.shape[1]
-                feats = np.zeros((B, bucket, D), np.float32)
-                fmask = np.zeros((B, bucket), np.float32)
-                lda = np.zeros((B, cfg.data.lda_dim), np.float32)
+                feats = np.zeros((Bp, bucket, D), np.float32)
+                fmask = np.zeros((Bp, bucket), np.float32)
+                fmask[B:, :2] = 1.0  # padded rows: minimal valid video
+                lda = np.zeros((Bp, cfg.data.lda_dim), np.float32)
                 for i, r in enumerate(chunk):
                     T = min(len(r.feats), bucket)
                     feats[i, :T] = r.feats[:T]
                     fmask[i, :T] = 1.0
                     if r.lda is not None:
                         lda[i] = r.lda
-                feats_d = jnp.asarray(feats)
+
+                def shard(x):
+                    import jax
+
+                    return (jax.device_put(x, self._dp_sharding)
+                            if self.mesh is not None else x)
+
+                feats_d = shard(jnp.asarray(feats))
                 tap_feats, pred_props = encode_step_batched(self.tap_params, feats_d, cfg)
                 pp = np.asarray(pred_props)
 
@@ -111,16 +134,17 @@ class CaptionService:
                     max_n = max(max_n, len(ind))
 
                 nb = next((b for b in PROP_BUCKETS if max_n <= b), PROP_BUCKETS[-1])
-                pi = np.zeros((B, nb), np.int32)
-                ps = np.tile(np.array([[0, 1]], np.int32), (B, nb, 1)).reshape(B, nb, 2)
-                pm = np.zeros((B, nb), np.float32)
+                pi = np.zeros((Bp, nb), np.int32)
+                ps = np.tile(np.array([[0, 1]], np.int32), (Bp, nb, 1)).reshape(Bp, nb, 2)
+                pm = np.zeros((Bp, nb), np.float32)
                 for i, (ind, soi, _, _) in enumerate(sels):
                     n = min(len(ind), nb)
                     pi[i, :n] = np.asarray(ind)[:n]
                     ps[i, :n] = np.asarray(soi)[:n]
                     pm[i, :n] = 1.0
-                props = ProposalBatch(jnp.asarray(pi), jnp.asarray(ps), jnp.asarray(pm))
-                lda_d, fm_d = jnp.asarray(lda), jnp.asarray(fmask)
+                props = ProposalBatch(shard(jnp.asarray(pi)), shard(jnp.asarray(ps)),
+                                      shard(jnp.asarray(pm)))
+                lda_d, fm_d = shard(jnp.asarray(lda)), shard(jnp.asarray(fmask))
 
                 if self.beam_size > 1:
                     seq, logp = beam_decode_step_batched(

@@ -58,3 +58,25 @@ def test_reset_iterator(tmp_path):
     loader.get_batch("val")
     loader.reset_iterator("val")
     assert loader.get_batch("val")[1].vid == first
+
+
+def test_multithreaded_prefetch_matches_single(tmp_path):
+    """nthreads>1 pool must yield the exact same ordered stream (vids,
+    wrap flags, sampled proposal lists) as the single-thread prefetcher —
+    the reference's order-preserving-sampler semantics (dataloader.py:
+    680-682,711-718)."""
+    cfg1 = tiny_cfg(tmp_path, **{"data.nthreads": 1})
+    cfg4 = cfg1.replace_in("data", nthreads=4)
+    n = None
+    streams = []
+    for cfg in (cfg1, cfg4):
+        ds = build_dataset(cfg)
+        loader = Loader(ds, cfg, seed=0)
+        n = loader.split_size("train")
+        items = []
+        for _ in range(2 * n + 3):  # across an epoch wrap
+            b, m = loader.get_batch("train")
+            items.append((m.vid, m.wrapped, np.asarray(b.ind_select).tolist(),
+                          np.asarray(b.soi).tolist()))
+        streams.append(items)
+    assert streams[0] == streams[1]

@@ -34,3 +34,30 @@ def test_caption_service(tmp_path):
     )
     res_b = svc_beam.caption(reqs[:2])
     assert len(res_b) == 2
+
+
+def test_caption_service_mesh(tmp_path):
+    """Multi-chip serving over the CPU mesh: same request set, batch rows
+    sharded over the data axis (incl. a chunk size NOT divisible by dp)."""
+    from echr_tpu.parallel.mesh import build_mesh
+
+    cfg = tiny_cfg(tmp_path).replace(run_id="SRVM")
+    out = train(cfg, max_iterations=2)
+    mesh = build_mesh(shape=(4, 1))
+    svc = from_checkpoint(
+        f"{out['save_folder']}/model-last.ckpt", batch_videos=3, topN=10, mesh=mesh
+    )
+    rng = np.random.RandomState(0)
+    reqs = [
+        CaptionRequest(
+            vid=f"m{i}", feats=rng.randn(60, cfg.tap.video_dim).astype(np.float32),
+            duration=30.0, lda=rng.randn(cfg.data.lda_dim).astype(np.float32),
+        )
+        for i in range(5)
+    ]
+    res = svc.caption(reqs)
+    assert set(res) == {f"m{i}" for i in range(5)}
+    for caps in res.values():
+        assert len(caps) > 0
+        for c in caps:
+            assert c.timestamp[1] > c.timestamp[0]
