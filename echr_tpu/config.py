@@ -200,6 +200,13 @@ class RuntimeConfig:
     mesh_axis_names: Tuple[str, str] = ("data", "model")
     donate_step_args: bool = True
     use_pallas: bool = True
+    # Greedy/multinomial decode stops as soon as every sequence has emitted
+    # its end token (the reference's break-when-all-finished,
+    # OldModel_NEW.py:173-181) via lax.while_loop instead of a fixed-length
+    # scan — exact same outputs, large wall-clock win on trained models
+    # whose captions end well before CG_seq_length.  Disabled automatically
+    # on differentiable paths (while_loop has no reverse-mode rule).
+    decode_early_exit: bool = True
 
 
 # ---------------------------------------------------------------------------

@@ -271,6 +271,7 @@ def eval_split_batched(
     flag_eval_what: str = "tap_cg",
     batch_videos: int = 8,
     mesh=None,
+    multihost: bool = False,
 ) -> Tuple[Dict, Dict, np.ndarray]:
     """Throughput variant of eval_split: groups videos by time bucket and
     runs encode + greedy decode for `batch_videos` videos per device program
@@ -284,6 +285,14 @@ def eval_split_batched(
     the video batch axis is sharded over 'data' (groups padded to a dp
     multiple), params replicated, and XLA partitions the vmapped
     encode/decode across chips.  Identical outputs to single-chip.
+
+    multihost: multi-HOST eval sweep (net-new, SURVEY §5.8) — each process
+    evaluates its Loader shard of the split (build the Loader with
+    shard_splits including it), then predictions and loss sums are
+    all-gathered over DCN and merged, so every process returns the FULL
+    split's predictions/scores (identical on all processes — safe for
+    checkpoint gating).  Process 0 writes json_path; other processes write
+    json_path + '.procN' so a shared filesystem sees no write race.
     """
     import jax
     import jax.numpy as jnp
@@ -492,6 +501,16 @@ def eval_split_batched(
             pending.append(entry)
     for entry in pending:
         collect(entry)
+
+    if multihost and jax.process_count() > 1:
+        from echr_tpu.parallel.distributed import allgather_object, gather_predictions
+
+        predictions = gather_predictions(predictions)
+        parts = allgather_object((loss_sum.tolist(), loss_vids))
+        loss_sum = np.sum([np.asarray(p[0]) for p in parts], axis=0)
+        loss_vids = int(sum(p[1] for p in parts))
+        if jax.process_index() != 0:
+            json_path = f"{json_path}.proc{jax.process_index()}"
 
     pred2json = {
         "results": predictions,

@@ -85,7 +85,7 @@ def beam_search(
     finished0 = jnp.zeros((N, B), bool)
     tokens0 = jnp.zeros((N, B, L), jnp.int32)
 
-    def body(carry, t):
+    def step(carry, t):
         state, logprobs, scores, finished, tokens = carry
         lp = logprobs.reshape(N, B, V1)
 
@@ -113,11 +113,31 @@ def beam_search(
         logprobs_next, state = step_logprobs(
             params, cfg, emit.reshape(-1), bctx, pre_att, state
         )
-        return (state, logprobs_next, top_scores, finished, tokens), None
+        return (state, logprobs_next, top_scores, finished, tokens)
 
-    (state, _, scores, finished, tokens), _ = jax.lax.scan(
-        body, (state, logprobs, scores0, finished0, tokens0), jnp.arange(L)
-    )
+    if cfg.runtime.decode_early_exit:
+        # once every beam of every proposal is finished the remaining steps
+        # are provable no-ops (each finished beam's only candidate is END at
+        # +0, top_k keeps the already-sorted scores, tokens stay 0) — a
+        # while_loop skips them (the reference's break, OldModel_NEW.py:122)
+        def cond(carry):
+            t = carry[0]
+            finished = carry[1][3]
+            return (t < L) & jnp.logical_not(jnp.all(finished))
+
+        def wbody(carry):
+            t, inner = carry
+            return t + 1, step(inner, t)
+
+        _, (state, _, scores, finished, tokens) = jax.lax.while_loop(
+            cond, wbody,
+            (jnp.asarray(0, jnp.int32), (state, logprobs, scores0, finished0, tokens0)),
+        )
+    else:
+        (state, _, scores, finished, tokens), _ = jax.lax.scan(
+            lambda c, t: (step(c, t), None),
+            (state, logprobs, scores0, finished0, tokens0), jnp.arange(L)
+        )
 
     if length_alpha > 0.0:
         lengths = jnp.sum(tokens != 0, axis=2).astype(jnp.float32) + 1.0

@@ -670,6 +670,13 @@ def decoder_sample(
     identical, so the gathered per-step logprobs are bit-equal to the
     original rollout but differentiable w.r.t. params — the self-critical
     update path (see engine/steps.rl_update_step).
+
+    When cfg.runtime.decode_early_exit is set (the default) and the call is
+    not a differentiable replay, the step loop is a lax.while_loop that
+    stops as soon as no real proposal is unfinished — the reference's
+    break-when-all-finished (:173-181) as actual saved device time instead
+    of masked-out compute.  Outputs are identical to the fixed-length scan
+    (unexecuted steps hold the same zeros the post-scan active mask writes).
     """
     N = ctxs.prop_mask.shape[0]
     L = cfg.decoder.CG_seq_length
@@ -682,8 +689,8 @@ def decoder_sample(
     # [N, V] log_softmax normalize every step (argmax is unchanged)
     logits, state = step_logits(params, cfg, it0, ctxs, pre_att, state, train=train, rng=r0)
 
-    def body(carry, t):
-        state, logits, unfinished = carry
+    def step_tokens(t, logits, unfinished):
+        """One token selection + state advance; shared by both loop forms."""
         lse = jax.scipy.special.logsumexp(logits, axis=1)
         if forced_tokens is not None:
             it = forced_tokens[:, t - 1].astype(jnp.int32)
@@ -697,7 +704,44 @@ def decoder_sample(
             sample_logp = jnp.take_along_axis(logits, it[:, None], axis=1)[:, 0] - lse
         unfinished = unfinished & (it > 0)
         active = jnp.any(unfinished & (ctxs.prop_mask > 0))
-        emit_it = it * unfinished
+        return it, it * unfinished, sample_logp, unfinished, active
+
+    # while_loop has no reverse-mode rule: the RL replay path (forced_tokens)
+    # runs under value_and_grad and must keep the scan
+    early_exit = bool(cfg.runtime.decode_early_exit) and forced_tokens is None
+
+    if early_exit:
+        def cond(carry):
+            t = carry[0]
+            any_unfinished = carry[4]
+            return (t <= L) & any_unfinished
+
+        def body(carry):
+            t, state, logits, unfinished, _, seq, logps, active_buf = carry
+            it, emit_it, sample_logp, unfinished, active = step_tokens(t, logits, unfinished)
+            # write emit*active: matches the post-scan `* active[None, :]`
+            seq = jax.lax.dynamic_update_index_in_dim(
+                seq, emit_it * active, t - 1, axis=1)
+            logps = jax.lax.dynamic_update_index_in_dim(
+                logps, sample_logp * active, t - 1, axis=1)
+            active_buf = jax.lax.dynamic_update_index_in_dim(active_buf, active, t - 1, axis=0)
+            r_t2 = jax.random.fold_in(rng, 20_000 + t) if rng is not None else None
+            logits, state = step_logits(params, cfg, it, ctxs, pre_att, state,
+                                        train=train, rng=r_t2)
+            return (t + 1, state, logits, unfinished, active, seq, logps, active_buf)
+
+        init = (
+            jnp.asarray(1, jnp.int32), state, logits, jnp.ones((N,), bool),
+            jnp.asarray(True),
+            jnp.zeros((N, L), jnp.int32), jnp.zeros((N, L), jnp.float32),
+            jnp.zeros((L,), bool),
+        )
+        carry = jax.lax.while_loop(cond, body, init)
+        return carry[5], carry[6], carry[7]
+
+    def body(carry, t):
+        state, logits, unfinished = carry
+        it, emit_it, sample_logp, unfinished, active = step_tokens(t, logits, unfinished)
         r_t2 = jax.random.fold_in(rng, 20_000 + t) if rng is not None else None
         logits, state = step_logits(params, cfg, it, ctxs, pre_att, state, train=train, rng=r_t2)
         return (state, logits, unfinished), (emit_it, sample_logp, active)

@@ -103,8 +103,8 @@ def _windowed_attention_pallas(pre_att, feats, att_h, w, b, starts, shifts,
             pl.BlockSpec((_TILE_N, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # pre_att stays off-VMEM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # feats stays off-VMEM
+            pl.BlockSpec(memory_space=pl.ANY),  # pre_att stays off-VMEM
+            pl.BlockSpec(memory_space=pl.ANY),  # feats stays off-VMEM
         ],
         out_specs=pl.BlockSpec((_TILE_N, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

@@ -56,3 +56,44 @@ def global_mesh(dp: Optional[int] = None, tp: int = 1):
     if dp is None:
         dp = n // tp
     return build_mesh(shape=(dp, tp))
+
+
+def allgather_object(obj):
+    """All-gather an arbitrary picklable/JSON-able object across processes;
+    returns the per-process list [obj_0, ..., obj_{P-1}] on every process.
+
+    Two-phase ragged gather over the jax collective transport (DCN): first
+    every process's payload length, then the zero-padded payload bytes.
+    Single-process: returns [obj] without touching the backend."""
+    import pickle
+
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    lens = multihost_utils.process_allgather(
+        np.array([payload.size], np.int64), tiled=False
+    ).reshape(-1)
+    buf = np.zeros(int(lens.max()), np.uint8)
+    buf[: payload.size] = payload
+    gathered = multihost_utils.process_allgather(buf, tiled=False)
+    gathered = np.asarray(gathered).reshape(jax.process_count(), -1)
+    return [
+        pickle.loads(gathered[p, : int(lens[p])].tobytes())
+        for p in range(jax.process_count())
+    ]
+
+
+def gather_predictions(predictions: dict) -> dict:
+    """Merge per-host eval prediction dicts (vid -> records) from a
+    host-sharded eval sweep into the full split's predictions on every
+    process.  Hosts see disjoint videos (Loader shard), so the merge is a
+    plain union; duplicate vids keep the lowest process's copy."""
+    merged: dict = {}
+    for part in allgather_object(predictions):
+        for vid, recs in part.items():
+            merged.setdefault(vid, recs)
+    return merged

@@ -101,6 +101,39 @@ def main(port: int, pid: int) -> None:
     print("LOSS", json.dumps({"pid": pid, "loss": loss}), flush=True)
     assert np.isfinite(loss)
 
+    # --- multi-host eval sweep: each process evaluates ITS shard of val,
+    # predictions/losses allgathered over the cluster so both report the
+    # FULL split identically (engine.evaluate.eval_split_batched multihost) —
+    import os
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from echr_tpu.engine.evaluate import eval_split_batched
+
+    # local (per-process) param copies: the eval loop is process-local
+    # compute; only the final prediction gather crosses processes
+    tap_local = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), state.tap_params)
+    cg_local = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), state.cg_params)
+    ev_loader = Loader(dataset, cfg, seed=0, shard_splits=("train", "val"))
+    print("EVAL_SHARD", json.dumps({
+        "pid": pid,
+        "val_shard": ev_loader.split_order["val"],
+        "full_val": dataset.split_ix["val"],
+    }), flush=True)
+    json_path = os.path.join(tempfile.gettempdir(), f"mh_eval_{port}.json")
+    preds, score, val_losses = eval_split_batched(
+        tap_local, cg_local, ev_loader, cfg, json_path,
+        eval_kwargs={"language_eval": True, "get_eval_loss": True},
+        flag_eval_what="cg", batch_videos=2, multihost=True,
+    )
+    print("EVAL", json.dumps({
+        "pid": pid,
+        "n_preds": len(preds),
+        "meteor": float(np.mean(score.get("METEOR", np.array(0.0)))),
+        "val_loss": [float(x) for x in val_losses[:3]],
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]))

@@ -1,0 +1,112 @@
+"""Early-exit greedy decode (lax.while_loop) == fixed-length scan decode.
+
+The reference breaks its sample loop when every sequence has emitted the
+end token (OldModel_NEW.py:173-181); our scan emulated that by masking,
+and runtime.decode_early_exit turns it into actually-saved device steps.
+These tests pin that both loop forms produce identical (seq, logps, active)
+in every regime: no sequence finishing, all finishing immediately, and
+under vmap (the batched serving pipeline's shape).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from echr_tpu.config import flagship_config
+from echr_tpu.models.captioner import ProposalBatch, captioner_sample
+from echr_tpu.models.registry import init_captioner, init_tap
+from echr_tpu.models.sst import sst_forward
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = flagship_config().replace_in(
+        "data", synthetic=True, lda_dim=100, time_buckets=(64,))
+    cfg = cfg.replace_in("decoder", CG_vocab_size=50, CG_seq_length=12)
+    cfg = cfg.replace_in("runtime", compute_dtype="float32", use_pallas=False)
+    cfg = cfg.validate()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    tap_params, cg_params = init_tap(k1, cfg), init_captioner(k2, cfg)
+    T, N = 64, 8
+    r = np.random.RandomState(0)
+    feats = jnp.asarray(r.randn(T, cfg.tap.video_dim).astype(np.float32))
+    lda = jnp.asarray(r.randn(cfg.data.lda_dim).astype(np.float32))
+    fm = jnp.ones((T,), jnp.float32)
+    starts = r.randint(0, T - 8, size=N)
+    lens = r.randint(2, 10, size=N)
+    soi = jnp.asarray(np.stack([starts, np.minimum(starts + lens, T)], 1).astype(np.int32))
+    props = ProposalBatch(soi[:, 1] - 1, soi, jnp.ones((N,), jnp.float32))
+    tap_feats, _ = sst_forward(tap_params, feats, train=False)
+    return cfg, cg_params, tap_feats, feats, lda, fm, props
+
+
+def _run(cfg, cg, tap_feats, feats, lda, fm, props, greedy=True, rng=None):
+    s, l, a = captioner_sample(cg, cfg, tap_feats, feats, lda, props,
+                               frame_mask=fm, greedy=greedy, rng=rng)
+    return np.asarray(s), np.asarray(l), np.asarray(a)
+
+
+@pytest.mark.parametrize("greedy", [True, False])
+def test_while_equals_scan(setup, greedy):
+    cfg, cg, *rest = setup
+    rng = None if greedy else jax.random.PRNGKey(7)
+    s1, l1, a1 = _run(cfg, cg, *rest, greedy=greedy, rng=rng)
+    s2, l2, a2 = _run(cfg.replace_in("runtime", decode_early_exit=False),
+                      cg, *rest, greedy=greedy, rng=rng)
+    assert np.array_equal(s1, s2)
+    np.testing.assert_allclose(l1, l2, atol=1e-6)
+    assert np.array_equal(a1, a2)
+
+
+def test_while_equals_scan_when_exiting_early(setup):
+    """Bias the logit head toward the end token so the loop actually exits."""
+    cfg, cg, *rest = setup
+    cg2 = jax.tree.map(lambda x: x, cg)
+    b = np.zeros(cfg.decoder.CG_vocab_size + 1, np.float32)
+    b[0] = 5.0  # strong <eos> pull: greedy ends every sequence at step 1
+    cg2["decoder"]["logit"]["b"] = jnp.asarray(b)
+    s1, l1, a1 = _run(cfg, cg2, *rest)
+    s2, l2, a2 = _run(cfg.replace_in("runtime", decode_early_exit=False),
+                      cg2, *rest)
+    assert a1.sum() < cfg.decoder.CG_seq_length  # exit actually triggered
+    assert np.array_equal(s1, s2)
+    np.testing.assert_allclose(l1, l2, atol=1e-6)
+    assert np.array_equal(a1, a2)
+
+
+@pytest.mark.parametrize("eos_bias", [0.0, 5.0])
+def test_beam_while_equals_scan(setup, eos_bias):
+    """Beam search early exit: once all beams finish, remaining steps are
+    no-ops (finished beams re-emit END at +0 score) — while_loop == scan."""
+    from echr_tpu.models.beam import beam_search
+    from echr_tpu.models.captioner import make_contexts
+
+    cfg, cg, tap_feats, feats, lda, fm, props = setup
+    cg2 = jax.tree.map(lambda x: x, cg)
+    b = np.zeros(cfg.decoder.CG_vocab_size + 1, np.float32)
+    b[0] = eos_bias
+    cg2["decoder"]["logit"]["b"] = jnp.asarray(b)
+    ctxs = make_contexts(cg2, cfg, tap_feats, feats, lda, props,
+                         frame_mask=fm, train=False)
+    r1 = beam_search(cg2["decoder"], cfg, ctxs, 3)
+    r2 = beam_search(cg2["decoder"],
+                     cfg.replace_in("runtime", decode_early_exit=False), ctxs, 3)
+    assert np.array_equal(np.asarray(r1.seq), np.asarray(r2.seq))
+    np.testing.assert_allclose(np.asarray(r1.logprob), np.asarray(r2.logprob), atol=1e-6)
+    assert np.array_equal(np.asarray(r1.all_seqs), np.asarray(r2.all_seqs))
+
+
+def test_while_under_vmap(setup):
+    """decode_step_batched vmaps decoder_sample; while_loop must batch."""
+    cfg, cg, tap_feats, feats, lda, fm, props = setup
+    B = 3
+    f = jax.vmap(lambda th, f_, l_, fm_, pr: captioner_sample(
+        cg, cfg, th, f_, l_, pr, frame_mask=fm_, greedy=True))
+    s, _, _ = f(jnp.stack([tap_feats] * B), jnp.stack([feats] * B),
+                jnp.stack([lda] * B), jnp.stack([fm] * B),
+                ProposalBatch(jnp.stack([props.ind_select] * B),
+                              jnp.stack([props.soi] * B),
+                              jnp.stack([props.prop_mask] * B)))
+    s_single, _, _ = _run(cfg, cg, tap_feats, feats, lda, fm, props)
+    for i in range(B):
+        assert np.array_equal(np.asarray(s[i]), s_single)

@@ -50,7 +50,7 @@ def test_two_process_data_parallel_step():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
 
-    shards, losses = {}, {}
+    shards, losses, evals, eval_shards = {}, {}, {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("SHARD "):
@@ -59,6 +59,12 @@ def test_two_process_data_parallel_step():
             elif line.startswith("LOSS "):
                 d = json.loads(line[5:])
                 losses[d["pid"]] = d["loss"]
+            elif line.startswith("EVAL_SHARD "):
+                d = json.loads(line[11:])
+                eval_shards[d["pid"]] = d
+            elif line.startswith("EVAL "):
+                d = json.loads(line[5:])
+                evals[d["pid"]] = d
 
     assert set(shards) == {0, 1} and set(losses) == {0, 1}
     full = shards[0]["full_train"]
@@ -72,6 +78,20 @@ def test_two_process_data_parallel_step():
     # replicated global loss identical across hosts
     assert np.isfinite(losses[0])
     assert losses[0] == pytest.approx(losses[1], rel=1e-6)
+
+    # --- multi-host eval sweep: val sharded per process for eval, and the
+    # prediction allgather returns the FULL split identically on every host
+    assert set(evals) == {0, 1} and set(eval_shards) == {0, 1}
+    v0, v1 = eval_shards[0]["val_shard"], eval_shards[1]["val_shard"]
+    full_val = eval_shards[0]["full_val"]
+    assert set(v0) & set(v1) == set()
+    assert sorted(v0 + v1) == sorted(full_val)
+    # merged predictions cover videos from BOTH shards (> one shard's worth)
+    assert evals[0]["n_preds"] == evals[1]["n_preds"]
+    assert evals[0]["n_preds"] > len(v0) and evals[0]["n_preds"] > len(v1)
+    # identical full-split scores and gathered val-losses on both processes
+    assert evals[0]["meteor"] == pytest.approx(evals[1]["meteor"], abs=1e-9)
+    assert evals[0]["val_loss"] == pytest.approx(evals[1]["val_loss"], rel=1e-6)
 
 
 def test_loader_sharding_explicit_args():
