@@ -214,6 +214,13 @@ def bench_train(cfg, tap_params, cg_params):
             lambda x: np.broadcast_to(np.asarray(x)[None], (B,) + np.asarray(x).shape).copy(),
             host,
         )
+        # pre-stage the batch on device: each step otherwise ships ~20 MB
+        # host->device through the axon relay tunnel, whose fluctuating
+        # bandwidth dominates and destabilises the measurement (observed
+        # 2-3x run-to-run swings).  Real training overlaps H2D with the
+        # loader thread pool; this times the step itself, like the eval
+        # bench's device-resident inputs.
+        batch = jax.tree.map(jnp.asarray, batch)
         # fresh param copies per B: train_step donates its state buffers
         st = init_train_state(
             cfg,

@@ -207,6 +207,14 @@ class RuntimeConfig:
     # whose captions end well before CG_seq_length.  Disabled automatically
     # on differentiable paths (while_loop has no reverse-mode rule).
     decode_early_exit: bool = True
+    # Teacher-forced training computes the NLL with the logit head hoisted
+    # OUT of the decode scan: the scan stores [N, L, core_width] outputs
+    # instead of [N, L, V+1] logprobs (~8x smaller residual at flagship
+    # dims) and one big post-scan matmul + fused (target-logit - logsumexp)
+    # produces the loss, rematerialised in the backward pass.  Same math as
+    # losses.language_model_loss over decoder_forward.  Auto-disabled when
+    # scheduled sampling is active (the scan then needs per-step logprobs).
+    fused_loss_head: bool = True
 
 
 # ---------------------------------------------------------------------------

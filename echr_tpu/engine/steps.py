@@ -33,6 +33,7 @@ from echr_tpu.models.captioner import (
     ProposalBatch,
     captioner_sample,
     captioner_train_forward,
+    captioner_train_loss,
 )
 from echr_tpu.models.sst import sst_forward
 from echr_tpu.ops.core import cast_compute_dtype
@@ -133,11 +134,20 @@ def _one_video_losses(
     out = {"tap_loss": tap_l}
     if phase != "tap":
         props, cg_labels, cg_masks = _select_props(batch, phase)
-        logprobs = captioner_train_forward(
-            cg_params, cfg, tap_feats, batch.feats, batch.lda, cg_labels, props,
-            frame_mask=batch.frame_mask, train=train, rng=r_cg, ss_prob=ss_prob,
-        )
-        cg_l = losses.language_model_loss(logprobs, cg_labels[:, 1:], cg_masks[:, 1:])
+        if cfg.runtime.fused_loss_head and ss_prob == 0.0:
+            # fused loss head: logit matmul hoisted out of the scan, loss
+            # computed without storing [N, L, V+1] logprobs (same math)
+            cg_l = captioner_train_loss(
+                cg_params, cfg, tap_feats, batch.feats, batch.lda, cg_labels,
+                cg_masks, props, frame_mask=batch.frame_mask, train=train,
+                rng=r_cg,
+            )
+        else:
+            logprobs = captioner_train_forward(
+                cg_params, cfg, tap_feats, batch.feats, batch.lda, cg_labels, props,
+                frame_mask=batch.frame_mask, train=train, rng=r_cg, ss_prob=ss_prob,
+            )
+            cg_l = losses.language_model_loss(logprobs, cg_labels[:, 1:], cg_masks[:, 1:])
         out["cg_loss"] = cg_l
         out["total_loss"] = cfg.train.lambda1 * tap_l + cfg.train.lambda2 * cg_l
     return out
@@ -381,11 +391,16 @@ def decode_step_batched(
     props: ProposalBatch,  # leaves with leading [B]
     greedy: bool = True,
 ):
-    """Decode B videos' proposals in one program (vmapped captioner)."""
+    """Decode B videos' proposals in one program (vmapped captioner).
+
+    early_exit is forced off: under vmap the while_loop would run until the
+    LAST unfinished caption of the whole batch, so it almost never fires on
+    real data while costing ~12% vs scan (docs/BENCH_NOTES.md)."""
     cg_c = _cast(cg_params, cfg)
     return jax.vmap(
         lambda th, f, l, fm, pr: captioner_sample(
-            cg_c, cfg, th, f, l, pr, frame_mask=fm, greedy=greedy
+            cg_c, cfg, th, f, l, pr, frame_mask=fm, greedy=greedy,
+            early_exit=False,
         )
     )(tap_feats, feats, lda, frame_mask, props)
 
@@ -410,7 +425,9 @@ def beam_decode_step_batched(
 
     def one(th, f, l, fm, pr):
         ctxs = make_contexts(cg_c, cfg, th, f, l, pr, frame_mask=fm, train=False)
-        res = beam_search(cg_c["decoder"], cfg, ctxs, beam_size, length_alpha)
+        # early_exit off under vmap (see decode_step_batched)
+        res = beam_search(cg_c["decoder"], cfg, ctxs, beam_size, length_alpha,
+                          early_exit=False)
         return res.seq, res.logprob
 
     return jax.vmap(one)(tap_feats, feats, lda, frame_mask, props)

@@ -14,7 +14,7 @@ decode_sequence convention (misc/utils.py:24-38).
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +64,7 @@ def beam_search(
     ctxs: Contexts,
     beam_size: int,
     length_alpha: float = 0.0,
+    early_exit: Optional[bool] = None,
 ) -> BeamResult:
     """Decode every proposal with beam search in one jitted scan."""
     N = ctxs.prop_mask.shape[0]
@@ -115,7 +116,11 @@ def beam_search(
         )
         return (state, logprobs_next, top_scores, finished, tokens)
 
-    if cfg.runtime.decode_early_exit:
+    if early_exit is None:
+        # vmapped/batched callers pass False: under vmap the loop runs to the
+        # last unfinished beam across the whole batch, so scan is faster
+        early_exit = bool(cfg.runtime.decode_early_exit)
+    if early_exit:
         # once every beam of every proposal is finished the remaining steps
         # are provable no-ops (each finished beam's only candidate is END at
         # +0, top_k keeps the already-sorted scores, tokens stay 0) — a

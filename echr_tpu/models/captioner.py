@@ -17,7 +17,11 @@ import jax.numpy as jnp
 
 from echr_tpu.config import Config
 from echr_tpu.models.contexts import Contexts, build_contexts
-from echr_tpu.models.decoder import decoder_forward, decoder_sample
+from echr_tpu.models.decoder import (
+    decoder_forward,
+    decoder_sample,
+    teacher_forced_nll,
+)
 
 Array = jax.Array
 
@@ -81,6 +85,31 @@ def captioner_train_forward(
                            train=train, rng=r_dec, ss_prob=ss_prob)
 
 
+def captioner_train_loss(
+    params,
+    cfg: Config,
+    tap_feats: Array,
+    c3d_feats: Array,
+    lda_feats: Array,
+    cg_labels: Array,  # [N, L+1]
+    cg_masks: Array,  # [N, L+1]
+    props: ProposalBatch,
+    frame_mask: Optional[Array] = None,
+    train: bool = True,
+    rng: Optional[Array] = None,
+) -> Array:
+    """mode='train' with the fused loss head (see decoder.teacher_forced_nll):
+    returns language_model_loss(captioner_train_forward(...), cg_labels[:,1:],
+    cg_masks[:,1:]) without materialising the [N, L, V+1] logprobs."""
+    r_ctx = r_dec = None
+    if rng is not None:
+        r_ctx, r_dec = jax.random.split(rng)
+    ctxs = make_contexts(params, cfg, tap_feats, c3d_feats, lda_feats, props,
+                         frame_mask, train, r_ctx)
+    return teacher_forced_nll(params["decoder"], cfg, ctxs, cg_labels, cg_masks,
+                              train=train, rng=r_dec)
+
+
 def captioner_sample(
     params,
     cfg: Config,
@@ -93,6 +122,7 @@ def captioner_sample(
     temperature: float = 1.0,
     train: bool = False,
     rng: Optional[Array] = None,
+    early_exit: Optional[bool] = None,
 ) -> Tuple[Array, Array, Array]:
     """mode='eval' greedy decode (reference: CaptionGenerator.py:39-44);
     returns (seq [N, L], per-step logps [N, L], active [L])."""
@@ -102,7 +132,8 @@ def captioner_sample(
     ctxs = make_contexts(params, cfg, tap_feats, c3d_feats, lda_feats, props,
                          frame_mask, train, r_ctx)
     return decoder_sample(params["decoder"], cfg, ctxs, greedy=greedy,
-                          temperature=temperature, rng=r_dec, train=train)
+                          temperature=temperature, rng=r_dec, train=train,
+                          early_exit=early_exit)
 
 
 def captioner_train_rl(

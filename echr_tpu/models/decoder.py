@@ -641,6 +641,72 @@ def decoder_forward(
     return jnp.swapaxes(out, 0, 1)  # [N, steps, V+1]
 
 
+def decoder_forward_core_outputs(
+    params,
+    cfg: Config,
+    ctxs: Contexts,
+    seq: Array,  # [N, L+1] int token ids, col 0 = BOS(0)
+    train: bool = False,
+    rng: Optional[Array] = None,
+) -> Array:
+    """Teacher-forced CORE outputs [N, steps, logit_input_size] — the decode
+    scan without the logit head.  Per-step rng consumption (core dropout +
+    output dropout) is identical to decoder_forward with ss_prob=0, so
+    dense(logit, outputs) + log_softmax reproduces its logprobs exactly."""
+    N, Lp1 = seq.shape
+    steps = Lp1 - 1
+    pre_att = precompute_attention(params, cfg, ctxs, fuse_inputs=True)
+    state0 = init_state(params, cfg, ctxs, N)
+    step = CORE_REGISTRY[cfg.decoder.caption_model][1]
+
+    def body(state, inp):
+        i, it = inp
+        r_core = r_drop = None
+        if rng is not None:
+            r = jax.random.fold_in(rng, i)
+            r_core, r_drop = jax.random.split(r)
+        xt = params["embed"][it]
+        out, state = step(params["core"], cfg, xt, ctxs, pre_att, state, train, r_core)
+        out = dropout(r_drop, out, cfg.decoder.CG_drop_prob, train)
+        return state, out
+
+    ivec = jnp.arange(steps)
+    _, outs = jax.lax.scan(body, state0, (ivec, jnp.swapaxes(seq[:, :steps], 0, 1)))
+    return jnp.swapaxes(outs, 0, 1)  # [N, steps, width]
+
+
+def teacher_forced_nll(
+    params,
+    cfg: Config,
+    ctxs: Contexts,
+    seq: Array,  # [N, L+1] token ids (col 0 = BOS)
+    masks: Array,  # [N, L+1] caption masks (col 0 covers BOS)
+    train: bool = False,
+    rng: Optional[Array] = None,
+) -> Array:
+    """Fused teacher-forced NLL: equals
+    language_model_loss(decoder_forward(...), seq[:, 1:], masks[:, 1:])
+    without ever storing [N, L, V+1] logprobs as a scan residual.  The
+    logit head runs once post-scan over every step (one MXU matmul instead
+    of L small ones) and the head is rematerialised in the backward pass,
+    so the saved forward residual is the [N, L, core_width] outputs —
+    ~(V+1)/core_width (~4-8x) less HBM at flagship dims, where the
+    reference-scale vocab (~6001) dominates the 3*rnn_size core width."""
+    outs = decoder_forward_core_outputs(params, cfg, ctxs, seq, train, rng)
+    steps = outs.shape[1]
+    targets = seq[:, 1 : steps + 1]
+    m = masks[:, 1 : steps + 1].astype(jnp.float32)
+
+    def head(logit_p, outs):
+        logits = dense(logit_p, outs)  # [N, steps, V+1], fp32 accumulation
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        tgt = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+        # masked NLL normalised by token count (misc/utils.py:62-75)
+        return -jnp.sum((tgt - lse) * m) / (jnp.sum(m) + 1e-6)
+
+    return jax.checkpoint(head)(params["logit"], outs)
+
+
 # ---------------------------------------------------------------------------
 # sampling (reference: OldModel.sample :139-187)
 # ---------------------------------------------------------------------------
@@ -655,6 +721,7 @@ def decoder_sample(
     rng: Optional[Array] = None,
     train: bool = False,
     forced_tokens: Optional[Array] = None,
+    early_exit: Optional[bool] = None,
 ) -> Tuple[Array, Array, Array]:
     """Greedy or multinomial decode.
 
@@ -707,8 +774,15 @@ def decoder_sample(
         return it, it * unfinished, sample_logp, unfinished, active
 
     # while_loop has no reverse-mode rule: the RL replay path (forced_tokens)
-    # runs under value_and_grad and must keep the scan
-    early_exit = bool(cfg.runtime.decode_early_exit) and forced_tokens is None
+    # runs under value_and_grad and must keep the scan.  Batched/vmapped
+    # callers pass early_exit=False: under vmap the loop runs to the LAST
+    # unfinished caption across the whole batch (thousands at serving dims),
+    # so the exit almost never fires on real data while the while_loop costs
+    # ~12% vs scan (measured, docs/BENCH_NOTES.md) — scan is strictly better
+    # there.  Per-video paths keep the cfg default.
+    if early_exit is None:
+        early_exit = bool(cfg.runtime.decode_early_exit)
+    early_exit = early_exit and forced_tokens is None
 
     if early_exit:
         def cond(carry):
