@@ -74,6 +74,14 @@ class CaptionService:
             self._dp_sharding = NamedSharding(mesh, PS("data"))
 
     def caption(self, requests: Sequence[CaptionRequest]) -> Dict[str, List[Caption]]:
+        """Caption a batch of requests.
+
+        Chunks are software-pipelined: while a chunk's decode runs on
+        device, the previous chunk's token fetch + host-side sentence
+        decoding proceed, and the next chunk's encode is dispatched before
+        collecting — the same two-in-flight pattern as the benchmark's
+        batched pipeline, here across the full encode->select->decode
+        service loop."""
         import jax.numpy as jnp
 
         cfg = self.cfg
@@ -82,6 +90,27 @@ class CaptionService:
         groups: Dict[int, List[CaptionRequest]] = {}
         for r in requests:
             groups.setdefault(pick_bucket(len(r.feats), cfg.data.time_buckets), []).append(r)
+
+        pending = None  # previous chunk's dispatched-but-uncollected decode
+
+        def collect(entry):
+            chunk, sels, nb, seq_d, score_d, is_beam = entry
+            seq_np = np.asarray(seq_d)
+            score_np = np.asarray(score_d)
+            if not is_beam:
+                score_np = score_np.sum(axis=2)
+            for i, (r, (ind, soi, ts, tp)) in enumerate(zip(chunk, sels)):
+                n = min(len(ind), nb)
+                sents = decode_sequence(self.vocab, seq_np[i][:n])
+                out[r.vid] = [
+                    Caption(
+                        timestamp=tuple(ts[j]),
+                        sentence=sents[j],
+                        proposal_score=float(tp[j]),
+                        sentence_confidence=float(score_np[i][j]),
+                    )
+                    for j in range(n)
+                ]
 
         for bucket, reqs in groups.items():
             for i0 in range(0, len(reqs), self.batch_videos):
@@ -111,6 +140,11 @@ class CaptionService:
 
                 feats_d = shard(jnp.asarray(feats))
                 tap_feats, pred_props = encode_step_batched(self.tap_params, feats_d, cfg)
+                # the previous chunk's decode overlaps this encode + the
+                # proposal-score fetch below; collect it before selection
+                if pending is not None:
+                    collect(pending)
+                    pending = None
                 pp = np.asarray(pred_props)
 
                 sels = []
@@ -152,26 +186,14 @@ class CaptionService:
                         props, self.beam_size,
                         length_alpha=float(cfg.eval.beam_length_alpha),
                     )
-                    seq_np, score_np = np.asarray(seq), np.asarray(logp)
+                    pending = (chunk, sels, nb, seq, logp, True)
                 else:
                     seq, logps, active = decode_step_batched(
                         self.cg_params, cfg, tap_feats, feats_d, lda_d, fm_d, props
                     )
-                    seq_np = np.asarray(seq)
-                    score_np = np.asarray(logps).sum(axis=2)
-
-                for i, (r, (ind, soi, ts, tp)) in enumerate(zip(chunk, sels)):
-                    n = min(len(ind), nb)
-                    sents = decode_sequence(self.vocab, seq_np[i][:n])
-                    out[r.vid] = [
-                        Caption(
-                            timestamp=tuple(ts[j]),
-                            sentence=sents[j],
-                            proposal_score=float(tp[j]),
-                            sentence_confidence=float(score_np[i][j]),
-                        )
-                        for j in range(n)
-                    ]
+                    pending = (chunk, sels, nb, seq, logps, False)
+        if pending is not None:
+            collect(pending)
         return out
 
 

@@ -21,7 +21,15 @@ log = logging.getLogger("echr_tpu.profiling")
 
 @contextlib.contextmanager
 def device_trace(logdir: str):
-    """Capture a jax.profiler trace (view with TensorBoard's profile tab)."""
+    """Capture a jax.profiler trace (view with TensorBoard's profile tab).
+
+    MEASURED (round 2b): through the axon relay PJRT plugin,
+    jax.profiler.start_trace hard-aborts the process inside the plugin
+    (xla::ValueOrThrowWrapper C++ stack, not a catchable Python error) —
+    device-side tracing needs a directly-attached TPU.  The wall-clock
+    harness below (time_fn with host-fetch barriers) is the profiling
+    path that works everywhere; op-level attribution in this environment
+    comes from ablation probes (docs/BENCH_NOTES.md)."""
     import jax
 
     jax.profiler.start_trace(logdir)

@@ -61,3 +61,33 @@ def test_caption_service_mesh(tmp_path):
         assert len(caps) > 0
         for c in caps:
             assert c.timestamp[1] > c.timestamp[0]
+
+
+def test_serve_cli(tmp_path):
+    """Serving CLI: checkpoint + directory of .npy C3D features -> caption
+    JSON in the eval pipeline's record shape."""
+    import json
+
+    from echr_tpu.cli.serve import main as serve_main
+
+    cfg = tiny_cfg(tmp_path).replace(run_id="SRVC")
+    out = train(cfg, max_iterations=2)
+    fd = tmp_path / "feats"
+    fd.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        np.save(fd / f"v{i}.npy",
+                rng.randn(40 + 5 * i, cfg.tap.video_dim).astype(np.float32))
+    out_json = tmp_path / "caps.json"
+    serve_main([
+        "--checkpoint", f"{out['save_folder']}/model-last.ckpt",
+        "--features_dir", str(fd), "--output", str(out_json),
+        "--batch_videos", "2", "--topN", "5",
+    ])
+    data = json.loads(out_json.read_text())
+    assert set(data["results"]) == {"v0", "v1", "v2"}
+    for vid, recs in data["results"].items():
+        assert recs
+        r0 = recs[0]
+        assert r0["sentence"] is not None
+        assert r0["timestamp"][1] > r0["timestamp"][0]
