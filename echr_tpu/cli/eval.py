@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_language_eval", action="store_true")
     p.add_argument("--val_all_metrics", type=int, default=1)
     p.add_argument("--beam_size", type=int, default=1)
+    p.add_argument("--sample_max", type=int, default=1,
+                   help="1=greedy argmax; 0=multinomial sampling "
+                        "(reference: eval.py:119-122)")
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="sampling temperature when sample_max=0 "
+                        "(reference: eval.py:123-125)")
     p.add_argument("--wait_for_checkpoint", type=int, default=0,
                    help="poll until the checkpoint exists (reference: eval.py:53-55)")
     p.add_argument("--batch_videos", type=int, default=1,
@@ -77,6 +83,8 @@ def main(argv=None) -> None:
         language_eval=not ns.no_language_eval,
         val_all_metrics=bool(ns.val_all_metrics),
         beam_size=ns.beam_size,
+        sample_max=ns.sample_max,
+        temperature=ns.temperature,
     )
     if ns.SOTA_json:
         cfg = cfg.replace_in("data", SOTA_json=ns.SOTA_json)

@@ -156,6 +156,10 @@ class EvalConfig:
     language_eval: bool = True
     num_vids_eval: int = 0
     beam_size: int = 1
+    # sample_max=1 -> greedy argmax decode; 0 -> multinomial sampling at
+    # `temperature` (reference: OldModel.sample :141-167, eval.py:119-125)
+    sample_max: int = 1
+    temperature: float = 1.0
     # GNMT length penalty exponent for beam ranking (net-new: the reference
     # only stubs beam search).  1.0 counters sum-logprob's short-caption
     # bias; 0.0 = raw sum-logprob ranking.
@@ -378,6 +382,16 @@ _ALIASES = {
     "save_all": ("save", "save_all_checkpoint"),
 }
 
+# reference flags that are DECLARED but never read anywhere in the
+# reference (grep-verified: opts.py declares them, no module consumes
+# them).  Accepted here as explicit no-ops so reference command lines
+# translate 1:1; setting one logs a notice.
+_DEAD_FLAGS = (
+    "crit_type", "d_pos_emb", "data_type", "fast_eval_for_challenge",
+    "lambda3", "lda_hidden_size", "lda_input_size", "lda_output_size",
+    "num_samples", "use_bottomup_feature",
+)
+
 
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("echr_tpu", allow_abbrev=False)
@@ -410,6 +424,9 @@ def build_argparser() -> argparse.ArgumentParser:
             p.add_argument("--other_feature", type=str, nargs="+", default=None)
         else:
             p.add_argument(f"--{alias}", type=int, default=None)
+    for dead in _DEAD_FLAGS:
+        p.add_argument(f"--{dead}", type=str, default=None,
+                       help="accepted no-op (declared but never read in the reference)")
     p.set_defaults(_bool_like=sorted(bool_like))
     return p
 
@@ -418,6 +435,17 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
     """Parse a reference-style CLI into a Config (reference: opts.py:3-294)."""
     p = build_argparser()
     ns, _unknown = p.parse_known_args(argv)
+    if _unknown:
+        import logging
+
+        logging.getLogger("echr_tpu.config").warning(
+            "ignoring unknown flags: %s", _unknown)
+    for dead in _DEAD_FLAGS:
+        if getattr(ns, dead, None) is not None:
+            import logging
+
+            logging.getLogger("echr_tpu.config").info(
+                "--%s is declared but never read in the reference; ignored", dead)
     cfg = Config()
     if ns.config_json:
         with open(ns.config_json) as fh:

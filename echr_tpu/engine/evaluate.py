@@ -78,6 +78,10 @@ def eval_split(
     num_vids_eval = kw.get("num_vids_eval", cfg.eval.num_vids_eval) or loader.split_size(split)
     get_eval_loss = kw.get("get_eval_loss", True)
     val_all_metrics = kw.get("val_all_metrics", cfg.eval.val_all_metrics)
+    # sample_max=1 greedy / 0 multinomial at `temperature`
+    # (reference: OldModel.sample :141-167, eval.py:119-125)
+    greedy = bool(int(kw.get("sample_max", cfg.eval.sample_max)))
+    temperature = float(kw.get("temperature", cfg.eval.temperature))
 
     loader.reset_iterator(split)
     vocab = loader.dataset.ix_to_word
@@ -187,9 +191,16 @@ def eval_split(
                 cg_score = np.asarray(logprob)[:n_real].astype(float).tolist()
                 sents = decode_sequence(vocab, seq_np)
             else:
+                r_dec = None
+                if not greedy:
+                    import jax
+
+                    r_dec = jax.random.fold_in(
+                        jax.random.PRNGKey(int(kw.get("sample_seed", 0))), it)
                 seq, logps, active = decode_step(
                     cg_params, cfg, tap_feats, feats, jnp.asarray(batch.lda),
                     jnp.asarray(batch.frame_mask), props,
+                    greedy=greedy, temperature=temperature, rng=r_dec,
                 )
                 seq_np = np.asarray(seq)[:n_real]
                 if not bool(np.asarray(active)[0]):
@@ -321,6 +332,10 @@ def eval_split_batched(
     num_vids_eval = kw.get("num_vids_eval", cfg.eval.num_vids_eval) or loader.split_size(split)
     val_all_metrics = kw.get("val_all_metrics", cfg.eval.val_all_metrics)
     get_eval_loss = kw.get("get_eval_loss", True)
+    greedy = bool(int(kw.get("sample_max", cfg.eval.sample_max)))
+    temperature = float(kw.get("temperature", cfg.eval.temperature))
+    sample_base = jax.random.PRNGKey(int(kw.get("sample_seed", 0)))
+    dispatch_count = [0]
 
     loader.reset_iterator(split)
     vocab = loader.dataset.ix_to_word
@@ -444,8 +459,13 @@ def eval_split_batched(
         )
         lda_b = shard(jnp.asarray(np.stack([b.lda for b, _ in items_p])))
         fm_b = shard(jnp.asarray(np.stack([b.frame_mask for b, _ in items_p])))
+        r_dec = None
+        if not greedy:
+            r_dec = jax.random.fold_in(sample_base, dispatch_count[0])
+            dispatch_count[0] += 1
         seq_b, logps_b, active_b = decode_step_batched(
-            cg_params, cfg, tap_feats_b, feats_b, lda_b, fm_b, props
+            cg_params, cfg, tap_feats_b, feats_b, lda_b, fm_b, props,
+            greedy=greedy, temperature=temperature, rng=r_dec,
         )
         return (items, sel, nb, seq_b, logps_b, active_b)
 

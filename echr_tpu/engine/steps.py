@@ -390,6 +390,8 @@ def decode_step_batched(
     frame_mask: Array,  # [B, T]
     props: ProposalBatch,  # leaves with leading [B]
     greedy: bool = True,
+    temperature: float = 1.0,
+    rng: Optional[Array] = None,
 ):
     """Decode B videos' proposals in one program (vmapped captioner).
 
@@ -397,12 +399,18 @@ def decode_step_batched(
     LAST unfinished caption of the whole batch, so it almost never fires on
     real data while costing ~12% vs scan (docs/BENCH_NOTES.md)."""
     cg_c = _cast(cg_params, cfg)
-    return jax.vmap(
-        lambda th, f, l, fm, pr: captioner_sample(
+    B = tap_feats.shape[0]
+    rngs = jax.random.split(rng, B) if rng is not None else None
+
+    def one(th, f, l, fm, pr, r=None):
+        return captioner_sample(
             cg_c, cfg, th, f, l, pr, frame_mask=fm, greedy=greedy,
-            early_exit=False,
+            temperature=temperature, rng=r, early_exit=False,
         )
-    )(tap_feats, feats, lda, frame_mask, props)
+
+    if rngs is None:
+        return jax.vmap(one)(tap_feats, feats, lda, frame_mask, props)
+    return jax.vmap(one)(tap_feats, feats, lda, frame_mask, props, rngs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "beam_size", "length_alpha"))
@@ -467,9 +475,13 @@ def decode_step(
     frame_mask: Array,
     props: ProposalBatch,
     greedy: bool = True,
+    temperature: float = 1.0,
+    rng: Optional[Array] = None,
 ):
-    """Eval-mode decode of all proposals of one video."""
+    """Eval-mode decode of all proposals of one video.  greedy=False is the
+    reference's sample_max=0 multinomial path at `temperature`
+    (OldModel.sample :157-167); rng seeds the categorical draws."""
     return captioner_sample(
         _cast(cg_params, cfg), cfg, tap_feats, feats, lda, props,
-        frame_mask=frame_mask, greedy=greedy,
+        frame_mask=frame_mask, greedy=greedy, temperature=temperature, rng=rng,
     )

@@ -120,3 +120,35 @@ def test_resume_config_overlay(tmp_path):
     cli2 = cli.replace_in("save", no_exclude_opt=True)
     merged2 = overlay_resumed_config(cli2, saved)
     assert merged2.train.lr == 1e-3
+
+
+def test_sampling_eval_and_dead_flags(tmp_path):
+    """sample_max=0 multinomial eval (reference: OldModel.sample :141-167,
+    eval.py:119-125) reachable end-to-end, and reference dead flags are
+    accepted as no-ops by the train-CLI parser."""
+    from echr_tpu.cli.eval import main as eval_main
+    from echr_tpu.config import parse_config
+    from echr_tpu.engine.train import train
+
+    cfg = parse_config([
+        "--lambda3", "0.1", "--fast_eval_for_challenge", "1",  # dead no-ops
+        "--sample_max", "0", "--temperature", "1.3",
+    ])
+    assert cfg.eval.sample_max == 0
+    assert cfg.eval.temperature == 1.3
+
+    cfg = tiny_cfg(tmp_path).replace(run_id="SMP")
+    train(cfg, max_iterations=2)
+    eval_main([
+        "--folder_id", "SMP",
+        "--checkpoint_path", str(tmp_path),
+        "--which", "last",
+        "--flag_eval_what", "cg",
+        "--sample_max", "0",
+        "--temperature", "1.3",
+        "--topN", "10",
+        "--num_vids_eval", "2",
+        "--no_language_eval",
+    ])
+    out_files = [f for f in os.listdir(tmp_path / "SMP") if f.startswith("eval_")]
+    assert out_files, "sampling eval CLI wrote no prediction JSON"
