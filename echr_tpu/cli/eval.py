@@ -93,6 +93,12 @@ def main(argv=None) -> None:
     state = payload["state"]
 
     stamp = f"{ns.flag_eval_what}_top{ns.topN}_thr{ns.val_score_thres}_nms{ns.nms_threshold}"
+    # decode-mode dimensions, so a beam/sampling run doesn't overwrite the
+    # greedy run's predictions for the same proposal settings
+    if ns.beam_size > 1:
+        stamp += f"_beam{ns.beam_size}"
+    if not ns.sample_max:
+        stamp += f"_sampleT{ns.temperature}"
     json_path = os.path.join(folder, f"eval_{stamp}.json")
     if ns.batch_videos > 1:
         from echr_tpu.engine.evaluate import eval_split_batched

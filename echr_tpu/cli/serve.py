@@ -73,15 +73,19 @@ def main(argv=None) -> None:
     if not files:
         raise FileNotFoundError(f"no .npy feature files under {ns.features_dir}")
 
-    requests = []
-    for path in files:
-        vid = os.path.splitext(os.path.basename(path))[0]
-        feats = np.load(path).astype(np.float32)
-        dur = float(durations.get(vid, feats.shape[0] * ns.feature_seconds))
-        requests.append(CaptionRequest(vid=vid, feats=feats, duration=dur))
-
+    # stream: load + caption batch_videos files at a time so host RAM holds
+    # one chunk of features, not the whole directory (ActivityNet-scale
+    # dirs are multiple GB)
+    results = {}
     t0 = time.time()
-    results = service.caption(requests)
+    for i0 in range(0, len(files), ns.batch_videos):
+        requests = []
+        for path in files[i0 : i0 + ns.batch_videos]:
+            vid = os.path.splitext(os.path.basename(path))[0]
+            feats = np.load(path).astype(np.float32)
+            dur = float(durations.get(vid, feats.shape[0] * ns.feature_seconds))
+            requests.append(CaptionRequest(vid=vid, feats=feats, duration=dur))
+        results.update(service.caption(requests))
     dt = time.time() - t0
     n_caps = sum(len(v) for v in results.values())
     log.info("captioned %d videos (%d captions) in %.2fs (%.1f captions/s)",

@@ -425,7 +425,9 @@ def build_argparser() -> argparse.ArgumentParser:
         else:
             p.add_argument(f"--{alias}", type=int, default=None)
     for dead in _DEAD_FLAGS:
-        p.add_argument(f"--{dead}", type=str, default=None,
+        # nargs="?" accepts both bare (--fast_eval_for_challenge, a
+        # store_true in the reference, opts.py:269) and valued spellings
+        p.add_argument(f"--{dead}", nargs="?", const="1", default=None,
                        help="accepted no-op (declared but never read in the reference)")
     p.set_defaults(_bool_like=sorted(bool_like))
     return p

@@ -66,7 +66,13 @@ def beam_search(
     length_alpha: float = 0.0,
     early_exit: Optional[bool] = None,
 ) -> BeamResult:
-    """Decode every proposal with beam search in one jitted scan."""
+    """Decode every proposal with beam search in one jitted scan.
+
+    Early-exit note: rows with prop_mask==0 (bucket padding) are excluded
+    from the all-finished exit test, so on the early-exit path their beams
+    may be frozen mid-decode — their contents are unspecified (they are
+    meaningless on the scan path too: degenerate [0,1) windows).  Callers
+    slice to the real proposal count."""
     N = ctxs.prop_mask.shape[0]
     B = beam_size
     L = cfg.decoder.CG_seq_length
@@ -125,10 +131,15 @@ def beam_search(
         # are provable no-ops (each finished beam's only candidate is END at
         # +0, top_k keeps the already-sorted scores, tokens stay 0) — a
         # while_loop skips them (the reference's break, OldModel_NEW.py:122)
+        pad_prop = (ctxs.prop_mask <= 0)  # [N] bucket-padding proposals
+
         def cond(carry):
             t = carry[0]
             finished = carry[1][3]
-            return (t < L) & jnp.logical_not(jnp.all(finished))
+            # padded proposals decode garbage from their degenerate [0,1)
+            # window and may never emit END — exclude them from the
+            # all-finished test (like the greedy exit's prop_mask guard)
+            return (t < L) & jnp.logical_not(jnp.all(finished | pad_prop[:, None]))
 
         def wbody(carry):
             t, inner = carry

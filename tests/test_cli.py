@@ -131,7 +131,8 @@ def test_sampling_eval_and_dead_flags(tmp_path):
     from echr_tpu.engine.train import train
 
     cfg = parse_config([
-        "--lambda3", "0.1", "--fast_eval_for_challenge", "1",  # dead no-ops
+        "--lambda3", "0.1",
+        "--fast_eval_for_challenge",  # bare, store_true in the reference
         "--sample_max", "0", "--temperature", "1.3",
     ])
     assert cfg.eval.sample_max == 0

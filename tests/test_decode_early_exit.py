@@ -96,6 +96,32 @@ def test_beam_while_equals_scan(setup, eos_bias):
     assert np.array_equal(np.asarray(r1.all_seqs), np.asarray(r2.all_seqs))
 
 
+def test_beam_early_exit_with_padded_proposals(setup):
+    """Bucket-padding proposals (prop_mask==0) must not block the beam
+    early exit (their degenerate windows may never emit END); real rows
+    stay exact vs the scan."""
+    from echr_tpu.models.beam import beam_search
+    from echr_tpu.models.captioner import make_contexts
+
+    cfg, cg, tap_feats, feats, lda, fm, props = setup
+    cg2 = jax.tree.map(lambda x: x, cg)
+    b = np.zeros(cfg.decoder.CG_vocab_size + 1, np.float32)
+    b[0] = 5.0
+    cg2["decoder"]["logit"]["b"] = jnp.asarray(b)
+    pm = np.asarray(props.prop_mask).copy()
+    pm[-3:] = 0.0  # last rows are padding
+    props_pad = props._replace(prop_mask=jnp.asarray(pm))
+    ctxs = make_contexts(cg2, cfg, tap_feats, feats, lda, props_pad,
+                         frame_mask=fm, train=False)
+    r1 = beam_search(cg2["decoder"], cfg, ctxs, 3)
+    r2 = beam_search(cg2["decoder"],
+                     cfg.replace_in("runtime", decode_early_exit=False), ctxs, 3)
+    n_real = int((pm > 0).sum())
+    assert np.array_equal(np.asarray(r1.seq)[:n_real], np.asarray(r2.seq)[:n_real])
+    np.testing.assert_allclose(np.asarray(r1.logprob)[:n_real],
+                               np.asarray(r2.logprob)[:n_real], atol=1e-6)
+
+
 def test_while_under_vmap(setup):
     """decode_step_batched vmaps decoder_sample; while_loop must batch."""
     cfg, cg, tap_feats, feats, lda, fm, props = setup
