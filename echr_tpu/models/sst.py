@@ -24,6 +24,12 @@ from echr_tpu.ops.recurrent import lstm_stack, lstm_stack_init
 
 Array = jax.Array
 
+# lax.scan unroll for the frame recurrence: the body is one tiny
+# [B, H] @ [H, 4H] matmul, so loop overhead is a real fraction of each
+# step; 8 measures ~12% faster at flagship encode dims and is bit-exact
+# (docs/BENCH_NOTES.md).
+_SCAN_UNROLL = 8
+
 
 def init_sst(rng: Array, cfg: Config):
     k_rnn, k_out, k_red = jax.random.split(rng, 3)
@@ -52,7 +58,7 @@ def sst_forward(
     xs = feats[:, None, :]  # [T, 1, D] — single-video fast path
     hs, _ = lstm_stack(
         params["rnn"], xs, dropout_rate=dropout_rate, train=train, rng=rng,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, unroll=_SCAN_UNROLL,
     )
     tap_feats = hs[:, 0, :]  # [T, H]
     scores = jax.nn.sigmoid(dense(params["scores"], tap_feats, compute_dtype))
@@ -77,7 +83,7 @@ def sst_forward_batched(
     xs = jnp.swapaxes(feats, 0, 1)  # [T, B, D]
     hs, _ = lstm_stack(
         params["rnn"], xs, dropout_rate=dropout_rate, train=train, rng=rng,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, unroll=_SCAN_UNROLL,
     )
     tap_feats = jnp.swapaxes(hs, 0, 1)  # [B, T, H]
     scores = jax.nn.sigmoid(dense(params["scores"], tap_feats, compute_dtype))

