@@ -52,6 +52,100 @@ def _additive_scores(alpha_p, pre_att: Array, att_h: Array, compute_dtype) -> Ar
 _additive_scores_remat = jax.checkpoint(_additive_scores, static_argnums=(3,))
 
 
+# ---------------------------------------------------------------------------
+# Group-shared windowed attention — kept as infrastructure (FOURTH negative
+# result on the decode-attention bottleneck, round 2b; see BENCH_NOTES).
+# Proposals sorted by window start in groups of ng share ONE [tg, Hatt]
+# dynamic pre_att slice, keeping the broadcast-fused form while computing
+# ~tg/T of the tanh work.  Isolated fori_loop probe: 8.8 vs 13.2 ms/step
+# (33% faster).  Integrated into the real vmapped decode scan: 158 vs
+# 104 ms/batch (50% SLOWER) — the per-group vmap + 512 dynamic slices per
+# step break XLA's scan fusion and the [ng, tg] x [tg, D] weighted sums
+# underfill the MXU.  Exact modulo bf16 matmul reassociation
+# (tests/test_grouped_attention.py); not wired into the decode path.
+# ---------------------------------------------------------------------------
+
+
+def grouped_tg_required(soi, n_group: int) -> int:
+    """Host-side helper: the slice length TG needed for grouped windowed
+    attention over these [N, 2] windows with groups of n_group proposals.
+    The caller may use a grouped config only when the config's
+    grouped_attention_tg >= this value (else windows leak out of their
+    group's slice and the math breaks)."""
+    import numpy as np
+
+    soi = np.asarray(soi)
+    if soi.ndim == 3:  # [B, N, 2] batched
+        return max(int(grouped_tg_required(s, n_group)) for s in soi)
+    order = np.argsort(soi[:, 0], kind="stable")
+    s = soi[order, 0]
+    e = soi[order, 1]
+    n = len(s) - (len(s) % n_group)
+    if n == 0:
+        return int((e - s).max(initial=1))
+    gs = s[:n].reshape(-1, n_group)
+    ge = e[:n].reshape(-1, n_group)
+    need = int((ge.max(1) - gs.min(1)).max(initial=1))
+    if n < len(s):  # ragged tail group
+        need = max(need, int((e[n:] - s[n:]).max(initial=1)))
+    return need
+
+
+def grouped_attention_precompute(pre_att: Array, clip_mask: Array,
+                                 tg: int, ng: int):
+    """In-graph grouping metadata, once per video (outside the decode scan).
+
+    clip_mask [N, T] contiguous per-proposal windows.  Returns a dict with
+    the start-sorted proposal order, its inverse, each group's shared slice
+    start (clamped into [0, T-tg]), and the window masks relative to the
+    slice.  Correctness requires every window to fit its group's slice —
+    verified by the CALLER on host (grouped_tg_required)."""
+    N, T = clip_mask.shape
+    idx = jnp.arange(T)[None, :]
+    start = jnp.min(jnp.where(clip_mask > 0, idx, T), axis=1)  # [N]
+    end = jnp.max(jnp.where(clip_mask > 0, idx + 1, 0), axis=1)
+    order = jnp.argsort(start, stable=True).astype(jnp.int32)
+    inv_order = jnp.argsort(order, stable=True).astype(jnp.int32)
+    g = N // ng
+    gs = start[order].reshape(g, ng)
+    ge = end[order].reshape(g, ng)
+    slice_start = jnp.clip(jnp.min(gs, axis=1), 0, T - tg).astype(jnp.int32)  # [g]
+    rel_lo = (gs - slice_start[:, None])[..., None]  # [g, ng, 1]
+    rel_hi = (ge - slice_start[:, None])[..., None]
+    pos = jnp.arange(tg)[None, None, :]
+    rel = ((pos >= rel_lo) & (pos < rel_hi)).astype(jnp.float32)  # [g, ng, tg]
+    return {"order": order, "inv_order": inv_order,
+            "slice_start": slice_start, "rel": rel}
+
+
+def grouped_attention_step(p, h: Array, feats: Array, pre_att: Array,
+                           grp, compute_dtype) -> Array:
+    """Windowed attention via group-shared pre_att slices.
+
+    Each group of ng start-sorted proposals computes tanh scores over ONE
+    [tg, Hatt] dynamic slice (a shared broadcast operand, like the full-T
+    path) instead of all T frames.  Equal to the full-T masked attention
+    up to bf16 matmul reassociation (the weighted sum runs over tg instead
+    of T terms).  Returns att_res [N, D]; attention weights are not
+    materialised on this path."""
+    N = h.shape[0]
+    g, ng, tg = grp["rel"].shape
+    att_h = dense(p["h2att"], h, compute_dtype)  # [N, Hatt]
+    ah = att_h[grp["order"]].reshape(g, ng, -1)
+
+    def one_group(s0, ahg, rel):
+        pslice = jax.lax.dynamic_slice(pre_att, (s0, 0), (tg, pre_att.shape[1]))
+        fslice = jax.lax.dynamic_slice(feats, (s0, 0), (tg, feats.shape[1]))
+        scores = dense(p["alpha_net"],
+                       jnp.tanh(pslice[None] + ahg[:, None]), compute_dtype)[..., 0]
+        w = masked_softmax(scores, rel, axis=-1)
+        return jnp.dot(w.astype(compute_dtype), fslice.astype(compute_dtype),
+                       preferred_element_type=jnp.float32)  # [ng, D]
+
+    att = jax.vmap(one_group)(grp["slice_start"], ah, grp["rel"]).reshape(N, -1)
+    return att[grp["inv_order"]]
+
+
 def additive_attention_step(
     p,
     h: Array,
@@ -61,6 +155,7 @@ def additive_attention_step(
     compute_dtype=None,
     use_pallas: bool = False,
     remat: bool = False,
+    grouping=None,
 ) -> Tuple[Array, Array]:
     """One attention step for all proposals at once.
 
@@ -70,9 +165,13 @@ def additive_attention_step(
     use_pallas routes the score computation through the fused Pallas kernel
     (no [N, T, H] HBM intermediate) — no-grad decode paths only.
     remat recomputes the tanh in the backward pass — training paths.
+    grouping (from grouped_attention_precompute) selects the group-shared
+    windowed path — no-grad decode paths only; weights are returned as None.
     """
     if compute_dtype is None:
         compute_dtype = p["h2att"]["w"].dtype
+    if grouping is not None:
+        return grouped_attention_step(p, h, feats, pre_att, grouping, compute_dtype), None
     att_h = dense(p["h2att"], h, compute_dtype)  # [N, Hatt]
     if use_pallas:
         from echr_tpu.ops import pallas_attention
