@@ -262,6 +262,47 @@ def bench_train(cfg, tap_params, cg_params):
     return results
 
 
+def bench_e2e_eval(cfg, tap_params, cg_params, num_videos=192):
+    """End-to-end eval pipeline at flagship dims: threaded Loader ->
+    batched encode -> host top-N proposal selection -> batched greedy
+    decode -> prediction JSON.  The wall-clock a user sees for 'evaluate
+    the split' (reference: eval_utils.eval_split over ~5k videos, one
+    video per Python step; here eval_split_batched).  Scoring excluded
+    (host-side metrics, identical cost in either framework)."""
+    import tempfile
+
+    import jax
+
+    from echr_tpu.data.dataset import SyntheticDataset
+    from echr_tpu.data.loader import Loader
+    from echr_tpu.engine.evaluate import eval_split_batched
+
+    cfg_e = cfg.replace_in(
+        "data", synthetic=True, synthetic_num_videos=num_videos,
+        synthetic_vocab_size=VOCAB, synthetic_seq_length=SEQ_LEN, shuffle=False,
+    )
+    ds = SyntheticDataset(cfg_e, num_videos=num_videos, seed=11)
+    loader = Loader(ds, cfg_e, seed=0, process_index=0, process_count=1)
+    n_val = loader.split_size("val")
+    with tempfile.TemporaryDirectory() as td:
+        kw = {"language_eval": False, "get_eval_loss": False, "topN": N_PROPS}
+        # warmup pass compiles every (bucket, prop-bucket) program
+        eval_split_batched(tap_params, cg_params, loader, cfg_e,
+                           f"{td}/warm.json", eval_kwargs=kw,
+                           flag_eval_what="tap_cg", batch_videos=BATCH_VIDEOS)
+        t0 = time.time()
+        preds, _, _ = eval_split_batched(
+            tap_params, cg_params, loader, cfg_e, f"{td}/bench.json",
+            eval_kwargs=kw, flag_eval_what="tap_cg", batch_videos=BATCH_VIDEOS)
+        dt = time.time() - t0
+    n_caps = sum(len(v) for v in preds.values())
+    log(f"e2e eval: {n_val} videos ({n_caps} captions) in {dt:.2f}s -> "
+        f"{n_val/dt:.1f} videos/s, {n_caps/dt:.0f} captions/s")
+    return {"videos_per_s": round(n_val / dt, 2),
+            "captions_per_s": round(n_caps / dt, 1),
+            "videos": n_val}
+
+
 def bench_torch(cfg, tap_params, cg_params, feats, lda, frame_mask, ind, soi):
     """Reference-architecture torch baseline on host CPU (ragged windows,
     per-step re-projected attention — the reference's actual compute)."""
@@ -343,6 +384,11 @@ def main():
     except Exception as e:
         log(f"train throughput bench failed: {e}")
         train_stats = None
+    try:
+        e2e_stats = bench_e2e_eval(cfg, tap_params, cg_params)
+    except Exception as e:
+        log(f"e2e eval bench failed: {e}")
+        e2e_stats = None
     vs = cps / base if base == base and base > 0 else None
     print(json.dumps({
         "metric": "captions/sec/chip (flagship ECHR eval: SST+TSRM+three_stream greedy)",
@@ -350,6 +396,7 @@ def main():
         "unit": "captions/s",
         "vs_baseline": round(vs, 2) if vs else None,
         "train_throughput": train_stats,
+        "e2e_eval": e2e_stats,
     }))
 
 

@@ -366,7 +366,24 @@ def eval_split_batched(
 
         feats_b = shard(jnp.asarray(np.stack([b.feats for b, _ in items_p])))
         tap_feats_b, pred_props_b = encode_step_batched(tap_params, feats_b, cfg)
-        pp_b = np.asarray(pred_props_b)
+        # tap/tap_cg without NMS: top-N selection runs ON DEVICE
+        # (selection-identical to P.top_proposals, see select_topk_batched)
+        # — fetches [B, nb] indices instead of the [B, T, K] score grid
+        device_sel = flag_eval_what in ("tap", "tap_cg") and not nms_threshold
+        if device_sel:
+            from echr_tpu.engine.steps import select_topk_batched
+
+            nb_sel = _prop_bucket(topN)
+            nfr = jnp.asarray([m.n_frames for _, m in items_p], jnp.int32)
+            idx_b, cnt_b, conf_b = select_topk_batched(
+                pred_props_b, nfr, topN=topN, nb=nb_sel,
+                val_score_thres=val_score_thres,
+            )
+            idx_np = np.asarray(idx_b)
+            cnt_np = np.asarray(cnt_b)
+            conf_np = np.asarray(conf_b)
+        else:
+            pp_b = np.asarray(pred_props_b)
 
         if get_eval_loss and split != "test":
             nonlocal loss_vids
@@ -387,7 +404,20 @@ def eval_split_batched(
         # host-side proposal selection per video
         sel = []
         max_n = 1
+        K = cfg.tap.K
         for i, (batch, meta) in enumerate(items):
+            if device_sel:
+                n = int(min(cnt_np[i], nb_sel))
+                flat = idx_np[i][:n].astype(np.int64)
+                tt, kk = flat // K, flat % K
+                ind = tt.tolist()
+                soi = np.stack([tt - kk, tt + 1], axis=1).tolist()
+                ts = [featstamp_to_time(int(s), int(e), meta.n_frames, meta.duration)
+                      for s, e in soi]
+                tp = conf_np[i][:n].astype(float).tolist()
+                sel.append((ind, soi, ts, tp))
+                max_n = max(max_n, n)
+                continue
             pp = pp_b[i][: meta.n_frames]
             masks = np.asarray(batch.tap_masks)[: meta.n_frames]
             cg_gts = meta.gts_index * (

@@ -371,6 +371,46 @@ def val_loss_step_batched(
     )(batch)
 
 
+@functools.partial(jax.jit, static_argnames=("topN", "nb"))
+def select_topk_batched(
+    pred_props: Array,  # [B, T, K] sigmoid scores
+    n_frames: Array,  # [B] valid frame counts
+    topN: int,
+    nb: int,  # static output slots (>= host bucket cap)
+    val_score_thres: float = 0.0,
+):
+    """Device-side vectorized `gettop1000` — selection-identical to
+    engine.proposals.top_proposals (reference: eval_utils.py:259-287),
+    including its quirks: threshold = topN-th largest masked score of the
+    [n_frames, K] grid, selection = every anchor >= max(threshold,
+    val_score_thres) with the t >= k guard (which re-admits zero-score
+    anchors when the threshold is 0), row-major (t, k) order, truncated to
+    nb slots (the host path truncates to the same bucket cap in the same
+    order).  Returns (flat_idx [B, nb] into the [T, K] grid with T*K
+    fill, count [B], confidence [B, nb]) — a ~KB fetch instead of the
+    [B, T, K] score grid."""
+    B, T, K = pred_props.shape
+    t = jnp.arange(T)[:, None]
+    k = jnp.arange(K)[None, :]
+    amask = (k < jnp.minimum(K, t)).astype(pred_props.dtype)  # anchor_mask
+
+    def one(pp, nf):
+        valid_t = (jnp.arange(T) < nf)[:, None]
+        masked = pp * amask * valid_t
+        flat = masked.reshape(-1)
+        # scores are sigmoid >= 0 and frames >= nf are zeroed, so the
+        # topN-th largest over T*K equals the host's over nf*K (extra
+        # zeros only displace zeros)
+        thr = jnp.maximum(jax.lax.top_k(flat, min(topN, T * K))[0][-1],
+                          val_score_thres)
+        sel = (masked >= thr) & (t >= k) & valid_t
+        idx = jnp.nonzero(sel.reshape(-1), size=nb, fill_value=T * K)[0]
+        conf = jnp.where(idx < T * K, flat[jnp.minimum(idx, T * K - 1)], 0.0)
+        return idx.astype(jnp.int32), jnp.sum(sel).astype(jnp.int32), conf
+
+    return jax.vmap(one)(pred_props, n_frames)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def encode_step_batched(tap_params, feats: Array, cfg: Config):
     """Eval-mode SST encode over a [B, T, D] video batch — B videos fill the

@@ -1,0 +1,92 @@
+"""Device-side top-N proposal selection == host top_proposals, exactly.
+
+select_topk_batched replaces the [B, T, K] score-grid fetch + host scan in
+the batched eval pipeline; these tests pin selection-identity against the
+golden-tested host path (engine.proposals.top_proposals) on real batcher
+masks, tie storms (untrained all-zero scores), threshold clamps, and
+varying n_frames.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from echr_tpu.config import flagship_config
+from echr_tpu.data.labels import anchor_mask, featstamp_to_time
+from echr_tpu.engine import proposals as P
+from echr_tpu.engine.steps import select_topk_batched
+
+
+def _host_sel(pp, nf, K, topN, thres, nb):
+    masks = anchor_mask(nf, K)
+    ind, soi, _, ts, tp = P.top_proposals(
+        pp[:nf], masks, None, 30.0, featstamp_to_time,
+        val_score_thres=thres, topN=topN,
+    )
+    return ind[:nb], [list(s) for s in soi[:nb]], tp[:nb]
+
+
+def _device_sel(pp_b, nfr, K, topN, thres, nb):
+    idx_b, cnt_b, conf_b = select_topk_batched(
+        jnp.asarray(pp_b), jnp.asarray(nfr, jnp.int32), topN=topN, nb=nb,
+        val_score_thres=thres,
+    )
+    out = []
+    for i in range(len(nfr)):
+        n = int(min(np.asarray(cnt_b)[i], nb))
+        flat = np.asarray(idx_b)[i][:n].astype(np.int64)
+        tt, kk = flat // K, flat % K
+        out.append((tt.tolist(),
+                    np.stack([tt - kk, tt + 1], 1).tolist(),
+                    np.asarray(conf_b)[i][:n].astype(float).tolist()))
+    return out
+
+
+@pytest.mark.parametrize("thres", [0.0, 0.4])
+@pytest.mark.parametrize("topN", [10, 100])
+def test_device_select_matches_host(topN, thres):
+    T, K, B, nb = 96, 64, 4, 128
+    r = np.random.RandomState(0)
+    pp_b = r.rand(B, T, K).astype(np.float32)
+    nfr = np.array([96, 50, 7, 2])
+    dev = _device_sel(pp_b, nfr, K, topN, thres, nb)
+    for i in range(B):
+        h_ind, h_soi, h_tp = _host_sel(pp_b[i], int(nfr[i]), K, topN, thres, nb)
+        d_ind, d_soi, d_tp = dev[i]
+        assert d_ind == h_ind, f"video {i}"
+        assert d_soi == h_soi
+        np.testing.assert_allclose(d_tp, h_tp, rtol=1e-6)
+
+
+def test_device_select_tie_storm():
+    """All-equal scores (untrained model): threshold==score, every valid
+    anchor qualifies; both paths truncate the row-major order at nb."""
+    T, K, nb = 64, 32, 128
+    pp = np.full((1, T, K), 0.5, np.float32)
+    dev = _device_sel(pp, np.array([T]), K, 10, 0.0, nb)
+    h_ind, h_soi, h_tp = _host_sel(pp[0], T, K, 10, 0.0, nb)
+    assert dev[0][0] == h_ind
+    assert dev[0][1] == h_soi
+
+
+def test_device_select_matches_batcher_masks():
+    """The in-graph anchor mask must equal the batcher's tap_masks within
+    the valid-frame range (the host path uses batch.tap_masks)."""
+    from echr_tpu.data.batcher import make_batch
+    from echr_tpu.data.dataset import SyntheticDataset
+
+    cfg = flagship_config().replace_in(
+        "data", synthetic=True, lda_dim=100, time_buckets=(64,))
+    cfg = cfg.replace_in("tap", video_dim=16, hidden_dim=16, K=24,
+                         prop_sample_num=8).validate()
+    ds = SyntheticDataset(cfg, num_videos=3, seed=5)
+    r = np.random.RandomState(1)
+    for i in range(3):
+        batch, meta = make_batch(ds.get_example(i), cfg, r, w1=ds.w1)
+        got = np.asarray(batch.tap_masks)[: meta.n_frames]
+        want = anchor_mask(meta.n_frames, cfg.tap.K)
+        assert np.array_equal(got, want)
+        # end-to-end: device select on this video's (random) scores
+        pp = r.rand(1, np.asarray(batch.tap_masks).shape[0], cfg.tap.K).astype(np.float32)
+        dev = _device_sel(pp, np.array([meta.n_frames]), cfg.tap.K, 10, 0.0, 64)
+        h = _host_sel(pp[0], meta.n_frames, cfg.tap.K, 10, 0.0, 64)
+        assert dev[0][0] == h[0] and dev[0][1] == h[1]
