@@ -145,27 +145,48 @@ class CaptionService:
                 if pending is not None:
                     collect(pending)
                     pending = None
-                pp = np.asarray(pred_props)
 
                 sels = []
                 max_n = 1
-                from echr_tpu.data.labels import anchor_mask
+                if not self.nms_threshold:
+                    # top-N selection on device (== P.top_proposals, see
+                    # engine.steps.select_topk_batched): fetch [B, nb]
+                    # indices instead of the [B, T, K] score grid
+                    from echr_tpu.engine.steps import select_topk_batched
 
-                for i, r in enumerate(chunk):
-                    T = int(fmask[i].sum())
-                    masks = anchor_mask(T, cfg.tap.K)
-                    if self.nms_threshold:
+                    K = cfg.tap.K
+                    nb_sel = next((b for b in PROP_BUCKETS if self.topN <= b),
+                                  PROP_BUCKETS[-1])
+                    nfr = np.array([int(fmask[i].sum()) for i in range(Bp)],
+                                   np.int32)
+                    idx_b, cnt_b, conf_b = select_topk_batched(
+                        pred_props, jnp.asarray(nfr), topN=self.topN, nb=nb_sel)
+                    idx_np, cnt_np, conf_np = (
+                        np.asarray(idx_b), np.asarray(cnt_b), np.asarray(conf_b))
+                    for i, r in enumerate(chunk):
+                        n = int(min(cnt_np[i], nb_sel))
+                        flat = idx_np[i][:n].astype(np.int64)
+                        tt, kk = flat // K, flat % K
+                        ind = tt.tolist()
+                        soi = np.stack([tt - kk, tt + 1], 1).tolist()
+                        ts = [featstamp_to_time(int(s), int(e), int(nfr[i]), r.duration)
+                              for s, e in soi]
+                        tp = conf_np[i][:n].astype(float).tolist()
+                        sels.append((ind, soi, ts, tp))
+                        max_n = max(max_n, n)
+                else:
+                    pp = np.asarray(pred_props)
+                    from echr_tpu.data.labels import anchor_mask
+
+                    for i, r in enumerate(chunk):
+                        T = int(fmask[i].sum())
+                        masks = anchor_mask(T, cfg.tap.K)
                         ind, soi, _, ts, tp = P.top_proposals_nms(
                             pp[i][:T], masks, None, r.duration, featstamp_to_time,
                             overlap=self.nms_threshold, topN=self.topN,
                         )
-                    else:
-                        ind, soi, _, ts, tp = P.top_proposals(
-                            pp[i][:T], masks, None, r.duration, featstamp_to_time,
-                            topN=self.topN,
-                        )
-                    sels.append((ind, soi, ts, tp))
-                    max_n = max(max_n, len(ind))
+                        sels.append((ind, soi, ts, tp))
+                        max_n = max(max_n, len(ind))
 
                 nb = next((b for b in PROP_BUCKETS if max_n <= b), PROP_BUCKETS[-1])
                 pi = np.zeros((Bp, nb), np.int32)
