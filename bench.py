@@ -264,14 +264,13 @@ def bench_train(cfg, tap_params, cg_params):
 
 def bench_e2e_eval(cfg, tap_params, cg_params, num_videos=192):
     """End-to-end eval pipeline at flagship dims: threaded Loader ->
-    batched encode -> host top-N proposal selection -> batched greedy
-    decode -> prediction JSON.  The wall-clock a user sees for 'evaluate
-    the split' (reference: eval_utils.eval_split over ~5k videos, one
-    video per Python step; here eval_split_batched).  Scoring excluded
+    batched encode -> DEVICE-side top-N proposal selection
+    (select_topk_batched; the tap_cg/nms=0 path) -> batched greedy decode
+    -> prediction JSON.  The wall-clock a user sees for 'evaluate the
+    split' (reference: eval_utils.eval_split over ~5k videos, one video
+    per Python step; here eval_split_batched).  Scoring excluded
     (host-side metrics, identical cost in either framework)."""
     import tempfile
-
-    import jax
 
     from echr_tpu.data.dataset import SyntheticDataset
     from echr_tpu.data.loader import Loader

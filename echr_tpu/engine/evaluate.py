@@ -373,7 +373,9 @@ def eval_split_batched(
         if device_sel:
             from echr_tpu.engine.steps import select_topk_batched
 
-            nb_sel = _prop_bucket(topN)
+            # bucket CEILING, not bucket(topN): threshold ties can exceed
+            # topN and the host path truncates at bucket(max_n) <= ceiling
+            nb_sel = PROP_BUCKETS[-1]
             nfr = jnp.asarray([m.n_frames for _, m in items_p], jnp.int32)
             idx_b, cnt_b, conf_b = select_topk_batched(
                 pred_props_b, nfr, topN=topN, nb=nb_sel,
@@ -407,16 +409,13 @@ def eval_split_batched(
         K = cfg.tap.K
         for i, (batch, meta) in enumerate(items):
             if device_sel:
-                n = int(min(cnt_np[i], nb_sel))
-                flat = idx_np[i][:n].astype(np.int64)
-                tt, kk = flat // K, flat % K
-                ind = tt.tolist()
-                soi = np.stack([tt - kk, tt + 1], axis=1).tolist()
-                ts = [featstamp_to_time(int(s), int(e), meta.n_frames, meta.duration)
-                      for s, e in soi]
-                tp = conf_np[i][:n].astype(float).tolist()
+                from echr_tpu.engine.steps import unpack_topk_selection
+
+                ind, soi, ts, tp = unpack_topk_selection(
+                    idx_np[i], cnt_np[i], nb_sel, K, meta.n_frames,
+                    meta.duration, featstamp_to_time, conf_np[i])
                 sel.append((ind, soi, ts, tp))
-                max_n = max(max_n, n)
+                max_n = max(max_n, len(ind))
                 continue
             pp = pp_b[i][: meta.n_frames]
             masks = np.asarray(batch.tap_masks)[: meta.n_frames]

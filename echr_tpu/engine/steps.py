@@ -385,9 +385,12 @@ def select_topk_batched(
     [n_frames, K] grid, selection = every anchor >= max(threshold,
     val_score_thres) with the t >= k guard (which re-admits zero-score
     anchors when the threshold is 0), row-major (t, k) order, truncated to
-    nb slots (the host path truncates to the same bucket cap in the same
-    order).  Returns (flat_idx [B, nb] into the [T, K] grid with T*K
-    fill, count [B], confidence [B, nb]) — a ~KB fetch instead of the
+    nb slots.  Pass nb = the proposal-bucket CEILING (PROP_BUCKETS[-1]),
+    not _prop_bucket(topN): threshold ties can push the count past topN,
+    and the host path truncates at _prop_bucket(max_n) <= ceiling — with
+    nb = ceiling the device truncation is identical in every case.
+    Returns (flat_idx [B, nb] into the [T, K] grid with T*K fill,
+    count [B], confidence [B, nb]) — a ~256 KB fetch instead of the
     [B, T, K] score grid."""
     B, T, K = pred_props.shape
     t = jnp.arange(T)[:, None]
@@ -409,6 +412,23 @@ def select_topk_batched(
         return idx.astype(jnp.int32), jnp.sum(sel).astype(jnp.int32), conf
 
     return jax.vmap(one)(pred_props, n_frames)
+
+
+def unpack_topk_selection(idx_row, count, nb: int, K: int, n_frames: int,
+                          duration: float, featstamp_to_time, conf_row):
+    """Host-side decode of one video's select_topk_batched row into the
+    (ind, soi, timestamps, confidence) lists the eval/serving paths use —
+    the single place that knows the flat row-major (t*K + k) layout."""
+    import numpy as np
+
+    n = int(min(count, nb))
+    flat = np.asarray(idx_row)[:n].astype(np.int64)
+    tt, kk = flat // K, flat % K
+    ind = tt.tolist()
+    soi = np.stack([tt - kk, tt + 1], axis=1).tolist()
+    ts = [featstamp_to_time(int(s), int(e), n_frames, duration) for s, e in soi]
+    tp = np.asarray(conf_row)[:n].astype(float).tolist()
+    return ind, soi, ts, tp
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -82,24 +82,27 @@ def grouped_tg_required(soi, n_group: int) -> int:
     e = soi[order, 1]
     n = len(s) - (len(s) % n_group)
     if n == 0:
-        return int((e - s).max(initial=1))
+        return int((e.max(initial=1) - s.min(initial=0)))
     gs = s[:n].reshape(-1, n_group)
     ge = e[:n].reshape(-1, n_group)
     need = int((ge.max(1) - gs.min(1)).max(initial=1))
-    if n < len(s):  # ragged tail group
-        need = max(need, int((e[n:] - s[n:]).max(initial=1)))
+    if n < len(s):  # ragged tail treated as one (shorter) group: its SPAN
+        need = max(need, int(e[n:].max() - s[n:].min()))
     return need
 
 
-def grouped_attention_precompute(pre_att: Array, clip_mask: Array,
-                                 tg: int, ng: int):
+def grouped_attention_precompute(clip_mask: Array, tg: int, ng: int):
     """In-graph grouping metadata, once per video (outside the decode scan).
 
-    clip_mask [N, T] contiguous per-proposal windows.  Returns a dict with
-    the start-sorted proposal order, its inverse, each group's shared slice
-    start (clamped into [0, T-tg]), and the window masks relative to the
-    slice.  Correctness requires every window to fit its group's slice —
-    verified by the CALLER on host (grouped_tg_required)."""
+    Pure window geometry (no attention features).  clip_mask [N, T]
+    contiguous per-proposal windows (reference: the padded clip windows of
+    CaptionGenerator.get_clip_context, CaptionGenerator.py:142-160, which
+    the masked full-T attention replaces).  Requires ng | N (groups are
+    dense reshapes).  Returns a dict with the start-sorted proposal order,
+    its inverse, each group's shared slice start (clamped into [0, T-tg]),
+    and the window masks relative to the slice.  Correctness requires
+    every window to fit its group's slice — verified by the CALLER on
+    host (grouped_tg_required)."""
     N, T = clip_mask.shape
     idx = jnp.arange(T)[None, :]
     start = jnp.min(jnp.where(clip_mask > 0, idx, T), axis=1)  # [N]
@@ -122,12 +125,14 @@ def grouped_attention_step(p, h: Array, feats: Array, pre_att: Array,
                            grp, compute_dtype) -> Array:
     """Windowed attention via group-shared pre_att slices.
 
-    Each group of ng start-sorted proposals computes tanh scores over ONE
-    [tg, Hatt] dynamic slice (a shared broadcast operand, like the full-T
-    path) instead of all T frames.  Equal to the full-T masked attention
-    up to bf16 matmul reassociation (the weighted sum runs over tg instead
-    of T terms).  Returns att_res [N, D]; attention weights are not
-    materialised on this path."""
+    Same math as the reference's per-proposal windowed additive attention
+    (Attention.forward, OldModel_NEW.py:386-401 — score over the window,
+    masked softmax, weighted sum): each group of ng start-sorted proposals
+    computes tanh scores over ONE [tg, Hatt] dynamic slice (a shared
+    broadcast operand, like the full-T path) instead of all T frames.
+    Equal to the full-T masked attention up to bf16 matmul reassociation
+    (the weighted sum runs over tg instead of T terms).  Returns
+    att_res [N, D]; attention weights are not materialised on this path."""
     N = h.shape[0]
     g, ng, tg = grp["rel"].shape
     att_h = dense(p["h2att"], h, compute_dtype)  # [N, Hatt]

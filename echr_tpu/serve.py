@@ -152,11 +152,15 @@ class CaptionService:
                     # top-N selection on device (== P.top_proposals, see
                     # engine.steps.select_topk_batched): fetch [B, nb]
                     # indices instead of the [B, T, K] score grid
-                    from echr_tpu.engine.steps import select_topk_batched
+                    from echr_tpu.engine.steps import (
+                        select_topk_batched,
+                        unpack_topk_selection,
+                    )
 
                     K = cfg.tap.K
-                    nb_sel = next((b for b in PROP_BUCKETS if self.topN <= b),
-                                  PROP_BUCKETS[-1])
+                    # bucket ceiling so threshold ties are kept exactly
+                    # like the host path (see select_topk_batched)
+                    nb_sel = PROP_BUCKETS[-1]
                     nfr = np.array([int(fmask[i].sum()) for i in range(Bp)],
                                    np.int32)
                     idx_b, cnt_b, conf_b = select_topk_batched(
@@ -164,16 +168,11 @@ class CaptionService:
                     idx_np, cnt_np, conf_np = (
                         np.asarray(idx_b), np.asarray(cnt_b), np.asarray(conf_b))
                     for i, r in enumerate(chunk):
-                        n = int(min(cnt_np[i], nb_sel))
-                        flat = idx_np[i][:n].astype(np.int64)
-                        tt, kk = flat // K, flat % K
-                        ind = tt.tolist()
-                        soi = np.stack([tt - kk, tt + 1], 1).tolist()
-                        ts = [featstamp_to_time(int(s), int(e), int(nfr[i]), r.duration)
-                              for s, e in soi]
-                        tp = conf_np[i][:n].astype(float).tolist()
+                        ind, soi, ts, tp = unpack_topk_selection(
+                            idx_np[i], cnt_np[i], nb_sel, K, int(nfr[i]),
+                            r.duration, featstamp_to_time, conf_np[i])
                         sels.append((ind, soi, ts, tp))
-                        max_n = max(max_n, n)
+                        max_n = max(max_n, len(ind))
                 else:
                     pp = np.asarray(pred_props)
                     from echr_tpu.data.labels import anchor_mask

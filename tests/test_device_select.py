@@ -26,18 +26,18 @@ def _host_sel(pp, nf, K, topN, thres, nb):
 
 
 def _device_sel(pp_b, nfr, K, topN, thres, nb):
+    from echr_tpu.engine.steps import unpack_topk_selection
+
     idx_b, cnt_b, conf_b = select_topk_batched(
         jnp.asarray(pp_b), jnp.asarray(nfr, jnp.int32), topN=topN, nb=nb,
         val_score_thres=thres,
     )
     out = []
     for i in range(len(nfr)):
-        n = int(min(np.asarray(cnt_b)[i], nb))
-        flat = np.asarray(idx_b)[i][:n].astype(np.int64)
-        tt, kk = flat // K, flat % K
-        out.append((tt.tolist(),
-                    np.stack([tt - kk, tt + 1], 1).tolist(),
-                    np.asarray(conf_b)[i][:n].astype(float).tolist()))
+        ind, soi, _, tp = unpack_topk_selection(
+            np.asarray(idx_b)[i], np.asarray(cnt_b)[i], nb, K, int(nfr[i]),
+            30.0, featstamp_to_time, np.asarray(conf_b)[i])
+        out.append((ind, soi, tp))
     return out
 
 
@@ -66,6 +66,22 @@ def test_device_select_tie_storm():
     h_ind, h_soi, h_tp = _host_sel(pp[0], T, K, 10, 0.0, nb)
     assert dev[0][0] == h_ind
     assert dev[0][1] == h_soi
+
+
+def test_device_select_ties_past_topn_with_ceiling_nb():
+    """Threshold ties can push the selection count past topN; with nb at
+    the bucket CEILING (what eval/serve pass) the device keeps them all,
+    exactly like the host path before its bucket(max_n) truncation."""
+    T, K, topN, nb = 64, 32, 10, 1024
+    r = np.random.RandomState(3)
+    pp = (r.rand(1, T, K) * 0.5).astype(np.float32)
+    pp[0, 40:50, :] = 0.9  # 10 rows x 32 cols of identical top scores
+    dev = _device_sel(pp, np.array([T]), K, topN, 0.0, nb)
+    h_ind, h_soi, h_tp = _host_sel(pp[0], T, K, topN, 0.0, nb)
+    assert len(dev[0][0]) > topN  # ties actually expanded the selection
+    assert dev[0][0] == h_ind
+    assert dev[0][1] == h_soi
+    np.testing.assert_allclose(dev[0][2], h_tp, rtol=1e-6)
 
 
 def test_device_select_matches_batcher_masks():

@@ -40,7 +40,7 @@ def test_grouped_equals_dense():
 
     att_dense, _ = additive_attention_step(p, h, feats, pre, mask,
                                            compute_dtype=jnp.float32)
-    grp = grouped_attention_precompute(pre, mask, tg, NG)
+    grp = grouped_attention_precompute(mask, tg, NG)
     att_grp = grouped_attention_step(p, h, feats, pre, grp, jnp.float32)
     np.testing.assert_allclose(np.asarray(att_dense), np.asarray(att_grp),
                                atol=1e-5)
