@@ -285,8 +285,10 @@ def eval_split_batched(
     multihost: bool = False,
 ) -> Tuple[Dict, Dict, np.ndarray]:
     """Throughput variant of eval_split: groups videos by time bucket and
-    runs encode + greedy decode for `batch_videos` videos per device program
-    (identical per-video math — the decode is the vmapped captioner).
+    runs encode + decode for `batch_videos` videos per device program
+    (identical per-video math — the decode is the vmapped captioner;
+    greedy, multinomial via sample_max/temperature, or beam via
+    beam_size > 1 with the vmapped beam search).
 
     Supports every flag_eval_what mode (cg, cg_extend, tap, tap_cg,
     SOTA_TEP); val-loss bookkeeping matches eval_split (vmapped
@@ -334,6 +336,7 @@ def eval_split_batched(
     get_eval_loss = kw.get("get_eval_loss", True)
     greedy = bool(int(kw.get("sample_max", cfg.eval.sample_max)))
     temperature = float(kw.get("temperature", cfg.eval.temperature))
+    beam_size = int(kw.get("beam_size", cfg.eval.beam_size) or 1)
     sample_base = jax.random.PRNGKey(int(kw.get("sample_seed", 0)))
     dispatch_count = [0]
 
@@ -488,6 +491,16 @@ def eval_split_batched(
         )
         lda_b = shard(jnp.asarray(np.stack([b.lda for b, _ in items_p])))
         fm_b = shard(jnp.asarray(np.stack([b.frame_mask for b, _ in items_p])))
+        if beam_size > 1:
+            from echr_tpu.engine.steps import beam_decode_step_batched
+
+            seq_b, logprob_b = beam_decode_step_batched(
+                cg_params, cfg, tap_feats_b, feats_b, lda_b, fm_b, props,
+                beam_size,
+                length_alpha=float(kw.get("beam_length_alpha",
+                                          cfg.eval.beam_length_alpha)),
+            )
+            return (items, sel, nb, seq_b, logprob_b, None)
         r_dec = None
         if not greedy:
             r_dec = jax.random.fold_in(sample_base, dispatch_count[0])
@@ -502,15 +515,16 @@ def eval_split_batched(
         if entry is None:
             return
         items, sel, nb, seq_b, logps_b, active_b = entry
-        seq_np, logps_np, active_np = (
-            np.asarray(seq_b), np.asarray(logps_b), np.asarray(active_b),
-        )
+        is_beam = active_b is None  # beam entries carry [B, N] total logprobs
+        seq_np, logps_np = np.asarray(seq_b), np.asarray(logps_b)
+        active_np = None if is_beam else np.asarray(active_b)
         for i, ((batch, meta), (ind, soi, ts, tp)) in enumerate(zip(items, sel)):
             n_real = min(len(ind), nb)
-            if n_real == 0 or not bool(active_np[i][0]):
+            if n_real == 0 or (not is_beam and not bool(active_np[i][0])):
                 continue
             sents = decode_sequence(vocab, seq_np[i][:n_real])
-            cg_score = logps_np[i][:n_real].sum(axis=1)
+            cg_score = (logps_np[i][:n_real] if is_beam
+                        else logps_np[i][:n_real].sum(axis=1))
             vid_info = [
                 {
                     "sentence": s,

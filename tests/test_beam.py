@@ -103,3 +103,23 @@ def test_beam_batched_matches_single(tmp_path):
     np.testing.assert_array_equal(np.asarray(seqB[0]), np.asarray(seq1))
     np.testing.assert_array_equal(np.asarray(seqB[1]), np.asarray(seq1))
     np.testing.assert_allclose(np.asarray(lpB[0]), np.asarray(lp1), atol=1e-4)
+
+
+def test_beam_batched_eval_path(tmp_path):
+    """beam_size > 1 through the fast batched eval pipeline: the vmapped
+    beam search decodes every group, records are beam-scored."""
+    from echr_tpu.engine.evaluate import eval_split_batched
+
+    cfg, state, _, loader = _setup(tmp_path)
+    preds, scores, _ = eval_split_batched(
+        state.tap_params, state.cg_params, loader, cfg,
+        str(tmp_path / "pbb.json"),
+        {"num_vids_eval": 2, "val_all_metrics": False, "topN": 10,
+         "beam_size": 3, "get_eval_loss": False},
+        flag_eval_what="cg", batch_videos=2,
+    )
+    assert len(preds) >= 1
+    for vid, info in preds.items():
+        for p in info:
+            assert "sentence" in p
+            assert np.isfinite(p["sentence_confidence"])
