@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=1.0,
                    help="sampling temperature when sample_max=0 "
                         "(reference: eval.py:123-125)")
+    p.add_argument("--sample_seed", type=int, default=0,
+                   help="RNG seed for multinomial sampling (sample_max=0)")
     p.add_argument("--wait_for_checkpoint", type=int, default=0,
                    help="poll until the checkpoint exists (reference: eval.py:53-55)")
     p.add_argument("--batch_videos", type=int, default=1,
@@ -57,6 +59,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">1 shards the batched eval's video axis over a "
                         "(data, model=1) mesh of that many chips")
     p.add_argument("--split", type=str, default="val", choices=["val", "test"])
+    # reference eval.py flag-surface compatibility (accepted no-ops):
+    # --dataset is informational (eval.py:105, always ActivityNet here),
+    # --batch_size is the loader batch (eval.py:112, effectively always 1 in
+    # the reference; our throughput knob is --batch_videos), --debug
+    # (eval.py:129) and --old_loader (eval.py:142) are never read downstream
+    p.add_argument("--dataset", type=str, default="ActivityNet")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--debug", nargs="?", const="1", default=None)
+    p.add_argument("--old_loader", action="store_true")
     return p
 
 
@@ -98,7 +109,7 @@ def main(argv=None) -> None:
     if ns.beam_size > 1:
         stamp += f"_beam{ns.beam_size}"
     if not ns.sample_max:
-        stamp += f"_sampleT{ns.temperature}"
+        stamp += f"_sampleT{ns.temperature}_s{ns.sample_seed}"
     json_path = os.path.join(folder, f"eval_{stamp}.json")
     if ns.batch_videos > 1:
         from echr_tpu.engine.evaluate import eval_split_batched
@@ -124,6 +135,7 @@ def main(argv=None) -> None:
             "val_score_thres": ns.val_score_thres,
             "reranking": bool(ns.reranking),
             "beam_size": ns.beam_size,
+            "sample_seed": ns.sample_seed,
         },
         flag_eval_what=ns.flag_eval_what,
     )

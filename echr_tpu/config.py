@@ -387,9 +387,17 @@ _ALIASES = {
 # them).  Accepted here as explicit no-ops so reference command lines
 # translate 1:1; setting one logs a notice.
 _DEAD_FLAGS = (
-    "crit_type", "d_pos_emb", "data_type", "fast_eval_for_challenge",
+    "crit_type", "d_pos_emb", "data_type", "diff", "fast_eval_for_challenge",
     "lambda3", "lda_hidden_size", "lda_input_size", "lda_output_size",
     "num_samples", "use_bottomup_feature",
+)
+
+# flags the reference declares but unconditionally overwrites at runtime
+# (CaptionGenerator.change_context_dim, CaptionGenerator.py:82-84, writes the
+# derived dims back into opt) — here they are derived Config properties, so a
+# passed value is accepted and ignored, matching the observable behavior
+_OVERWRITTEN_FLAGS = (
+    "video_context_dim", "event_context_dim", "clip_context_dim",
 )
 
 
@@ -405,7 +413,9 @@ def build_argparser() -> argparse.ArgumentParser:
         f = next(sf for sf in dataclasses.fields(cls) if sf.name == name)
         default = getattr(cls(), name)
         if f.type in ("bool", bool) or isinstance(default, bool):
-            p.add_argument(f"--{flag}", type=int, default=None)
+            # nargs="?" accepts both the reference's bare store_true
+            # spelling (--fast_eval_cg, opts.py:268) and the valued one
+            p.add_argument(f"--{flag}", type=int, nargs="?", const=1, default=None)
             bool_like.add(flag)
         elif isinstance(default, tuple):
             p.add_argument(f"--{flag}", type=str, nargs="+", default=None)
@@ -424,11 +434,12 @@ def build_argparser() -> argparse.ArgumentParser:
             p.add_argument("--other_feature", type=str, nargs="+", default=None)
         else:
             p.add_argument(f"--{alias}", type=int, default=None)
-    for dead in _DEAD_FLAGS:
+    for dead in _DEAD_FLAGS + _OVERWRITTEN_FLAGS:
         # nargs="?" accepts both bare (--fast_eval_for_challenge, a
         # store_true in the reference, opts.py:269) and valued spellings
         p.add_argument(f"--{dead}", nargs="?", const="1", default=None,
-                       help="accepted no-op (declared but never read in the reference)")
+                       help="accepted no-op (declared but never read, or "
+                            "overwritten at runtime, in the reference)")
     p.set_defaults(_bool_like=sorted(bool_like))
     return p
 
@@ -448,6 +459,13 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
 
             logging.getLogger("echr_tpu.config").info(
                 "--%s is declared but never read in the reference; ignored", dead)
+    for over in _OVERWRITTEN_FLAGS:
+        if getattr(ns, over, None) is not None:
+            import logging
+
+            logging.getLogger("echr_tpu.config").info(
+                "--%s is overwritten at runtime in the reference "
+                "(change_context_dim); derived here — ignored", over)
     cfg = Config()
     if ns.config_json:
         with open(ns.config_json) as fh:

@@ -43,9 +43,10 @@ def _pad_props(ind, soi, n_bucket):
     pi = np.zeros((n_bucket,), np.int32)
     ps = np.tile(np.array([[0, 1]], np.int32), (n_bucket, 1))
     pm = np.zeros((n_bucket,), np.float32)
-    pi[:n] = np.asarray(ind)[:n]
-    ps[:n] = np.asarray(soi)[:n]
-    pm[:n] = 1.0
+    if n:  # an empty selection is all padding (np.asarray([]) is 1-D)
+        pi[:n] = np.asarray(ind)[:n]
+        ps[:n] = np.asarray(soi)[:n].reshape(n, 2)
+        pm[:n] = 1.0
     return ProposalBatch(jnp.asarray(pi), jnp.asarray(ps), jnp.asarray(pm))
 
 
@@ -102,7 +103,7 @@ def eval_split(
             continue
 
         feats = jnp.asarray(batch.feats)
-        tap_feats, pred_props = encode_step(tap_params, _to_device(batch), cfg)
+        tap_feats, pred_props = encode_step(tap_params, batch, cfg)
         pp = np.asarray(pred_props)[: meta.n_frames]
         masks = np.asarray(batch.tap_masks)[: meta.n_frames]
 
@@ -210,7 +211,7 @@ def eval_split(
                     sents = decode_sequence(vocab, seq_np)
 
         if get_eval_loss and split != "test" and len(cg_sel):
-            m = val_loss_step(tap_params, cg_params, _to_device(batch), cfg,
+            m = val_loss_step(tap_params, cg_params, batch, cfg,
                               phase=("tap" if flag_eval_what == "tap" else "tap_cg"))
             loss_sum[0] += float(m["tap_loss"])
             if flag_eval_what != "tap":
@@ -264,12 +265,6 @@ def eval_split(
             score[k] = np.array(v)
 
     return predictions, score, loss_sum / max(it, 1)
-
-
-def _to_device(batch):
-    import jax
-
-    return jax.tree.map(lambda x: x, batch)
 
 
 def eval_split_batched(
@@ -344,7 +339,8 @@ def eval_split_batched(
     vocab = loader.dataset.ix_to_word
     predictions: Dict[str, List[dict]] = {}
     loss_sum = np.zeros(5)
-    loss_vids = 0
+    it_vids = 0  # usable videos iterated — the reference's val-loss
+    # denominator `iter` (eval_utils.py:227), matching eval_split's /max(it,1)
 
     groups: Dict[int, List] = {}
     done = False
@@ -369,10 +365,14 @@ def eval_split_batched(
 
         feats_b = shard(jnp.asarray(np.stack([b.feats for b, _ in items_p])))
         tap_feats_b, pred_props_b = encode_step_batched(tap_params, feats_b, cfg)
-        # tap/tap_cg without NMS: top-N selection runs ON DEVICE
+        # tap_cg without NMS: top-N selection runs ON DEVICE
         # (selection-identical to P.top_proposals, see select_topk_batched)
-        # — fetches [B, nb] indices instead of the [B, T, K] score grid
-        device_sel = flag_eval_what in ("tap", "tap_cg") and not nms_threshold
+        # — fetches [B, nb] indices instead of the [B, T, K] score grid.
+        # 'tap' mode stays on the host path: its output is unbounded (no
+        # proposal-bucket truncation), but the device selection caps at
+        # PROP_BUCKETS[-1] and would silently drop proposals in
+        # threshold-tie storms (>1024 tied anchors), changing tap recall.
+        device_sel = flag_eval_what == "tap_cg" and not nms_threshold
         if device_sel:
             from echr_tpu.engine.steps import select_topk_batched
 
@@ -389,22 +389,6 @@ def eval_split_batched(
             conf_np = np.asarray(conf_b)
         else:
             pp_b = np.asarray(pred_props_b)
-
-        if get_eval_loss and split != "test":
-            nonlocal loss_vids
-            stacked = jax.tree.map(
-                lambda *xs: shard(jnp.stack([jnp.asarray(x) for x in xs])),
-                *[b for b, _ in items_p],
-            )
-            m = val_loss_step_batched(
-                tap_params, cg_params, stacked, cfg,
-                phase=("tap" if flag_eval_what == "tap" else "tap_cg"),
-            )
-            loss_sum[0] += float(np.asarray(m["tap_loss"])[:B].sum())
-            if flag_eval_what != "tap":
-                loss_sum[1] += float(np.asarray(m["cg_loss"])[:B].sum())
-                loss_sum[2] += float(np.asarray(m["total_loss"])[:B].sum())
-            loss_vids += B
 
         # host-side proposal selection per video
         sel = []
@@ -470,6 +454,24 @@ def eval_split_batched(
                     )
             sel.append((ind, soi, ts, tp))
             max_n = max(max_n, len(ind))
+
+        if get_eval_loss and split != "test" and any(len(s[0]) for s in sel):
+            # per-video losses, gated like eval_split's `len(cg_sel)` check:
+            # a video whose selection is empty contributes no loss but DOES
+            # count in the /iter denominator (reference: eval_utils.py:227)
+            stacked = jax.tree.map(
+                lambda *xs: shard(jnp.stack([jnp.asarray(x) for x in xs])),
+                *[b for b, _ in items_p],
+            )
+            m = val_loss_step_batched(
+                tap_params, cg_params, stacked, cfg,
+                phase=("tap" if flag_eval_what == "tap" else "tap_cg"),
+            )
+            has_sel = np.array([len(s[0]) > 0 for s in sel], bool)
+            loss_sum[0] += float(np.asarray(m["tap_loss"])[:B][has_sel].sum())
+            if flag_eval_what != "tap":
+                loss_sum[1] += float(np.asarray(m["cg_loss"])[:B][has_sel].sum())
+                loss_sum[2] += float(np.asarray(m["total_loss"])[:B][has_sel].sum())
 
         if flag_eval_what == "tap":
             for (batch, meta), (ind, soi, ts, tp) in zip(items, sel):
@@ -550,6 +552,7 @@ def eval_split_batched(
         if flag_eval_what == "SOTA_TEP" and meta.SOTA_scores is None:
             usable = False  # reference: bad video for SOTA_TEP (eval_utils.py:77-80)
         if usable:
+            it_vids += 1
             groups.setdefault(meta.t_bucket, []).append((batch, meta))
             if len(groups[meta.t_bucket]) >= batch_videos:
                 entry = dispatch(meta.t_bucket)
@@ -569,9 +572,9 @@ def eval_split_batched(
         from echr_tpu.parallel.distributed import allgather_object, gather_predictions
 
         predictions = gather_predictions(predictions)
-        parts = allgather_object((loss_sum.tolist(), loss_vids))
+        parts = allgather_object((loss_sum.tolist(), it_vids))
         loss_sum = np.sum([np.asarray(p[0]) for p in parts], axis=0)
-        loss_vids = int(sum(p[1] for p in parts))
+        it_vids = int(sum(p[1] for p in parts))
         if jax.process_index() != 0:
             json_path = f"{json_path}.proc{jax.process_index()}"
 
@@ -596,4 +599,4 @@ def eval_split_batched(
         )
         for k, v in sample_score.items():
             score[k] = np.array(v)
-    return predictions, score, loss_sum / max(loss_vids, 1)
+    return predictions, score, loss_sum / max(it_vids, 1)

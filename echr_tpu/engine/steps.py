@@ -387,8 +387,11 @@ def select_topk_batched(
     anchors when the threshold is 0), row-major (t, k) order, truncated to
     nb slots.  Pass nb = the proposal-bucket CEILING (PROP_BUCKETS[-1]),
     not _prop_bucket(topN): threshold ties can push the count past topN,
-    and the host path truncates at _prop_bucket(max_n) <= ceiling — with
-    nb = ceiling the device truncation is identical in every case.
+    and the DECODE (tap_cg) host path truncates at _prop_bucket(max_n) <=
+    ceiling — with nb = ceiling the device truncation is identical for
+    every decode path.  NOT so for flag_eval_what='tap': there the host
+    path emits the full unbounded selection (no bucket truncation), so a
+    >nb tie storm would lose proposals — callers keep 'tap' on host.
     Returns (flat_idx [B, nb] into the [T, K] grid with T*K fill,
     count [B], confidence [B, nb]) — a ~256 KB fetch instead of the
     [B, T, K] score grid."""

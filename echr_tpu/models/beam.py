@@ -68,11 +68,10 @@ def beam_search(
 ) -> BeamResult:
     """Decode every proposal with beam search in one jitted scan.
 
-    Early-exit note: rows with prop_mask==0 (bucket padding) are excluded
-    from the all-finished exit test, so on the early-exit path their beams
-    may be frozen mid-decode — their contents are unspecified (they are
-    meaningless on the scan path too: degenerate [0,1) windows).  Callers
-    slice to the real proposal count."""
+    Rows with prop_mask==0 (bucket padding) decode garbage from their
+    degenerate [0,1) windows (and the early-exit path may freeze them
+    mid-decode); their outputs are zeroed post-loop so both loop forms
+    return identical tensors for every row — no unspecified region."""
     N = ctxs.prop_mask.shape[0]
     B = beam_size
     L = cfg.decoder.CG_seq_length
@@ -154,6 +153,13 @@ def beam_search(
             lambda c, t: (step(c, t), None),
             (state, logprobs, scores0, finished0, tokens0), jnp.arange(L)
         )
+
+    # zero bucket-padding rows: the scan path decodes garbage for them and
+    # the early-exit path freezes them mid-decode — normalising both to
+    # (tokens=0, score=0) makes the two loop forms return identical tensors
+    pad = ctxs.prop_mask <= 0  # [N]
+    tokens = jnp.where(pad[:, None, None], 0, tokens)
+    scores = jnp.where(pad[:, None], 0.0, scores)
 
     if length_alpha > 0.0:
         lengths = jnp.sum(tokens != 0, axis=2).astype(jnp.float32) + 1.0

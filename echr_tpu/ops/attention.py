@@ -77,18 +77,18 @@ def grouped_tg_required(soi, n_group: int) -> int:
     soi = np.asarray(soi)
     if soi.ndim == 3:  # [B, N, 2] batched
         return max(int(grouped_tg_required(s, n_group)) for s in soi)
+    if len(soi) % n_group != 0:
+        # grouped_attention_precompute's dense reshape requires ng | N —
+        # enforce the same contract here so both halves of the API agree
+        raise ValueError(
+            f"n_group={n_group} must divide the proposal count {len(soi)}"
+        )
     order = np.argsort(soi[:, 0], kind="stable")
     s = soi[order, 0]
     e = soi[order, 1]
-    n = len(s) - (len(s) % n_group)
-    if n == 0:
-        return int((e.max(initial=1) - s.min(initial=0)))
-    gs = s[:n].reshape(-1, n_group)
-    ge = e[:n].reshape(-1, n_group)
-    need = int((ge.max(1) - gs.min(1)).max(initial=1))
-    if n < len(s):  # ragged tail treated as one (shorter) group: its SPAN
-        need = max(need, int(e[n:].max() - s[n:].min()))
-    return need
+    gs = s.reshape(-1, n_group)
+    ge = e.reshape(-1, n_group)
+    return int((ge.max(1) - gs.min(1)).max(initial=1))
 
 
 def grouped_attention_precompute(clip_mask: Array, tg: int, ng: int):

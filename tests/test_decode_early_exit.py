@@ -98,8 +98,9 @@ def test_beam_while_equals_scan(setup, eos_bias):
 
 def test_beam_early_exit_with_padded_proposals(setup):
     """Bucket-padding proposals (prop_mask==0) must not block the beam
-    early exit (their degenerate windows may never emit END); real rows
-    stay exact vs the scan."""
+    early exit (their degenerate windows may never emit END); padded rows
+    are zeroed post-loop so BOTH loop forms return identical FULL-N
+    tensors — no unspecified region for future all_seqs consumers."""
     from echr_tpu.models.beam import beam_search
     from echr_tpu.models.captioner import make_contexts
 
@@ -116,10 +117,15 @@ def test_beam_early_exit_with_padded_proposals(setup):
     r1 = beam_search(cg2["decoder"], cfg, ctxs, 3)
     r2 = beam_search(cg2["decoder"],
                      cfg.replace_in("runtime", decode_early_exit=False), ctxs, 3)
-    n_real = int((pm > 0).sum())
-    assert np.array_equal(np.asarray(r1.seq)[:n_real], np.asarray(r2.seq)[:n_real])
-    np.testing.assert_allclose(np.asarray(r1.logprob)[:n_real],
-                               np.asarray(r2.logprob)[:n_real], atol=1e-6)
+    assert np.array_equal(np.asarray(r1.seq), np.asarray(r2.seq))
+    np.testing.assert_allclose(np.asarray(r1.logprob),
+                               np.asarray(r2.logprob), atol=1e-6)
+    assert np.array_equal(np.asarray(r1.all_seqs), np.asarray(r2.all_seqs))
+    np.testing.assert_allclose(np.asarray(r1.all_logprobs),
+                               np.asarray(r2.all_logprobs), atol=1e-6)
+    # padded rows normalised to (tokens=0, score=0) on both paths
+    assert not np.asarray(r1.all_seqs)[-3:].any()
+    assert not np.asarray(r1.all_logprobs)[-3:].any()
 
 
 def test_while_under_vmap(setup):

@@ -68,6 +68,51 @@ def test_batched_eval_val_losses_match_per_video(tmp_path):
     np.testing.assert_allclose(loss_a[:3], loss_b[:3], rtol=1e-3)
 
 
+def test_val_loss_denominator_unified_with_empty_selections(tmp_path):
+    """Both eval paths use the reference's loss_sum/iter denominator
+    (eval_utils.py:227): a video whose proposal selection is empty
+    contributes no loss but counts in the denominator.  Pick a score
+    threshold between the two videos' max proposal scores so exactly one
+    selection is empty, then require equality (VERDICT r2 weak-5/next-8)."""
+    import jax.numpy as jnp
+
+    from echr_tpu.engine.steps import encode_step
+
+    cfg = tiny_cfg(tmp_path)
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=dataset.vocab_size,
+                         CG_seq_length=dataset.seq_length)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(cfg, init_tap(rng, cfg), init_captioner(rng, cfg))
+
+    # find a threshold separating the two videos' masked score maxima
+    maxima = []
+    loader.reset_iterator("val")
+    for _ in range(2):
+        batch, meta = loader.get_batch("val")
+        _, pp = encode_step(state.tap_params, batch, cfg)
+        pp = np.asarray(pp)[: meta.n_frames]
+        masks = np.asarray(batch.tap_masks)[: meta.n_frames]
+        maxima.append(float((pp * masks).max()))
+    assert maxima[0] != maxima[1]
+    thres = (min(maxima) + max(maxima)) / 2
+
+    kw = {"num_vids_eval": 2, "val_all_metrics": False, "topN": 15,
+          "language_eval": False, "get_eval_loss": True,
+          "val_score_thres": thres}
+    _, _, loss_a = eval_split(
+        state.tap_params, state.cg_params, loader, cfg, str(tmp_path / "e.json"),
+        kw, flag_eval_what="tap_cg",
+    )
+    _, _, loss_b = eval_split_batched(
+        state.tap_params, state.cg_params, loader, cfg, str(tmp_path / "f.json"),
+        kw, flag_eval_what="tap_cg", batch_videos=4,
+    )
+    assert loss_a[0] > 0  # exactly one video contributed loss ...
+    np.testing.assert_allclose(loss_a[:3], loss_b[:3], rtol=1e-3)  # ... /2 both
+
+
 def test_batched_eval_mesh_sharded_matches(tmp_path):
     """Multi-chip eval sweep: batch axis sharded over the 8-device CPU
     mesh's data axis must produce identical predictions (incl. a group size

@@ -58,3 +58,14 @@ def test_grouped_tg_required_batched():
     need = grouped_tg_required(soi, 2)
     # groups after sorting: {0-20}, {40-90} -> spans 20 and 50
     assert need == 50
+
+
+def test_grouped_tg_required_rejects_ragged():
+    """grouped_attention_precompute requires ng | N (dense reshapes); the
+    host-side helper enforces the same contract so the two halves of the
+    API agree on ragged inputs."""
+    import pytest
+
+    soi = np.array([[0, 10], [5, 20], [40, 60]])  # N=3
+    with pytest.raises(ValueError, match="must divide"):
+        grouped_tg_required(soi, 2)
