@@ -2,10 +2,28 @@
 
 The reference tokenizes through coco-caption's PTBTokenizer, a Stanford
 CoreNLP **Java** subprocess (reference: evaluate.py:14,232-233; the
-submodule/jar is not vendored in the snapshot).  This is a host-side,
-off-hot-path re-implementation of its observable behavior: lowercase,
-split PTB-style (contractions kept as single units the way PTBTokenizer
-emits them for captions), and drop the punctuation token list coco uses.
+submodule/jar is not vendored in the snapshot), invoked with
+`-preserveLines -lowerCase` and followed by a punctuation-token filter.
+This is a host-side, off-hot-path re-implementation of its observable
+behavior on caption text:
+
+- lowercase (the jar's -lowerCase flag);
+- Stanford clitic/possessive splitting: "man's" -> `man 's`,
+  "don't" -> `do n't`, "won't" -> `wo n't`, "they'll" -> `they 'll`,
+  plus 're 've 'd 'm; trailing plural possessives ("dogs'") leave a lone
+  `'` that the punctuation filter removes, like the jar;
+- Stanford assimilation splits: cannot -> `can not`, gonna -> `gon na`,
+  gotta, lemme, gimme, wanna;
+- special-cased single tokens the jar keeps whole: o'clock, y'all;
+- hyphenated words, number commas/periods, and word-internal slashes stay
+  single tokens ("twenty-one", "1,000", "3.5", "and/or" — the jar's
+  ptb3Escaping writes the last as `and\\/or`; we keep it unescaped, a
+  bijective renaming applied to candidates and references alike, so every
+  n-gram metric is unchanged);
+- drop the punctuation token list coco-caption filters after tokenizing.
+
+Known residual gap vs the jar (documented, unmeasurable here without a
+JVM): rare Unicode normalizations and mid-token typography.
 """
 from __future__ import annotations
 
@@ -18,14 +36,51 @@ PUNCTUATIONS = {
     ".", "?", "!", ",", ":", "-", "--", "...", ";",
 }
 
+# Stanford PTBLexer assimilation splits (splitAssimilations, on by default)
+_ASSIMILATIONS = {
+    "cannot": ("can", "not"),
+    "gonna": ("gon", "na"),
+    "gotta": ("got", "ta"),
+    "lemme": ("lem", "me"),
+    "gimme": ("gim", "me"),
+    "wanna": ("wan", "na"),
+}
+
+# words the lexer keeps whole despite containing an apostrophe
+_APOSTROPHE_WHOLE = {"o'clock", "y'all", "ma'am"}
+
+# word chars may be joined by - . , ' / when flanked by alphanumerics
+# (twenty-one, 3.5, 1,000, it's, and/or); everything else splits
 _WORD_RE = re.compile(
-    r"[a-z0-9]+(?:'[a-z0-9]+)*|\.\.\.|--|[.,?!:;`\-]|''|``|'"
+    r"[a-z0-9]+(?:[-.,'/][a-z0-9]+)*|\.\.\.|--|[.,?!:;`\-]|''|``|'"
 )
+
+# clitics peeled off the END of a word token, innermost last ("he'd've"
+# -> he 'd 've); n't covers don't/won't/can't -> do/wo/ca + n't
+_CLITIC_RE = re.compile(r"(?:n't|'(?:s|ll|re|ve|d|m))$")
+
+
+def _split_word(w: str) -> List[str]:
+    if w in _APOSTROPHE_WHOLE:
+        return [w]
+    if w in _ASSIMILATIONS:
+        return list(_ASSIMILATIONS[w])
+    clitics: List[str] = []
+    while True:
+        m = _CLITIC_RE.search(w)
+        # never strip a word down to nothing ("'s" alone stays "'s")
+        if not m or m.start() == 0:
+            break
+        clitics.append(w[m.start():])
+        w = w[: m.start()]
+    return [w] + clitics[::-1]
 
 
 def tokenize_caption(s: str) -> str:
     s = s.lower().replace("\n", " ")
-    toks = _WORD_RE.findall(s)
+    toks: List[str] = []
+    for raw in _WORD_RE.findall(s):
+        toks.extend(_split_word(raw) if raw[0].isalnum() or "'" in raw else [raw])
     return " ".join(tk for tk in toks if tk not in PUNCTUATIONS)
 
 

@@ -11,8 +11,36 @@ from echr_tpu.metrics.tokenizer import tokenize_caption
 
 def test_tokenizer_ptb_style():
     assert tokenize_caption("A man, running; fast!") == "a man running fast"
-    assert tokenize_caption("It's FINE.") == "it's fine"
     assert tokenize_caption("") == ""
+
+
+def test_tokenizer_stanford_clitic_splitting():
+    """Stanford-PTB clitic/possessive rules (reference: evaluate.py:232-233
+    tokenizes through the CoreNLP jar, which splits clitics; VERDICT r2
+    missing-1).  Expected strings are the jar's documented outputs after
+    coco's punctuation filter."""
+    cases = [
+        # possessives and n't (don't -> do n't, won't -> wo n't, can't -> ca n't)
+        ("The man's dog doesn't run.", "the man 's dog does n't run"),
+        ("They'll say we won't and can't.", "they 'll say we wo n't and ca n't"),
+        # 'm 're 've 'd
+        ("I'm sure they're here; we've left, he'd gone.",
+         "i 'm sure they 're here we 've left he 'd gone"),
+        ("It's FINE.", "it 's fine"),
+        # plural possessive: trailing ' becomes a lone quote token, filtered
+        # like the jar's output; o'clock stays whole (lexer special case)
+        ("The dogs' toys at 5 o'clock.", "the dogs toys at 5 o'clock"),
+        # assimilations (PTBLexer splitAssimilations)
+        ("He cannot be gonna leave, wanna bet?",
+         "he can not be gon na leave wan na bet"),
+        # hyphens / number punctuation / slashes stay word-internal
+        ("Twenty-one people, 1,000 times, 3.5 meters and/or more...",
+         "twenty-one people 1,000 times 3.5 meters and/or more"),
+        # stacked clitics
+        ("he'd've known", "he 'd 've known"),
+    ]
+    for inp, want in cases:
+        assert tokenize_caption(inp) == want, inp
 
 
 def test_bleu_identical_is_one():
