@@ -136,6 +136,9 @@ def main(argv=None) -> None:
             "reranking": bool(ns.reranking),
             "beam_size": ns.beam_size,
             "sample_seed": ns.sample_seed,
+            # reference standalone eval passes crits=None => no val losses
+            # (eval.py:87-88); also engages the decode-only batcher fast path
+            "get_eval_loss": False,
         },
         flag_eval_what=ns.flag_eval_what,
     )

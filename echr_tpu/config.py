@@ -171,6 +171,12 @@ class EvalConfig:
     reranking: bool = False
     val_all_metrics: bool = False
     references: Tuple[str, ...] = ()
+    # >1 routes the in-training checkpoint-gating eval through
+    # eval_split_batched with this many videos per device program
+    # (prediction- and loss-identical to the per-video path, which remains
+    # the 0/1 fallback; net-new vs the reference's one-video eval loop,
+    # eval_utils.py:38)
+    batch_videos: int = 8
 
 
 @dataclass(frozen=True)

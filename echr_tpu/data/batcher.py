@@ -118,13 +118,97 @@ def caption_masks(cap_labels: np.ndarray, mode: str, rng: np.random.RandomState)
     return lab.astype(np.int32), mask
 
 
+def _sota_select(fs_scores_ts, K: int, rng, cg_select_fn):
+    """Shared SOTA-proposal packing (reference: dataloader.py:509-528)."""
+    s_fs, s_scores, s_ts = fs_scores_ts
+    if s_fs is None:
+        return {}
+    fs = [list(f) for f in s_fs]
+    for i2, (x, y) in enumerate(fs):
+        assert y > x
+        # random-crop windows longer than K anchors to K
+        # (reference: dataloader.py:515-520)
+        if y - x >= K + 1:
+            r = int(rng.randint(0, y - x - (K - 1)))
+            fs[i2] = [x + r, x + r + K]
+    return dict(
+        SOTA_featstamps=fs,
+        SOTA_scores=list(s_scores),
+        SOTA_timestamps=list(s_ts),
+        SOTA_ind=[f[1] for f in fs],
+        SOTA_soi=[[f[0], f[1] + 1] for f in fs],
+        SOTA_cg_select=[cg_select_fn(f) for f in fs],
+    )
+
+
+def _make_batch_nolabels(
+    ex, cfg, rng, feats, frame_mask, featstamps, T_use, T_pad, sota_fn
+):
+    """Decode-only batch: geometry + an exact proposal_num, no label grids."""
+    tapc = cfg.tap
+    K, N = tapc.K, tapc.prop_sample_num
+    tap_masks = np.zeros((T_pad, K), np.float32)
+    tap_masks[:T_use] = L.anchor_mask(T_use, K)
+    proposal_num = L.good_proposal_count(
+        featstamps, T_use, K, tapc.iou_threshold_for_good_proposal
+    )
+    Lw = ex.cap_labels.shape[1]
+    zi = np.zeros((N,), np.int32)
+    zs = np.tile(np.array([[0, 1]], np.int32), (N, 1))
+    zm = np.zeros((N,), np.float32)
+    zl = np.zeros((N, Lw), np.int32)
+    zk = np.zeros((N, Lw), np.float32)
+    batch = VideoBatch(
+        feats=feats,
+        frame_mask=frame_mask,
+        n_frames=np.float32(T_use),
+        lda=ex.lda.astype(np.float32),
+        tap_labels=np.zeros((T_pad, K), np.float32),
+        tap_masks=tap_masks,
+        w1=np.zeros((K,), np.float32),
+        ind_select=zi, soi=zs, prop_mask=zm, cg_labels=zl, cg_masks=zk,
+        gts_ind=zi.copy(), gts_soi=zs.copy(), gts_mask=zm.copy(),
+        gts_cg_labels=zl.copy(), gts_cg_masks=zk.copy(),
+    )
+    sota_kw = {}
+    if sota_fn is not None:
+        sota_kw = _sota_select(
+            sota_fn(T_use), K, rng, cg_select_fn=lambda f: 0
+        )
+    meta = BatchMeta(
+        vid=ex.vid,
+        duration=ex.duration,
+        timestamps=ex.timestamps,
+        sentences=ex.sentences,
+        gt_featstamps=featstamps,
+        proposal_num=proposal_num,
+        n_frames=T_use,
+        t_bucket=T_pad,
+        ncap=ex.cap_labels.shape[0],
+        iou_scores=np.zeros((T_use, K), np.float32),
+        gts_index=np.zeros((T_use, K), np.int64),
+        cg_select=np.zeros((0,), np.int64),
+        sampled_ids=np.zeros((0,), np.int64),
+        **sota_kw,
+    )
+    return batch, meta
+
+
 def make_batch(
     ex: VideoExample,
     cfg: Config,
     rng: np.random.RandomState,
     w1: Optional[np.ndarray] = None,
     sota_fn=None,
+    labels: bool = True,
 ) -> Tuple[VideoBatch, BatchMeta]:
+    """labels=False is the decode-only eval fast path (the reference always
+    pays the full label synthesis, dataloader.py:320-365, even for pure
+    decode evals): the [T, K] IoU grid, proposal sampling, and caption
+    packing are skipped; only the geometry mask and an exact
+    `proposal_num` (for the reference's bad-video skip, eval_utils.py:44)
+    are produced.  Valid ONLY for flag_eval_what tap/tap_cg/SOTA_TEP with
+    get_eval_loss=False — label-dependent fields come back zeroed."""
     tapc = cfg.tap
     K, N = tapc.K, tapc.prop_sample_num
     T_real = int(ex.feats.shape[0])
@@ -137,6 +221,10 @@ def make_batch(
     frame_mask[:T_use] = 1.0
 
     featstamps = [L.timestamp_to_featstamp(t, T_use, ex.duration) for t in ex.timestamps]
+    if not labels:
+        return _make_batch_nolabels(
+            ex, cfg, rng, feats, frame_mask, featstamps, T_use, T_pad, sota_fn
+        )
     iou_scores, gts_index_f, tap_masks_r = L.iou_grid(featstamps, T_use, K)
     gts_index = gts_index_f.astype(np.int64)
 
@@ -203,26 +291,10 @@ def make_batch(
     )
     sota_kw = {}
     if sota_fn is not None:
-        s_fs, s_scores, s_ts = sota_fn(T_use)
-        if s_fs is not None:
-            fs = [list(f) for f in s_fs]
-            for i2, (x, y) in enumerate(fs):
-                assert y > x
-                # random-crop windows longer than K anchors to K
-                # (reference: dataloader.py:515-520)
-                if y - x >= K + 1:
-                    r = int(rng.randint(0, y - x - (K - 1)))
-                    fs[i2] = [x + r, x + r + K]
-            sota_kw = dict(
-                SOTA_featstamps=fs,
-                SOTA_scores=list(s_scores),
-                SOTA_timestamps=list(s_ts),
-                SOTA_ind=[f[1] for f in fs],
-                SOTA_soi=[[f[0], f[1] + 1] for f in fs],
-                SOTA_cg_select=[
-                    int(tap_gts_for_good[f[1], f[1] - f[0] - 1]) for f in fs
-                ],
-            )
+        sota_kw = _sota_select(
+            sota_fn(T_use), K, rng,
+            cg_select_fn=lambda f: int(tap_gts_for_good[f[1], f[1] - f[0] - 1]),
+        )
 
     meta = BatchMeta(
         vid=ex.vid,

@@ -25,6 +25,7 @@ __all__ = [
     "featstamp_to_time",
     "iou_grid",
     "anchor_mask",
+    "good_proposal_count",
     "flatten_good_proposals",
     "sample_proposals",
     "single_iou",
@@ -182,6 +183,53 @@ def sample_proposals(
     ids = np.arange(proposal_num, dtype=np.int64)
     rng.shuffle(ids)
     return ids[: min(proposal_num, prop_sample_num)]
+
+
+def good_proposal_count(
+    featstamps: Sequence[Sequence[int]], nfeats: int, K: int, thr: float
+) -> int:
+    """Exact count of valid anchors whose max-GT IoU >= thr, WITHOUT the
+    full [T, K, G] grid — the labels-off eval fast path's bad-video check
+    (reference semantics: dataloader.py:107-124 via iou_grid; equality vs
+    the grid is pinned in tests/test_labels.py).
+
+    An anchor of length la can reach IoU >= thr with a GT of length lg only
+    when thr*lg <= la <= lg/thr and its end lies within lg*(1-thr^2)/thr of
+    the GT (for thr > ~0.62 the union is necessarily the span, bounding the
+    non-overlap by (1-thr)*span <= (1-thr)(la+lg)).  Each GT therefore
+    yields a small candidate sub-grid; exact IoUs are computed there and
+    the per-GT hit sets unioned.  Falls back to the full grid for small
+    thresholds where the windows stop being small."""
+    T, G = int(nfeats), len(featstamps)
+    if G == 0:
+        return 0
+    if thr <= 0.65:  # union=span argument needs thr^2+thr>1; windows big anyway
+        iou, _, _ = iou_grid(featstamps, T, K)
+        return int((iou >= thr).sum())
+    hits = []
+    for s, e in featstamps:
+        gs, ge = s - 0.01, e + 0.01  # reference nudges (dataloader.py:271-272)
+        lg = ge - gs
+        k_lo = max(0, int(thr * lg) - 4)
+        k_hi = min(K, int(lg / thr) + 5)
+        m = lg * (1.0 - thr * thr) / thr
+        t_lo = max(1, int(gs) - 4)
+        t_hi = min(T, int(ge + m) + 5)
+        if k_lo >= k_hi or t_lo >= t_hi:
+            continue
+        t = np.arange(t_lo, t_hi, dtype=np.float64)[:, None]
+        k = np.arange(k_lo, k_hi, dtype=np.float64)[None, :]
+        a_start = t - k - 1.0
+        inter = np.clip(np.minimum(ge, t) - np.maximum(gs, a_start), 0.0, None)
+        union = np.minimum(np.maximum(ge, t) - np.minimum(gs, a_start), lg + k + 1.0)
+        iou = (inter / (union + 1e-8)).astype(np.float32)  # grid casts f32 pre-compare
+        valid = k < np.minimum(K, t)
+        tt, kk = np.nonzero((iou >= thr) & valid)
+        if len(tt):
+            hits.append((tt + t_lo) * K + (kk + k_lo))
+    if not hits:
+        return 0
+    return int(np.unique(np.concatenate(hits)).size)
 
 
 def event_distance(featstamp1, featstamp2) -> float:

@@ -60,6 +60,11 @@ class Loader:
             process_index = auto_ix if process_index is None else process_index
             process_count = auto_n if process_count is None else process_count
         self.process_index, self.process_count = process_index, process_count
+        # labels=False: decode-only eval fast path — make_batch skips the
+        # training-label synthesis (IoU grid / sampling / caption packing);
+        # set via set_labels() before reset_iterator (fetchers already
+        # running keep producing full batches, which is a harmless superset)
+        self.labels = True
         # producer-side state
         self.iterators: Dict[str, int] = {s: 0 for s in dataset.split_ix}
         self.split_order: Dict[str, List[int]] = {
@@ -131,7 +136,12 @@ class Loader:
             self.dataset, "_synthetic_sota", False
         ):
             sota_fn = lambda nfeats: self.dataset.get_sota(ex.vid, nfeats, ex.duration)  # noqa: E731
-        return make_batch(ex, self.cfg, sub, w1=self.dataset.w1, sota_fn=sota_fn)
+        return make_batch(ex, self.cfg, sub, w1=self.dataset.w1, sota_fn=sota_fn,
+                          labels=self.labels)
+
+    def set_labels(self, labels: bool) -> None:
+        """Toggle the decode-only fast path (see make_batch labels=False)."""
+        self.labels = bool(labels)
 
     def get_batch(self, split: str) -> Tuple[VideoBatch, BatchMeta]:
         if split not in self._fetchers:

@@ -84,6 +84,13 @@ def eval_split(
     greedy = bool(int(kw.get("sample_max", cfg.eval.sample_max)))
     temperature = float(kw.get("temperature", cfg.eval.temperature))
 
+    # decode-only fast path: skip training-label synthesis in the batcher
+    # (the reference always pays it, dataloader.py:320-365; see make_batch
+    # labels=False).  cg/cg_extend need the label fields; so do val losses.
+    decode_only = (not get_eval_loss) and flag_eval_what in (
+        "tap", "tap_cg", "SOTA_TEP")
+    labels_before = loader.labels
+    loader.set_labels(not decode_only)
     loader.reset_iterator(split)
     vocab = loader.dataset.ix_to_word
     predictions: Dict[str, List[dict]] = {}
@@ -239,6 +246,7 @@ def eval_split(
         if meta.wrapped or it >= num_vids_eval:
             break
 
+    loader.set_labels(labels_before)
     pred2json = {
         "results": predictions,
         "version": "VERSION 1.0",
@@ -335,6 +343,11 @@ def eval_split_batched(
     sample_base = jax.random.PRNGKey(int(kw.get("sample_seed", 0)))
     dispatch_count = [0]
 
+    # decode-only fast path (see eval_split): no label synthesis needed
+    decode_only = (not get_eval_loss) and flag_eval_what in (
+        "tap", "tap_cg", "SOTA_TEP")
+    labels_before = loader.labels
+    loader.set_labels(not decode_only)
     loader.reset_iterator(split)
     vocab = loader.dataset.ix_to_word
     predictions: Dict[str, List[dict]] = {}
@@ -567,6 +580,7 @@ def eval_split_batched(
             pending.append(entry)
     for entry in pending:
         collect(entry)
+    loader.set_labels(labels_before)
 
     if multihost and jax.process_count() > 1:
         from echr_tpu.parallel.distributed import allgather_object, gather_predictions

@@ -114,16 +114,41 @@ class _BucketCollator:
 
 
 def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
-    """Run the full curriculum.  Returns a summary dict."""
+    """Run the full curriculum.  Returns a summary dict.
+
+    Multi-host (jax.process_count() > 1, net-new vs the reference —
+    SURVEY §5.8): every process runs the SAME replicated host pipeline
+    (identical Loader stream/seeds, so collation, bad-video skips, and
+    bucket choices agree everywhere) while the device batch is a global
+    array sharded over every chip in the cluster — exact data-parallel
+    semantics with gradient psum over ICI/DCN.  Checkpoints, logs, TB
+    events, and the source snapshot are written by process 0 only; the
+    gating eval runs host-sharded over the val split through
+    eval_split_batched(multihost=True), so every process computes the
+    identical full-split score and makes the identical best-checkpoint
+    decision."""
+    multihost = jax.process_count() > 1
+    is_p0 = jax.process_index() == 0
     save_folder = os.path.join(cfg.save.checkpoint_path, cfg.run_id)
     os.makedirs(os.path.join(save_folder, "pred_sent"), exist_ok=True)
-    _setup_logger(save_folder)
-    with open(os.path.join(save_folder, "config.json"), "w") as f:
-        f.write(cfg.to_json())
-    _snapshot_source(save_folder)
+    _setup_logger(save_folder, write_files=is_p0)
+    if is_p0:
+        with open(os.path.join(save_folder, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+        _snapshot_source(save_folder)
 
     dataset = build_dataset(cfg)
-    loader = Loader(dataset, cfg, seed=cfg.train.seed)
+    if multihost:
+        # replicated host pipeline: every process walks the FULL train split
+        # in the same order (same seed) so the global batch schedule agrees;
+        # the eval loader shards val per host for the multihost eval sweep
+        loader = Loader(dataset, cfg, seed=cfg.train.seed,
+                        process_index=0, process_count=1)
+        eval_loader = Loader(dataset, cfg, seed=cfg.train.seed,
+                             shard_splits=("val",))
+    else:
+        loader = Loader(dataset, cfg, seed=cfg.train.seed)
+        eval_loader = loader
     cfg = cfg.replace_in(
         "decoder", CG_vocab_size=dataset.vocab_size, CG_seq_length=dataset.seq_length
     )
@@ -138,7 +163,27 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
     # has no distributed story at all (SURVEY §5.8)
     mesh = None
     dp, tp = cfg.runtime.mesh_shape
-    if dp * tp > 1:
+    if multihost:
+        from echr_tpu.parallel.distributed import global_mesh
+        from echr_tpu.parallel.mesh import shard_params
+
+        mesh = global_mesh(tp=max(tp, 1))  # all cluster devices
+        tap_params = shard_params(tap_params, mesh)
+        cg_params = shard_params(cg_params, mesh)
+        if cfg.train.batch_size % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"multi-host training needs batch_size divisible by the "
+                f"global data axis ({mesh.shape['data']}); got "
+                f"{cfg.train.batch_size}"
+            )
+        if cfg.train.m_batch > 1 or cfg.train.self_critical_after != -1:
+            raise NotImplementedError(
+                "m_batch accumulation and SCST are single-host paths; "
+                "run them per-host or raise batch_size instead"
+            )
+        log.info("multi-host mesh: %s over %d processes",
+                 dict(mesh.shape), jax.process_count())
+    elif dp * tp > 1:
         from echr_tpu.parallel.mesh import build_mesh, shard_params
 
         mesh = build_mesh(cfg)
@@ -166,6 +211,9 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
         histories = payload.get("histories") or histories
         if payload.get("loader_state"):
             loader.load_state(payload["loader_state"])
+        if multihost:
+            # checkpoint leaves are host-local numpy; lift back to global
+            state = _replicate_global(state, mesh)
         log.info("resumed from %s at iter %d epoch %d", resume_path, iteration, epoch)
     else:
         if cfg.save.pretrain and cfg.save.pretrain_path:
@@ -178,9 +226,12 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
     curriculum = get_training_list(cfg)
     log.info("curriculum: %s (%d epochs)", cfg.train.training_mode, len(curriculum))
 
-    from echr_tpu.utils.tb import TBWriter
+    if is_p0:
+        from echr_tpu.utils.tb import TBWriter
 
-    tb = TBWriter(os.path.join(save_folder, "tf_summary_train"))
+        tb = TBWriter(os.path.join(save_folder, "tf_summary_train"))
+    else:
+        tb = _NullTB()  # non-zero processes compute, process 0 writes
     loss_sum: Dict[str, float] = {}
     loss_count = 0
     bad_video_num = 0
@@ -237,12 +288,7 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
                     epoch += 1
                 continue
             if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                stacked = jax.tree.map(
-                    lambda x: jax.device_put(x, NamedSharding(mesh, P("data"))),
-                    stacked,
-                )
+                stacked = _shard_batch(stacked, mesh, multihost)
             state, metrics = train_step(
                 state, stacked, step_rng, cfg, phase, ss_prob=ss_prob
             )
@@ -285,7 +331,8 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             and epoch >= cfg.save.min_epoch_when_save
         ):
             current_score, eval_scores = _run_eval(
-                state, loader, cfg, save_folder, iteration, phase
+                state, eval_loader, cfg, save_folder, iteration, phase,
+                multihost=multihost,
             )
             tb.scalar("val_score", current_score, iteration)
             for k, v in eval_scores.items():
@@ -296,8 +343,13 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             # the latest batch, matching torch's last-step .grad contents)
             from echr_tpu.engine.steps import grad_step
 
+            hist_batch = _stack_batch(batch)
+            if multihost:
+                # replicated global batch: the grad program is a collective
+                # over global params, so EVERY process runs it; p0 writes
+                hist_batch = _replicate_global(hist_batch, mesh)
             hist_grads, _ = grad_step(
-                state, _stack_batch(batch), step_rng, cfg, phase, ss_prob=ss_prob
+                state, hist_batch, step_rng, cfg, phase, ss_prob=ss_prob
             )
             for prefix, tree in (
                 ("tap", state.tap_params),
@@ -314,18 +366,24 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
                 k: (np.asarray(v).tolist() if hasattr(v, "tolist") else v)
                 for k, v in eval_scores.items()
             }
-            _save(state, cfg, save_folder, iteration, epoch, best_val_score, loader,
-                  histories, dataset)
+            if is_p0:  # single-writer checkpoints; every process agrees on
+                # the scores (multihost eval gathers the full split), so the
+                # best-checkpoint decision is identical everywhere
+                _save(state, cfg, save_folder, iteration, epoch, best_val_score,
+                      loader, histories, dataset)
             if current_score > best_val_score:
                 best_val_score = current_score
-                _save(state, cfg, save_folder, iteration, epoch, best_val_score, loader,
-                      histories, dataset, best=True)
+                if is_p0:
+                    _save(state, cfg, save_folder, iteration, epoch, best_val_score,
+                          loader, histories, dataset, best=True)
                 log.info("new best %.4f at iter %d", best_val_score, iteration)
 
         if max_iterations and iteration >= max_iterations:
             break
 
-    _save(state, cfg, save_folder, iteration, epoch, best_val_score, loader, histories, dataset)
+    if is_p0:
+        _save(state, cfg, save_folder, iteration, epoch, best_val_score, loader,
+              histories, dataset)
     tb.close()
     return {
         "iteration": iteration,
@@ -336,6 +394,37 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
         "config": cfg,
         "loader": loader,
     }
+
+
+def _replicate_global(tree, mesh):
+    """Lift host-local (identical-on-every-process) arrays to replicated
+    global arrays on a multi-process mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+
+    def put(x):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, rep, lambda idx: arr[idx])
+
+    return jax.tree.map(put, tree)
+
+
+def _shard_batch(stacked: VideoBatch, mesh, multihost: bool) -> VideoBatch:
+    """Split the [B, ...] batch over the mesh's data axis.  Multi-host: the
+    host pipeline is replicated (every process holds the full batch), so
+    each leaf becomes a global array whose shards are served locally."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    s = NamedSharding(mesh, P("data"))
+    if multihost:
+        def put(x):
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(arr.shape, s, lambda idx: arr[idx])
+    else:
+        def put(x):
+            return jax.device_put(x, s)
+    return jax.tree.map(put, stacked)
 
 
 def _self_critical_step(state, batch, meta, cfg, phase, step_rng, dataset):
@@ -366,23 +455,54 @@ def _self_critical_step(state, batch, meta, cfg, phase, step_rng, dataset):
 
 
 def _run_eval(state: TrainState, loader: Loader, cfg: Config, save_folder: str,
-              iteration: int, phase: str):
+              iteration: int, phase: str, multihost: bool = False):
     """Checkpoint-gating evaluation (reference: train.py:366-415): TAP phases
     score proposals only (F1); CG phases always run the GT-proposal eval
     with full metrics and, unless --fast_eval_cg, additionally the
-    model-proposal (tap_cg) eval whose scores gate the checkpoint."""
+    model-proposal (tap_cg) eval whose scores gate the checkpoint.
+
+    cfg.eval.batch_videos > 1 routes through eval_split_batched —
+    prediction- and loss-identical (tests/test_eval_batched.py,
+    tests/test_train_gate_batched.py) but many videos per device program;
+    the per-video path remains the 0/1 fallback.
+
+    multihost: `loader` is the val-sharded eval loader; each process
+    evaluates its shard with process-LOCAL params (the eval loop's group
+    count differs per host, so it cannot be a collective program) and the
+    predictions/losses are all-gathered — identical full-split scores on
+    every process."""
+    tap_p, cg_p = state.tap_params, state.cg_params
+    if multihost:
+        from echr_tpu.engine.evaluate import eval_split_batched
+
+        # localize replicated global params for process-local eval compute
+        tap_p = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), tap_p)
+        cg_p = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), cg_p)
+
+        def runner(_tp, _cp, *a, **k):
+            return eval_split_batched(
+                _tp, _cp, *a, batch_videos=max(cfg.eval.batch_videos, 2),
+                multihost=True, **k)
+    elif cfg.eval.batch_videos > 1:
+        from echr_tpu.engine.evaluate import eval_split_batched
+
+        def runner(*a, **k):
+            return eval_split_batched(
+                *a, batch_videos=cfg.eval.batch_videos, **k)
+    else:
+        runner = eval_split
     json_path = os.path.join(save_folder, "pred_sent", f"pred_iter{iteration}.json")
     n_eval = cfg.eval.num_vids_eval or loader.split_size("val")
     if phase == "tap":
-        preds, scores, val_loss = eval_split(
-            state.tap_params, state.cg_params, loader, cfg, json_path,
+        preds, scores, val_loss = runner(
+            tap_p, cg_p, loader, cfg, json_path,
             {"num_vids_eval": n_eval, "topN": 1000, "val_all_metrics": False},
             flag_eval_what="tap",
         )
         scores2 = scores
     else:
-        preds2, scores2, val_loss2 = eval_split(
-            state.tap_params, state.cg_params, loader, cfg,
+        preds2, scores2, val_loss2 = runner(
+            tap_p, cg_p, loader, cfg,
             json_path.replace(".json", "_gt.json"),
             {"num_vids_eval": n_eval, "topN": 100, "val_all_metrics": True},
             flag_eval_what="cg",
@@ -390,8 +510,8 @@ def _run_eval(state: TrainState, loader: Loader, cfg: Config, save_folder: str,
         if cfg.eval.fast_eval_cg:
             preds, scores, val_loss = preds2, scores2, val_loss2
         else:
-            preds, scores, val_loss = eval_split(
-                state.tap_params, state.cg_params, loader, cfg, json_path,
+            preds, scores, val_loss = runner(
+                tap_p, cg_p, loader, cfg, json_path,
                 {"num_vids_eval": n_eval, "topN": 100, "val_all_metrics": False},
                 flag_eval_what="tap_cg",
             )
@@ -477,11 +597,25 @@ def _snapshot_source(save_folder: str) -> None:
         log.warning("source snapshot failed: %s", e)
 
 
-def _setup_logger(save_folder: str) -> None:
+class _NullTB:
+    """TB sink for non-zero processes: compute everywhere, write on p0."""
+
+    def scalar(self, *a, **k):
+        pass
+
+    def histogram(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
+def _setup_logger(save_folder: str, write_files: bool = True) -> None:
     fmt = "[%(asctime)s] %(message)s"
     logging.basicConfig(format=fmt, datefmt="%d %H:%M", level=logging.INFO)
     root = logging.getLogger("echr_tpu")
     root.setLevel(logging.INFO)
-    fh = logging.FileHandler(os.path.join(save_folder, "train.log"))
-    fh.setFormatter(logging.Formatter(fmt))
-    root.addHandler(fh)
+    if write_files:  # single-writer log files (multi-host: process 0 only)
+        fh = logging.FileHandler(os.path.join(save_folder, "train.log"))
+        fh.setFormatter(logging.Formatter(fmt))
+        root.addHandler(fh)

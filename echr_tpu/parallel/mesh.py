@@ -79,7 +79,17 @@ def param_sharding_rules(mesh: Mesh):
 
 
 def shard_params(params, mesh: Mesh):
+    """Place params by the tensor-parallel rules.  On a multi-process mesh
+    the host-local copies (identical on every process — same PRNGKey) are
+    lifted to global arrays via make_array_from_callback, since device_put
+    cannot target non-addressable devices."""
     rule = param_sharding_rules(mesh)
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: jax.device_put(leaf, rule(path, leaf)), params
-    )
+    if jax.process_count() > 1:
+        def put(path, leaf):
+            s = rule(path, leaf)
+            arr = np.asarray(leaf)
+            return jax.make_array_from_callback(arr.shape, s, lambda idx: arr[idx])
+    else:
+        def put(path, leaf):
+            return jax.device_put(leaf, rule(path, leaf))
+    return jax.tree_util.tree_map_with_path(put, params)

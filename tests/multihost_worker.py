@@ -134,6 +134,37 @@ def main(port: int, pid: int) -> None:
         "val_loss": [float(x) for x in val_losses[:3]],
     }), flush=True)
 
+    # --- multi-host train() END TO END (VERDICT r2 next-4): the full loop
+    # with a global-mesh sharded batch, process-0-only checkpoint/log/TB
+    # writes, and gating eval through eval_split_batched(multihost=True).
+    # Per-process checkpoint_path stands in for a shared FS so the parent
+    # can assert SINGLE-WRITER behavior (ckpt files only under pid 0).
+    from echr_tpu.engine.train import train
+
+    tcfg = cfg.replace(run_id=f"MH{port}")
+    tcfg = tcfg.replace_in("save", checkpoint_path=os.path.join(
+        tempfile.gettempdir(), f"mh_train_{port}_{pid}"),
+        save_checkpoint_every=2, min_epoch_when_save=-1)
+    tcfg = tcfg.replace_in("train", batch_size=4, lr=5e-3)
+    tcfg = tcfg.replace_in("eval", num_vids_eval=0, fast_eval_cg=True,
+                           batch_videos=2)
+    out = train(tcfg, max_iterations=3)
+    folder = out["save_folder"]
+    print("TRAIN", json.dumps({
+        "pid": pid,
+        "best_val_score": float(out["best_val_score"]),
+        "iteration": out["iteration"],
+        "folder": folder,
+        "has_last_ckpt": os.path.exists(os.path.join(folder, "model-last.ckpt")),
+        "has_train_log": os.path.exists(os.path.join(folder, "train.log")),
+        "has_config": os.path.exists(os.path.join(folder, "config.json")),
+    }), flush=True)
+    # a step-level invariant: the trained params are identical across
+    # processes (global replicated arrays) — print a digest
+    leaves = jax.tree_util.tree_leaves(out["state"].cg_params)
+    digest = float(sum(np.abs(np.asarray(x)).sum() for x in leaves))
+    print("PARAMS", json.dumps({"pid": pid, "digest": digest}), flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]))

@@ -156,3 +156,24 @@ def test_debug_preset():
     assert cfg.save.losses_log_every == 50
     assert cfg.eval.num_vids_eval == 10
     assert cfg.data.shuffle is False
+
+
+def test_good_proposal_count_matches_grid():
+    """The labels-off fast path's windowed counter equals the full-grid
+    count (iou_scores >= thr).sum() exactly, across randomized geometries
+    and thresholds including the fallback regime (thr <= 0.65)."""
+    from echr_tpu.data.labels import good_proposal_count, iou_grid
+
+    r = np.random.RandomState(42)
+    for _ in range(120):
+        T = int(r.randint(3, 500))
+        K = int(r.choice([32, 64, 256]))
+        G = int(r.randint(0, 7))
+        fs = []
+        for _ in range(G):
+            a = int(r.randint(0, T - 1))
+            fs.append((a, int(r.randint(a + 1, T))))
+        thr = float(r.choice([0.8, 0.7, 0.9, 0.99, 0.66, 0.5]))
+        iou, _, _ = iou_grid(fs, T, K)
+        assert good_proposal_count(fs, T, K, thr) == int((iou >= thr).sum()), (
+            T, K, fs, thr)

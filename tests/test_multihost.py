@@ -93,6 +93,29 @@ def test_two_process_data_parallel_step():
     assert evals[0]["meteor"] == pytest.approx(evals[1]["meteor"], abs=1e-9)
     assert evals[0]["val_loss"] == pytest.approx(evals[1]["val_loss"], rel=1e-6)
 
+    # --- multi-host train() end-to-end (VERDICT r2 next-4)
+    trains, params = {}, {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("TRAIN "):
+                d = json.loads(line[6:])
+                trains[d["pid"]] = d
+            elif line.startswith("PARAMS "):
+                d = json.loads(line[7:])
+                params[d["pid"]] = d["digest"]
+    assert set(trains) == {0, 1}
+    # both processes made the identical best-checkpoint decision ...
+    assert trains[0]["best_val_score"] == pytest.approx(
+        trains[1]["best_val_score"], abs=1e-12)
+    assert trains[0]["iteration"] == trains[1]["iteration"] >= 3
+    # ... and trained to identical global params (replicated arrays)
+    assert params[0] == pytest.approx(params[1], rel=1e-9)
+    # SINGLE WRITER: checkpoint/log/config written by process 0 only
+    assert trains[0]["has_last_ckpt"] and trains[0]["has_train_log"] \
+        and trains[0]["has_config"]
+    assert not trains[1]["has_last_ckpt"] and not trains[1]["has_train_log"] \
+        and not trains[1]["has_config"]
+
 
 def test_loader_sharding_explicit_args():
     """Host-side sharding semantics without any jax cluster."""
