@@ -73,6 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO, format="[%(asctime)s] %(message)s")
+    from echr_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ns = build_parser().parse_args(argv)
     folder = os.path.join(ns.checkpoint_path, ns.folder_id)
     path = ns.model_path or os.path.join(folder, f"model-{ns.which}.ckpt")

@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO, format="[%(asctime)s] %(message)s")
+    from echr_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ns = build_parser().parse_args(argv)
 
     from echr_tpu.serve import CaptionRequest, from_checkpoint

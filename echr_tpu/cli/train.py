@@ -10,9 +10,11 @@ import sys
 
 from echr_tpu.config import parse_config
 from echr_tpu.engine.train import train
+from echr_tpu.utils.cache import enable_persistent_compile_cache
 
 
 def main(argv=None) -> None:
+    enable_persistent_compile_cache()
     cfg = parse_config(argv)
     train(cfg)
 
