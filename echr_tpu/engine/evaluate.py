@@ -366,12 +366,17 @@ def eval_split_batched(
         if not items:
             return None
         B = len(items)
-        # pad the group to a data-axis multiple so every chip gets rows;
-        # padded rows replay the last video and are dropped on collect
-        items_p = items
+        # pad every group to the STATIC batch_videos rows (and a data-axis
+        # multiple under a mesh) so each time bucket compiles exactly ONE
+        # program regardless of how full the tail groups are — partial
+        # groups otherwise each trigger a fresh (bucket, B) compile, which
+        # is minutes through the axon relay.  Padded rows replay the last
+        # video and are dropped on collect; vmapped rows are cheap.
+        pad_to = batch_videos
         if mesh is not None:
-            pad_b = (-B) % mesh.shape["data"]
-            items_p = items + [items[-1]] * pad_b
+            dp = mesh.shape["data"]
+            pad_to = ((batch_videos + dp - 1) // dp) * dp
+        items_p = items + [items[-1]] * (pad_to - B)
 
         def shard(x):
             return jax.device_put(x, _dp) if mesh is not None else x
