@@ -45,7 +45,10 @@ def test_two_process_data_parallel_step():
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=540)
+        # the worker runs a one-step cluster check, a sharded eval sweep, AND
+        # a short multi-host train(); under full-suite CPU contention the
+        # old 540s budget was hit (observed r3) — compute is ~6.5 min idle
+        out, _ = p.communicate(timeout=900)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
