@@ -165,6 +165,34 @@ def main(port: int, pid: int) -> None:
     digest = float(sum(np.abs(np.asarray(x)).sum() for x in leaves))
     print("PARAMS", json.dumps({"pid": pid, "digest": digest}), flush=True)
 
+    # --- multi-host RESUME: non-zero processes fetch process 0's checkpoint
+    # (a shared FS makes this a no-op in production), then every process
+    # resumes and takes one more globally-sharded step — exercising the
+    # checkpoint-leaf re-globalization (train._replicate_global) and the
+    # identical post-resume gating decision.
+    import shutil
+
+    from echr_tpu.parallel.distributed import allgather_object
+
+    allgather_object(("ckpt_written", pid))  # barrier: p0's files on disk
+    if pid != 0:
+        src = os.path.join(tempfile.gettempdir(), f"mh_train_{port}_0", f"MH{port}")
+        for name in ("model-last.ckpt", "model-last.ckpt.config.json"):
+            sp = os.path.join(src, name)
+            if os.path.exists(sp):
+                shutil.copyfile(sp, os.path.join(folder, name))
+    rcfg = tcfg.replace_in("save", start_from=f"MH{port}", start_from_mode="last")
+    out2 = train(rcfg, max_iterations=4)
+    leaves2 = jax.tree_util.tree_leaves(out2["state"].cg_params)
+    digest2 = float(sum(np.abs(np.asarray(x)).sum() for x in leaves2))
+    print("RESUME", json.dumps({
+        "pid": pid,
+        "iteration": out2["iteration"],
+        "best_val_score": float(out2["best_val_score"]),
+        "digest": digest2,
+        "changed": bool(abs(digest2 - digest) > 0),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]))

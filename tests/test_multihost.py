@@ -119,6 +119,21 @@ def test_two_process_data_parallel_step():
     assert not trains[1]["has_last_ckpt"] and not trains[1]["has_train_log"] \
         and not trains[1]["has_config"]
 
+    # --- multi-host resume: checkpoint leaves re-globalized, one more
+    # sharded step, identical state and gating decision on both processes
+    resumes = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESUME "):
+                d = json.loads(line[7:])
+                resumes[d["pid"]] = d
+    assert set(resumes) == {0, 1}
+    assert resumes[0]["iteration"] == resumes[1]["iteration"] == 4
+    assert resumes[0]["changed"] and resumes[1]["changed"]  # a step was taken
+    assert resumes[0]["digest"] == pytest.approx(resumes[1]["digest"], rel=1e-9)
+    assert resumes[0]["best_val_score"] == pytest.approx(
+        resumes[1]["best_val_score"], abs=1e-12)
+
 
 def test_loader_sharding_explicit_args():
     """Host-side sharding semantics without any jax cluster."""
