@@ -204,6 +204,15 @@ class RuntimeConfig:
     # softmax/logits/losses).
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # Host->device dtype for the C3D feature payload on the batched
+    # eval/serving pipelines.  "bfloat16" halves the dominant transfer
+    # (measured 512 -> ~220 ms per 32-video group through the axon relay)
+    # and is BIT-IDENTICAL whenever every feats consumer casts to a bf16
+    # compute_dtype before its matmul (sst dense, segment_mean, attention
+    # precompute/weighted-sum all do); with f32 compute it differs only by
+    # input quantisation.  Features are upcast to f32 on device so every
+    # downstream dtype is unchanged.  Default f32 = exact byte-path.
+    transfer_dtype: str = "float32"
     # Mesh axes: data-parallel over videos, model-parallel over
     # vocab/head-sharded matmuls.  (1, 1) = single chip.
     mesh_shape: Tuple[int, int] = (1, 1)

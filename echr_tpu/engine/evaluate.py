@@ -381,7 +381,14 @@ def eval_split_batched(
         def shard(x):
             return jax.device_put(x, _dp) if mesh is not None else x
 
-        feats_b = shard(jnp.asarray(np.stack([b.feats for b, _ in items_p])))
+        feats_np = np.stack([b.feats for b, _ in items_p])
+        if cfg.runtime.transfer_dtype == "bfloat16":
+            # halve the dominant host->device payload; upcast on device so
+            # downstream dtypes are unchanged (see RuntimeConfig.transfer_dtype)
+            feats_b = shard(jnp.asarray(
+                feats_np.astype(jnp.bfloat16)).astype(jnp.float32))
+        else:
+            feats_b = shard(jnp.asarray(feats_np))
         tap_feats_b, pred_props_b = encode_step_batched(tap_params, feats_b, cfg)
         # tap_cg without NMS: top-N selection runs ON DEVICE
         # (selection-identical to P.top_proposals, see select_topk_batched)

@@ -34,8 +34,13 @@ def additive_attention_init(rng: Array, feat_dim: int, query_dim: int, hid_dim: 
     }
 
 
-def additive_attention_precompute(p, feats: Array, compute_dtype=jnp.float32) -> Array:
-    """Project the shared frame features once per video: [T, D] -> [T, Hatt]."""
+def additive_attention_precompute(p, feats: Array, compute_dtype=None) -> Array:
+    """Project the shared frame features once per video: [T, D] -> [T, Hatt].
+
+    compute_dtype=None follows the weight dtype like dense() everywhere
+    else — under a bf16 param tree the features are cast to bf16 before
+    the matmul (f32 accumulation), which also makes a bf16 feature
+    TRANSFER (runtime.transfer_dtype) bit-transparent on this path."""
     return dense(p["ctx2att"], feats, compute_dtype)
 
 

@@ -138,7 +138,13 @@ class CaptionService:
                     return (jax.device_put(x, self._dp_sharding)
                             if self.mesh is not None else x)
 
-                feats_d = shard(jnp.asarray(feats))
+                if cfg.runtime.transfer_dtype == "bfloat16":
+                    # halved feature payload, upcast on device
+                    # (see RuntimeConfig.transfer_dtype)
+                    feats_d = shard(jnp.asarray(
+                        feats.astype(jnp.bfloat16)).astype(jnp.float32))
+                else:
+                    feats_d = shard(jnp.asarray(feats))
                 tap_feats, pred_props = encode_step_batched(self.tap_params, feats_d, cfg)
                 # the previous chunk's decode overlaps this encode + the
                 # proposal-score fetch below; collect it before selection
