@@ -102,6 +102,22 @@ UPDATES_TAP = ("tap", "tap_cg", "gt_tap_cg")
 UPDATES_CG = ("cg", "gt_tap_cg", "tap_cg", "LP_cg")
 
 
+def decompress_batch(batch: VideoBatch) -> VideoBatch:
+    """Undo the host->device transfer compression
+    (engine.train._compress_batch): bf16 features and uint8 binary grids
+    come back as f32 — exact for the {0,1} grids, bf16-quantised for
+    features (a no-op under a bf16 compute_dtype, see
+    RuntimeConfig.transfer_dtype).  Uncompressed batches pass through
+    untouched; the casts fuse into the first consumer under jit."""
+
+    def up(x):
+        if x.dtype in (jnp.bfloat16, jnp.uint8):
+            return x.astype(jnp.float32)
+        return x
+
+    return jax.tree.map(up, batch)
+
+
 def _select_props(batch: VideoBatch, phase: str) -> Tuple[ProposalBatch, Array, Array]:
     """GT proposals for 'cg'/'gt_tap_cg', sampled good proposals otherwise —
     including 'LP_cg', which trains the captioner on sampled proposals
@@ -176,6 +192,7 @@ def train_step(
     update_cg: bool = True,
 ) -> Tuple[TrainState, Dict[str, Array]]:
     """One data-parallel training step over a [B]-video batch."""
+    batch = decompress_batch(batch)
     B = batch.feats.shape[0]
     opt = make_optimizer(cfg)
 
@@ -219,6 +236,7 @@ def grad_step(
 ):
     """Gradients only — for m_batch accumulation (reference sums grads over
     m_batch backward passes before stepping, train.py:281-283,294)."""
+    batch = decompress_batch(batch)
     B = batch.feats.shape[0]
 
     def loss_fn(tap_params, cg_params):
@@ -294,6 +312,7 @@ def rl_rollout_step(tap_params, cg_params, batch: VideoBatch, cfg: Config,
     from echr_tpu.models.captioner import make_contexts
     from echr_tpu.models.decoder import decoder_sample
 
+    batch = decompress_batch(batch)
     tap_l, _, gen_seq, gen_logps = _rl_forward(
         tap_params, cg_params, cfg, batch, phase, rng
     )
@@ -312,6 +331,7 @@ def rl_rollout_step(tap_params, cg_params, batch: VideoBatch, cfg: Config,
 def rl_update_step(state: TrainState, batch: VideoBatch, cfg: Config, phase: str,
                    rng: Array, gen_seq: Array, reward: Array):
     """Policy-gradient update on the replayed rollout."""
+    batch = decompress_batch(batch)
     opt = make_optimizer(cfg)
 
     def loss_fn(tap_params, cg_params):

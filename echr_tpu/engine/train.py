@@ -89,6 +89,28 @@ def _stack_batch(batch: VideoBatch) -> VideoBatch:
     return jax.tree.map(lambda x: np.asarray(x)[None], batch)
 
 
+# {0,1}-valued grids: exact in uint8 (engine.steps.decompress_batch restores f32)
+_BINARY_FIELDS = ("tap_labels", "tap_masks", "frame_mask", "prop_mask",
+                  "cg_masks", "gts_mask", "gts_cg_masks")
+
+
+def _compress_batch(batch: VideoBatch, cfg: Config) -> VideoBatch:
+    """Shrink the per-step host->device payload ~2.6x (2.11 -> 0.80
+    MB/video at flagship dims) when runtime.transfer_dtype is bfloat16:
+    features travel as bf16 (quantisation is a no-op under a bf16
+    compute_dtype — every consumer casts before its matmul, same argument
+    as the eval pipelines) and the {0,1} grids as uint8 (exact).
+    steps.decompress_batch restores f32 inside the jitted step."""
+    if cfg.runtime.transfer_dtype != "bfloat16":
+        return batch
+    import jax.numpy as jnp  # bf16 numpy dtype
+
+    reps = {"feats": np.asarray(batch.feats).astype(jnp.bfloat16)}
+    for f in _BINARY_FIELDS:
+        reps[f] = np.asarray(getattr(batch, f)).astype(np.uint8)
+    return batch._replace(**reps)
+
+
 def _collate(batches: List[VideoBatch]) -> VideoBatch:
     """Stack same-bucket videos into a [B, ...] batch (the data-parallel
     unit the reference never had — its effective batch is always 1 video,
@@ -256,6 +278,7 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             if meta.wrapped:
                 epoch += 1
             continue
+        batch = _compress_batch(batch, cfg)
 
         sc_flag = (
             cfg.train.self_critical_after != -1

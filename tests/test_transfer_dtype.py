@@ -66,3 +66,66 @@ def test_bf16_quantisation_is_noop_through_bf16_matmuls():
     a = dense(p, x, jnp.bfloat16)
     b = dense(p, xq, jnp.bfloat16)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_batch_compression_roundtrip(tmp_path):
+    """_compress_batch halves/quarters the payload; decompress restores the
+    {0,1} grids exactly and features within bf16 quantisation."""
+    from echr_tpu.engine.steps import decompress_batch
+    from echr_tpu.engine.train import _BINARY_FIELDS, _compress_batch
+
+    cfg = tiny_cfg(tmp_path).replace_in("runtime", transfer_dtype="bfloat16")
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    batch, _ = loader.get_batch("train")
+    comp = _compress_batch(batch, cfg)
+    assert comp.feats.dtype == jnp.bfloat16
+    orig_bytes = sum(np.asarray(getattr(batch, f)).nbytes for f in batch._fields)
+    comp_bytes = sum(np.asarray(getattr(comp, f)).nbytes for f in comp._fields)
+    assert comp_bytes < 0.55 * orig_bytes
+    dec = jax.tree.map(np.asarray, decompress_batch(jax.tree.map(jnp.asarray, comp)))
+    for f in _BINARY_FIELDS:
+        a = np.asarray(getattr(batch, f))
+        np.testing.assert_array_equal(a, np.asarray(getattr(dec, f)))
+        assert np.asarray(getattr(dec, f)).dtype == np.float32
+    np.testing.assert_allclose(np.asarray(batch.feats), np.asarray(dec.feats),
+                               atol=0.02, rtol=0.01)
+
+
+def test_train_step_equal_with_compressed_batch(tmp_path):
+    """One train_step on the compressed batch matches the raw-batch step
+    under bf16 compute (separate executables -> ~1e-5 AOT-cache noise)."""
+    from echr_tpu.engine.steps import train_step
+    from echr_tpu.engine.train import _compress_batch, _stack_batch
+
+    cfg = tiny_cfg(tmp_path).replace_in("runtime", compute_dtype="bfloat16")
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=dataset.vocab_size,
+                         CG_seq_length=dataset.seq_length)
+    batch, meta = loader.get_batch("train")
+    while meta.proposal_num <= 0:
+        batch, meta = loader.get_batch("train")
+    rng = jax.random.PRNGKey(0)
+    cfg_c = cfg.replace_in("runtime", transfer_dtype="bfloat16")
+
+    outs = []
+    for b in (_stack_batch(batch), _stack_batch(_compress_batch(batch, cfg_c))):
+        st = init_train_state(cfg, init_tap(rng, cfg), init_captioner(rng, cfg))
+        st2, m = train_step(st, jax.tree.map(jnp.asarray, b), rng, cfg, "tap_cg")
+        outs.append((float(m["loss"]),
+                     float(sum(np.abs(np.asarray(x)).sum()
+                               for x in jax.tree_util.tree_leaves(st2.cg_params)))))
+    (l_raw, d_raw), (l_c, d_c) = outs
+    np.testing.assert_allclose(l_raw, l_c, rtol=1e-4)
+    np.testing.assert_allclose(d_raw, d_c, rtol=1e-5)
+
+
+def test_train_loop_with_bf16_transfer(tmp_path):
+    """The full loop runs with compression on; losses stay finite."""
+    from echr_tpu.engine.train import train
+
+    cfg = tiny_cfg(tmp_path).replace(run_id="BF16T")
+    cfg = cfg.replace_in("runtime", transfer_dtype="bfloat16")
+    out = train(cfg, max_iterations=6)
+    assert out["iteration"] == 6
