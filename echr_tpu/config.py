@@ -205,10 +205,12 @@ class RuntimeConfig:
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     # Host->device dtype for the C3D feature payload on the batched
-    # eval/serving pipelines.  "bfloat16" halves the dominant transfer
-    # (measured 512 -> ~220 ms per 32-video group through the axon relay)
-    # and is BIT-IDENTICAL whenever every feats consumer casts to a bf16
-    # compute_dtype before its matmul (sst dense, segment_mean, attention
+    # eval/serving pipelines AND the training batch (which additionally
+    # packs its {0,1} label/mask grids as uint8 — exact).  "bfloat16"
+    # halves the dominant transfer (measured 512 -> ~220 ms per 32-video
+    # eval group; train batch 2.11 -> 0.80 MB/video) and is BIT-IDENTICAL
+    # whenever every feats consumer casts to a bf16 compute_dtype before
+    # accumulating (sst dense, segment_mean, masked_mean, attention
     # precompute/weighted-sum all do); with f32 compute it differs only by
     # input quantisation.  Features are upcast to f32 on device so every
     # downstream dtype is unchanged.  Default f32 = exact byte-path.

@@ -61,10 +61,13 @@ class Loader:
             process_count = auto_n if process_count is None else process_count
         self.process_index, self.process_count = process_index, process_count
         # labels=False: decode-only eval fast path — make_batch skips the
-        # training-label synthesis (IoU grid / sampling / caption packing);
-        # set via set_labels() before reset_iterator (fetchers already
-        # running keep producing full batches, which is a harmless superset)
-        self.labels = True
+        # training-label synthesis (IoU grid / sampling / caption packing).
+        # Tracked PER SPLIT so a decode-only val eval can never poison a
+        # concurrently prefetching train fetcher with zeroed label grids;
+        # set via set_labels(split=...) before reset_iterator (a fetcher
+        # already running keeps producing full batches for a short overlap,
+        # which is a harmless superset).
+        self._labels: Dict[str, bool] = {}
         # producer-side state
         self.iterators: Dict[str, int] = {s: 0 for s in dataset.split_ix}
         self.split_order: Dict[str, List[int]] = {
@@ -123,7 +126,8 @@ class Loader:
     def split_size(self, split: str) -> int:
         return len(self.split_order[split])
 
-    def _make(self, ix: int, seed: int = None) -> Tuple[VideoBatch, BatchMeta]:
+    def _make(self, ix: int, seed: int = None,
+              labels: bool = True) -> Tuple[VideoBatch, BatchMeta]:
         ex = self.dataset.get_example(ix)
         # per-example rng keyed by global rng draw for reproducible sampling;
         # under the thread pool the draw happens at position-assignment time
@@ -137,11 +141,15 @@ class Loader:
         ):
             sota_fn = lambda nfeats: self.dataset.get_sota(ex.vid, nfeats, ex.duration)  # noqa: E731
         return make_batch(ex, self.cfg, sub, w1=self.dataset.w1, sota_fn=sota_fn,
-                          labels=self.labels)
+                          labels=labels)
 
-    def set_labels(self, labels: bool) -> None:
-        """Toggle the decode-only fast path (see make_batch labels=False)."""
-        self.labels = bool(labels)
+    def set_labels(self, labels: bool, split: str) -> None:
+        """Toggle the decode-only fast path for ONE split
+        (see make_batch labels=False)."""
+        self._labels[split] = bool(labels)
+
+    def labels_for(self, split: str) -> bool:
+        return self._labels.get(split, True)
 
     def get_batch(self, split: str) -> Tuple[VideoBatch, BatchMeta]:
         if split not in self._fetchers:
@@ -224,7 +232,7 @@ class _Prefetcher:
             if self._stop.is_set():
                 return
             seq, pos, order, ix, wrapped, seed = self._next_position()
-            batch, meta = ld._make(ix, seed)
+            batch, meta = ld._make(ix, seed, labels=ld.labels_for(self.split))
             meta.wrapped = wrapped
             with self._buf_cv:
                 self._buf[seq] = (batch, meta, pos, order)

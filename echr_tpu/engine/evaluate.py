@@ -87,10 +87,12 @@ def eval_split(
     # decode-only fast path: skip training-label synthesis in the batcher
     # (the reference always pays it, dataloader.py:320-365; see make_batch
     # labels=False).  cg/cg_extend need the label fields; so do val losses.
-    decode_only = (not get_eval_loss) and flag_eval_what in (
-        "tap", "tap_cg", "SOTA_TEP")
-    labels_before = loader.labels
-    loader.set_labels(not decode_only)
+    # SOTA_TEP stays on the labels path: its long-window random crop draws
+    # from the rng stream AFTER the label-path draws, so skipping them
+    # would shift crop offsets and change proposals.
+    decode_only = (not get_eval_loss) and flag_eval_what in ("tap", "tap_cg")
+    labels_before = loader.labels_for(split)
+    loader.set_labels(not decode_only, split)
     loader.reset_iterator(split)
     vocab = loader.dataset.ix_to_word
     predictions: Dict[str, List[dict]] = {}
@@ -246,7 +248,7 @@ def eval_split(
         if meta.wrapped or it >= num_vids_eval:
             break
 
-    loader.set_labels(labels_before)
+    loader.set_labels(labels_before, split)
     pred2json = {
         "results": predictions,
         "version": "VERSION 1.0",
@@ -343,11 +345,11 @@ def eval_split_batched(
     sample_base = jax.random.PRNGKey(int(kw.get("sample_seed", 0)))
     dispatch_count = [0]
 
-    # decode-only fast path (see eval_split): no label synthesis needed
-    decode_only = (not get_eval_loss) and flag_eval_what in (
-        "tap", "tap_cg", "SOTA_TEP")
-    labels_before = loader.labels
-    loader.set_labels(not decode_only)
+    # decode-only fast path (see eval_split; SOTA_TEP excluded — rng-stream
+    # position of its long-window crop must match the labels path)
+    decode_only = (not get_eval_loss) and flag_eval_what in ("tap", "tap_cg")
+    labels_before = loader.labels_for(split)
+    loader.set_labels(not decode_only, split)
     loader.reset_iterator(split)
     vocab = loader.dataset.ix_to_word
     predictions: Dict[str, List[dict]] = {}
@@ -357,7 +359,6 @@ def eval_split_batched(
 
     groups: Dict[int, List] = {}
     done = False
-    seen = 0
     pending = []  # dispatched-but-uncollected groups (two in flight)
 
     def dispatch(bucket: int):
@@ -571,13 +572,15 @@ def eval_split_batched(
 
     while not done:
         batch, meta = loader.get_batch(split)
-        seen += 1
-        done = meta.wrapped or seen >= num_vids_eval
         usable = meta.proposal_num > 0 and meta.n_frames > 1
         if flag_eval_what == "SOTA_TEP" and meta.SOTA_scores is None:
             usable = False  # reference: bad video for SOTA_TEP (eval_utils.py:77-80)
         if usable:
             it_vids += 1
+        # bad videos do NOT count toward num_vids_eval, matching eval_split
+        # and the reference (eval_utils.py:44 `continue`s before iter+=1)
+        done = meta.wrapped or it_vids >= num_vids_eval
+        if usable:
             groups.setdefault(meta.t_bucket, []).append((batch, meta))
             if len(groups[meta.t_bucket]) >= batch_videos:
                 entry = dispatch(meta.t_bucket)
@@ -592,7 +595,7 @@ def eval_split_batched(
             pending.append(entry)
     for entry in pending:
         collect(entry)
-    loader.set_labels(labels_before)
+    loader.set_labels(labels_before, split)
 
     if multihost and jax.process_count() > 1:
         from echr_tpu.parallel.distributed import allgather_object, gather_predictions

@@ -189,7 +189,18 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
         from echr_tpu.parallel.distributed import global_mesh
         from echr_tpu.parallel.mesh import shard_params
 
-        mesh = global_mesh(tp=max(tp, 1))  # all cluster devices
+        if tp > 1:
+            # the gating eval localizes params with np.asarray, which is
+            # only legal on fully-replicated multi-process arrays — model-
+            # sharded leaves would crash at the first eval.  Proper tp>1
+            # localization needs a resharding allgather; until then, fail
+            # fast instead of dying mid-run.
+            raise NotImplementedError(
+                "multi-host training currently supports data parallelism "
+                "only (mesh_shape tp=1); use tensor parallelism within a "
+                "single host, or extend _run_eval's param localization"
+            )
+        mesh = global_mesh(tp=1)  # all cluster devices, pure dp
         tap_params = shard_params(tap_params, mesh)
         cg_params = shard_params(cg_params, mesh)
         if cfg.train.batch_size % mesh.shape["data"] != 0:
@@ -516,6 +527,12 @@ def _run_eval(state: TrainState, loader: Loader, cfg: Config, save_folder: str,
         runner = eval_split
     json_path = os.path.join(save_folder, "pred_sent", f"pred_iter{iteration}.json")
     n_eval = cfg.eval.num_vids_eval or loader.split_size("val")
+    if multihost and cfg.eval.num_vids_eval:
+        # the eval loader is val-SHARDED: a per-process cap of num_vids_eval
+        # would evaluate P*num_vids_eval videos in total — divide it so the
+        # gathered gate sees ~num_vids_eval videos regardless of host count
+        # (the sampled SET still differs from single-host: shard striding)
+        n_eval = -(-cfg.eval.num_vids_eval // jax.process_count())
     if phase == "tap":
         preds, scores, val_loss = runner(
             tap_p, cg_p, loader, cfg, json_path,

@@ -63,9 +63,11 @@ def build_contexts(
     if "VL" in vt:
         vparts.append(lda_feats)
     if "VC" in vt:
-        vparts.append(masked_mean(c3d_feats, frame_mask, axis=0))
+        vparts.append(masked_mean(c3d_feats, frame_mask, axis=0,
+                                  compute_dtype=compute_dtype))
     if "VH" in vt:
-        vparts.append(masked_mean(tap_feats, frame_mask, axis=0))
+        vparts.append(masked_mean(tap_feats, frame_mask, axis=0,
+                                  compute_dtype=compute_dtype))
     video = jnp.concatenate(vparts, axis=0) if vparts else None
 
     # --- event level (reference: CaptionGenerator.py:106-137) ---

@@ -38,8 +38,15 @@ def masked_log_softmax(logits: Array, mask: Array, axis: int = -1) -> Array:
     return jax.nn.log_softmax(masked_logits, axis=axis)
 
 
-def masked_mean(x: Array, mask: Array, axis: int = 0, eps: float = 0.0) -> Array:
-    """Mean of x over ``axis`` counting only mask==1 rows."""
+def masked_mean(x: Array, mask: Array, axis: int = 0, eps: float = 0.0,
+                compute_dtype=None) -> Array:
+    """Mean of x over ``axis`` counting only mask==1 rows.
+
+    compute_dtype casts x before accumulating (accumulation stays in x's
+    promoted f32), matching segment_mean — under bf16 compute this makes
+    bf16-quantised inputs transparent (RuntimeConfig.transfer_dtype)."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype).astype(jnp.float32)
     mask = mask.astype(x.dtype)
     while mask.ndim < x.ndim:
         mask = mask[..., None]

@@ -49,12 +49,12 @@ def test_labels_off_predictions_identical_per_video(tmp_path):
     preds_full, _, _ = eval_split(
         state.tap_params, state.cg_params, loader, cfg, str(tmp_path / "a.json"),
         kw, flag_eval_what="tap_cg")
-    assert loader.labels  # loss-on eval keeps the labels path
+    assert loader.labels_for("val")  # loss-on eval keeps the labels path
     kw2 = dict(kw, get_eval_loss=False)
     preds_fast, _, _ = eval_split(
         state.tap_params, state.cg_params, loader, cfg, str(tmp_path / "b.json"),
         kw2, flag_eval_what="tap_cg")
-    assert loader.labels  # restored after the decode-only eval
+    assert loader.labels_for("val")  # restored after the decode-only eval
     _assert_same_predictions(preds_full, preds_fast)
 
 
@@ -69,7 +69,7 @@ def test_labels_off_predictions_identical_batched(tmp_path):
     preds_fast, _, _ = eval_split_batched(
         state.tap_params, state.cg_params, loader, cfg, str(tmp_path / "d.json"),
         kw2, flag_eval_what="tap_cg", batch_videos=4)
-    assert loader.labels
+    assert loader.labels_for("val")
     _assert_same_predictions(preds_full, preds_fast)
 
 
@@ -79,7 +79,7 @@ def test_labels_off_batch_fields(tmp_path):
     cfg, loader, state = _setup(tmp_path)
     loader.reset_iterator("val")
     batch_a, meta_a = loader.get_batch("val")
-    loader.set_labels(False)
+    loader.set_labels(False, "val")
     loader.reset_iterator("val")
     batch_b, meta_b = loader.get_batch("val")
     assert meta_a.vid == meta_b.vid
@@ -90,4 +90,25 @@ def test_labels_off_batch_fields(tmp_path):
     assert meta_a.proposal_num == meta_b.proposal_num  # exact, not approximate
     assert meta_a.n_frames == meta_b.n_frames
     assert not batch_b.tap_labels.any() and not batch_b.cg_labels.any()
-    loader.set_labels(True)
+    loader.set_labels(True, "val")
+
+
+def test_labels_off_does_not_poison_other_splits(tmp_path):
+    """A decode-only val eval must not zero the labels of concurrently
+    prefetched TRAIN batches (labels mode is per split)."""
+    cfg, loader, state = _setup(tmp_path)
+    b0, _ = loader.get_batch("train")  # spawn the train fetcher
+    assert b0.cg_labels.any()
+    kw = {"num_vids_eval": 2, "val_all_metrics": False, "topN": 15,
+          "language_eval": False, "get_eval_loss": False}
+    eval_split(state.tap_params, state.cg_params, loader, cfg,
+               str(tmp_path / "p.json"), kw, flag_eval_what="tap_cg")
+    assert not loader.labels_for("val") or loader.labels_for("val")  # restored
+    # drain well past the prefetch depth: every train batch keeps labels
+    saw_labels = 0
+    for _ in range(12):
+        b, m = loader.get_batch("train")
+        if m.proposal_num > 0:
+            assert b.cg_labels.any() or b.gts_cg_labels.any(), m.vid
+            saw_labels += 1
+    assert saw_labels > 0
