@@ -189,18 +189,7 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
         from echr_tpu.parallel.distributed import global_mesh
         from echr_tpu.parallel.mesh import shard_params
 
-        if tp > 1:
-            # the gating eval localizes params with np.asarray, which is
-            # only legal on fully-replicated multi-process arrays — model-
-            # sharded leaves would crash at the first eval.  Proper tp>1
-            # localization needs a resharding allgather; until then, fail
-            # fast instead of dying mid-run.
-            raise NotImplementedError(
-                "multi-host training currently supports data parallelism "
-                "only (mesh_shape tp=1); use tensor parallelism within a "
-                "single host, or extend _run_eval's param localization"
-            )
-        mesh = global_mesh(tp=1)  # all cluster devices, pure dp
+        mesh = global_mesh(tp=max(tp, 1))  # all cluster devices
         tap_params = shard_params(tap_params, mesh)
         cg_params = shard_params(cg_params, mesh)
         if cfg.train.batch_size % mesh.shape["data"] != 0:
@@ -366,7 +355,7 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
         ):
             current_score, eval_scores = _run_eval(
                 state, eval_loader, cfg, save_folder, iteration, phase,
-                multihost=multihost,
+                multihost=multihost, mesh=mesh,
             )
             tb.scalar("val_score", current_score, iteration)
             for k, v in eval_scores.items():
@@ -385,9 +374,16 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             hist_grads, _ = grad_step(
                 state, hist_batch, step_rng, cfg, phase, ss_prob=ss_prob
             )
+            if multihost:
+                # collective localization (allgathers tp-sharded leaves) on
+                # EVERY process; only p0 writes the files below
+                save_state = _localize(state, mesh)
+                hist_grads = _localize(hist_grads, mesh)
+            else:
+                save_state = state
             for prefix, tree in (
-                ("tap", state.tap_params),
-                ("cg", state.cg_params),
+                ("tap", save_state.tap_params),
+                ("cg", save_state.cg_params),
                 ("tap_grad", hist_grads[0]),
                 ("cg_grad", hist_grads[1]),
             ):
@@ -403,21 +399,22 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             if is_p0:  # single-writer checkpoints; every process agrees on
                 # the scores (multihost eval gathers the full split), so the
                 # best-checkpoint decision is identical everywhere
-                _save(state, cfg, save_folder, iteration, epoch, best_val_score,
+                _save(save_state, cfg, save_folder, iteration, epoch, best_val_score,
                       loader, histories, dataset)
             if current_score > best_val_score:
                 best_val_score = current_score
                 if is_p0:
-                    _save(state, cfg, save_folder, iteration, epoch, best_val_score,
+                    _save(save_state, cfg, save_folder, iteration, epoch, best_val_score,
                           loader, histories, dataset, best=True)
                 log.info("new best %.4f at iter %d", best_val_score, iteration)
 
         if max_iterations and iteration >= max_iterations:
             break
 
+    final_state = _localize(state, mesh) if multihost else state  # collective
     if is_p0:
-        _save(state, cfg, save_folder, iteration, epoch, best_val_score, loader,
-              histories, dataset)
+        _save(final_state, cfg, save_folder, iteration, epoch, best_val_score,
+              loader, histories, dataset)
     tb.close()
     return {
         "iteration": iteration,
@@ -428,6 +425,24 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
         "config": cfg,
         "loader": loader,
     }
+
+
+def _localize(tree, mesh):
+    """Fetch global arrays to host-local numpy on EVERY process.  Leaves
+    that are not fully replicated (tensor-parallel shards under tp>1) are
+    first resharded to replicated — a cross-process allgather collective,
+    so this must be called by all processes together (never inside a
+    process-0-only branch)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P()) if mesh is not None else None
+
+    def f(x):
+        if isinstance(x, jax.Array) and not x.is_fully_replicated:
+            x = jax.device_put(x, rep)
+        return np.asarray(x)
+
+    return jax.tree.map(f, tree)
 
 
 def _replicate_global(tree, mesh):
@@ -489,7 +504,7 @@ def _self_critical_step(state, batch, meta, cfg, phase, step_rng, dataset):
 
 
 def _run_eval(state: TrainState, loader: Loader, cfg: Config, save_folder: str,
-              iteration: int, phase: str, multihost: bool = False):
+              iteration: int, phase: str, multihost: bool = False, mesh=None):
     """Checkpoint-gating evaluation (reference: train.py:366-415): TAP phases
     score proposals only (F1); CG phases always run the GT-proposal eval
     with full metrics and, unless --fast_eval_cg, additionally the
@@ -509,9 +524,10 @@ def _run_eval(state: TrainState, loader: Loader, cfg: Config, save_folder: str,
     if multihost:
         from echr_tpu.engine.evaluate import eval_split_batched
 
-        # localize replicated global params for process-local eval compute
-        tap_p = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), tap_p)
-        cg_p = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), cg_p)
+        # localize global params (collective allgather for tp-sharded
+        # leaves) for process-local eval compute
+        tap_p = jax.tree.map(jnp.asarray, _localize(tap_p, mesh))
+        cg_p = jax.tree.map(jnp.asarray, _localize(cg_p, mesh))
 
         def runner(_tp, _cp, *a, **k):
             return eval_split_batched(

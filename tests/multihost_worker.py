@@ -193,6 +193,30 @@ def main(port: int, pid: int) -> None:
         "changed": bool(abs(digest2 - digest) > 0),
     }), flush=True)
 
+    # --- multi-host dp x tp: mesh (2, 2) over the 4 global devices — the
+    # vocab-sharded logit/embed leaves live model-sharded across processes
+    # and the gating eval / checkpoint / histograms localize them through
+    # the collective allgather (engine.train._localize).
+    from echr_tpu.engine.train import _localize
+    from echr_tpu.parallel.distributed import global_mesh
+
+    t2cfg = tcfg.replace(run_id=f"MHTP{port}")
+    t2cfg = t2cfg.replace_in("runtime", mesh_shape=(2, 2))
+    t2cfg = t2cfg.replace_in("train", batch_size=2)
+    t2cfg = t2cfg.replace_in("save", checkpoint_path=os.path.join(
+        tempfile.gettempdir(), f"mh_tp_{port}_{pid}"))
+    out3 = train(t2cfg, max_iterations=2)
+    folder3 = out3["save_folder"]
+    loc = _localize(out3["state"].cg_params, global_mesh(tp=2))
+    digest3 = float(sum(np.abs(x).sum() for x in jax.tree_util.tree_leaves(loc)))
+    print("TPTRAIN", json.dumps({
+        "pid": pid,
+        "best_val_score": float(out3["best_val_score"]),
+        "iteration": out3["iteration"],
+        "digest": digest3,
+        "has_last_ckpt": os.path.exists(os.path.join(folder3, "model-last.ckpt")),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]))

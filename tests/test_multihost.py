@@ -134,6 +134,21 @@ def test_two_process_data_parallel_step():
     assert resumes[0]["best_val_score"] == pytest.approx(
         resumes[1]["best_val_score"], abs=1e-12)
 
+    # --- multi-host dp x tp training: model-sharded leaves localized via
+    # the collective allgather for eval/checkpoint/histograms
+    tps = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("TPTRAIN "):
+                d = json.loads(line[8:])
+                tps[d["pid"]] = d
+    assert set(tps) == {0, 1}
+    assert tps[0]["iteration"] == tps[1]["iteration"] >= 2
+    assert tps[0]["best_val_score"] == pytest.approx(
+        tps[1]["best_val_score"], abs=1e-12)
+    assert tps[0]["digest"] == pytest.approx(tps[1]["digest"], rel=1e-9)
+    assert tps[0]["has_last_ckpt"] and not tps[1]["has_last_ckpt"]
+
 
 def test_loader_sharding_explicit_args():
     """Host-side sharding semantics without any jax cluster."""
