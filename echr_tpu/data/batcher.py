@@ -142,7 +142,7 @@ def _sota_select(fs_scores_ts, K: int, rng, cg_select_fn):
 
 
 def _make_batch_nolabels(
-    ex, cfg, rng, feats, frame_mask, featstamps, T_use, T_pad, sota_fn
+    ex, cfg, sota_rng, feats, frame_mask, featstamps, T_use, T_pad, sota_fn
 ):
     """Decode-only batch: geometry + an exact proposal_num, no label grids."""
     tapc = cfg.tap
@@ -173,7 +173,7 @@ def _make_batch_nolabels(
     sota_kw = {}
     if sota_fn is not None:
         sota_kw = _sota_select(
-            sota_fn(T_use), K, rng, cg_select_fn=lambda f: 0
+            sota_fn(T_use), K, sota_rng, cg_select_fn=lambda f: 0
         )
     meta = BatchMeta(
         vid=ex.vid,
@@ -221,9 +221,17 @@ def make_batch(
     frame_mask[:T_use] = 1.0
 
     featstamps = [L.timestamp_to_featstamp(t, T_use, ex.duration) for t in ex.timestamps]
+    # Dedicated substream for the SOTA long-window random crop, drawn at a
+    # FIXED position (before the labels/nolabels fork) so both paths produce
+    # identical crops — this is what lets SOTA_TEP ride the decode-only fast
+    # path without shifting proposals (reference: dataloader.py:515-520 draws
+    # from the single global stream; crop values are arbitrary rng either way).
+    sota_rng = None
+    if sota_fn is not None:
+        sota_rng = np.random.RandomState(rng.randint(0, 2**31 - 1))
     if not labels:
         return _make_batch_nolabels(
-            ex, cfg, rng, feats, frame_mask, featstamps, T_use, T_pad, sota_fn
+            ex, cfg, sota_rng, feats, frame_mask, featstamps, T_use, T_pad, sota_fn
         )
     iou_scores, gts_index_f, tap_masks_r = L.iou_grid(featstamps, T_use, K)
     gts_index = gts_index_f.astype(np.int64)
@@ -292,7 +300,7 @@ def make_batch(
     sota_kw = {}
     if sota_fn is not None:
         sota_kw = _sota_select(
-            sota_fn(T_use), K, rng,
+            sota_fn(T_use), K, sota_rng,
             cg_select_fn=lambda f: int(tap_gts_for_good[f[1], f[1] - f[0] - 1]),
         )
 

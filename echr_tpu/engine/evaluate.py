@@ -87,10 +87,12 @@ def eval_split(
     # decode-only fast path: skip training-label synthesis in the batcher
     # (the reference always pays it, dataloader.py:320-365; see make_batch
     # labels=False).  cg/cg_extend need the label fields; so do val losses.
-    # SOTA_TEP stays on the labels path: its long-window random crop draws
-    # from the rng stream AFTER the label-path draws, so skipping them
-    # would shift crop offsets and change proposals.
-    decode_only = (not get_eval_loss) and flag_eval_what in ("tap", "tap_cg")
+    # SOTA_TEP qualifies too: its long-window random crop draws from a
+    # dedicated substream seeded at a fixed rng position (make_batch), so
+    # crops are identical on both label paths; its cg_select (zeroed on the
+    # fast path) is only consumed by val losses, which decode-only excludes.
+    decode_only = (not get_eval_loss) and flag_eval_what in (
+        "tap", "tap_cg", "SOTA_TEP")
     labels_before = loader.labels_for(split)
     loader.set_labels(not decode_only, split)
     loader.reset_iterator(split)
@@ -345,9 +347,10 @@ def eval_split_batched(
     sample_base = jax.random.PRNGKey(int(kw.get("sample_seed", 0)))
     dispatch_count = [0]
 
-    # decode-only fast path (see eval_split; SOTA_TEP excluded — rng-stream
-    # position of its long-window crop must match the labels path)
-    decode_only = (not get_eval_loss) and flag_eval_what in ("tap", "tap_cg")
+    # decode-only fast path (see eval_split; SOTA_TEP included — its crop
+    # substream is position-independent of the label-path draws)
+    decode_only = (not get_eval_loss) and flag_eval_what in (
+        "tap", "tap_cg", "SOTA_TEP")
     labels_before = loader.labels_for(split)
     loader.set_labels(not decode_only, split)
     loader.reset_iterator(split)

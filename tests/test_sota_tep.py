@@ -82,3 +82,39 @@ def test_sota_tep_batched_matches_per_video(tmp_path):
             assert pa["sentence"] == pb["sentence"]
             assert pa["timestamp"] == pb["timestamp"]
             assert pa["proposal_score"] == pb["proposal_score"]
+
+
+def test_sota_tep_decode_only_matches_labels_path(tmp_path):
+    """SOTA_TEP with get_eval_loss=False rides the decode-only batcher fast
+    path; the dedicated crop substream (make_batch) must keep every crop —
+    and therefore every proposal, timestamp, and sentence — identical to the
+    labels path (get_eval_loss=True)."""
+    cfg = tiny_cfg(tmp_path, **{"data.SOTA_json": "synthetic"})
+    dataset = build_dataset(cfg)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=dataset.vocab_size,
+                         CG_seq_length=dataset.seq_length)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(cfg, init_tap(rng, cfg), init_captioner(rng, cfg))
+
+    base = {"num_vids_eval": 2, "val_all_metrics": False, "topN": 20,
+            "nms_threshold": 0.9, "language_eval": False}
+    # fresh loader per run: the long-window crop is genuinely random, keyed
+    # by the loader's epoch-order per-item seeds — identical only when both
+    # runs start from the same global stream position
+    preds_lab, _, _ = eval_split(
+        state.tap_params, state.cg_params, Loader(dataset, cfg, seed=0), cfg,
+        str(tmp_path / "l.json"),
+        dict(base, get_eval_loss=True), flag_eval_what="SOTA_TEP",
+    )
+    preds_fast, _, _ = eval_split(
+        state.tap_params, state.cg_params, Loader(dataset, cfg, seed=0), cfg,
+        str(tmp_path / "f.json"),
+        dict(base, get_eval_loss=False), flag_eval_what="SOTA_TEP",
+    )
+    assert set(preds_lab) == set(preds_fast) and preds_lab
+    for vid in preds_lab:
+        assert len(preds_lab[vid]) == len(preds_fast[vid])
+        for pa, pb in zip(preds_lab[vid], preds_fast[vid]):
+            assert pa["sentence"] == pb["sentence"]
+            assert pa["timestamp"] == pb["timestamp"]
+            assert pa["proposal_score"] == pb["proposal_score"]
