@@ -374,24 +374,28 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             hist_grads, _ = grad_step(
                 state, hist_batch, step_rng, cfg, phase, ss_prob=ss_prob
             )
-            if multihost:
+            if multihost and mesh.shape["model"] > 1:
                 # collective localization (allgathers tp-sharded leaves) on
                 # EVERY process; only p0 writes the files below
                 save_state = _localize(state, mesh)
                 hist_grads = _localize(hist_grads, mesh)
             else:
+                # dp-only (or single-host): every leaf is replicated, hence
+                # host-addressable — no collective, and non-writer processes
+                # skip the device->host fetch entirely (their TB is _NullTB)
                 save_state = state
-            for prefix, tree in (
-                ("tap", save_state.tap_params),
-                ("cg", save_state.cg_params),
-                ("tap_grad", hist_grads[0]),
-                ("cg_grad", hist_grads[1]),
-            ):
-                for name, leaf in jax.tree_util.tree_leaves_with_path(tree):
-                    tb.histogram(
-                        f"{prefix}/" + jax.tree_util.keystr(name),
-                        np.asarray(leaf), iteration,
-                    )
+            if is_p0:
+                for prefix, tree in (
+                    ("tap", save_state.tap_params),
+                    ("cg", save_state.cg_params),
+                    ("tap_grad", hist_grads[0]),
+                    ("cg_grad", hist_grads[1]),
+                ):
+                    for name, leaf in jax.tree_util.tree_leaves_with_path(tree):
+                        tb.histogram(
+                            f"{prefix}/" + jax.tree_util.keystr(name),
+                            np.asarray(leaf), iteration,
+                        )
             histories["val"][iteration] = {
                 k: (np.asarray(v).tolist() if hasattr(v, "tolist") else v)
                 for k, v in eval_scores.items()
@@ -411,7 +415,10 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
         if max_iterations and iteration >= max_iterations:
             break
 
-    final_state = _localize(state, mesh) if multihost else state  # collective
+    # tp-sharded leaves need the collective resharding on every process;
+    # replicated (dp-only) leaves are host-addressable as-is
+    final_state = (_localize(state, mesh)
+                   if multihost and mesh.shape["model"] > 1 else state)
     if is_p0:
         _save(final_state, cfg, save_folder, iteration, epoch, best_val_score,
               loader, histories, dataset)

@@ -53,6 +53,12 @@ def global_mesh(dp: Optional[int] = None, tp: int = 1):
     to hosts first so gradient psum rides ICI within a host/slice and only
     crosses DCN once per ring step."""
     n = jax.device_count()
+    if n % max(tp, 1) != 0:
+        # build_mesh would silently fall back to (n, 1), discarding the
+        # requested tensor-parallel layout — fail fast instead
+        raise ValueError(
+            f"tensor-parallel degree {tp} does not divide the cluster's "
+            f"{n} devices; choose tp | device_count")
     if dp is None:
         dp = n // tp
     return build_mesh(shape=(dp, tp))

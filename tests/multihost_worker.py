@@ -23,6 +23,16 @@ def main(port: int, pid: int) -> None:
     # flip jax_platforms after env vars are read; force CPU like conftest
     jax.config.update("jax_platforms", "cpu")
 
+    # share the suite's persistent compile cache: the worker compiles three
+    # train() loops (dp, resume, dp x tp) and the eval programs — cold that
+    # is ~10+ min of XLA:CPU work, warm it is seconds
+    from echr_tpu.utils.cache import enable_persistent_compile_cache
+    import os as _os
+
+    enable_persistent_compile_cache(
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                      ".jax_cache"))
+
     from echr_tpu.parallel.distributed import initialize
 
     initialize(coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid)
@@ -42,8 +52,11 @@ def main(port: int, pid: int) -> None:
     from echr_tpu.parallel.distributed import global_mesh
 
     cfg = flagship_config()
+    # vocab 61 -> V+1 = 62 divides tp=2, so the embed/logit leaves REALLY
+    # shard over the model axis in the dp x tp section below (an odd V+1
+    # would silently replicate them via param_sharding_rules' fits() check)
     cfg = cfg.replace_in("data", synthetic=True, synthetic_num_videos=8,
-                         synthetic_vocab_size=60, synthetic_seq_length=10,
+                         synthetic_vocab_size=61, synthetic_seq_length=10,
                          lda_dim=16, time_buckets=(256,), shuffle=False)
     cfg = cfg.replace_in("tap", video_dim=24, hidden_dim=32, K=32,
                          prop_sample_num=8, rnn_num_layers=2)
@@ -194,9 +207,11 @@ def main(port: int, pid: int) -> None:
     }), flush=True)
 
     # --- multi-host dp x tp: mesh (2, 2) over the 4 global devices — the
-    # vocab-sharded logit/embed leaves live model-sharded across processes
+    # vocab-sharded logit/embed leaves (V+1 = 62 divides tp=2) live
+    # model-sharded over each process's two local devices (the model axis
+    # is the fast mesh axis, so tp stays within a host and dp crosses DCN),
     # and the gating eval / checkpoint / histograms localize them through
-    # the collective allgather (engine.train._localize).
+    # the collective resharding allgather (engine.train._localize).
     from echr_tpu.engine.train import _localize
     from echr_tpu.parallel.distributed import global_mesh
 

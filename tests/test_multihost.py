@@ -45,10 +45,13 @@ def test_two_process_data_parallel_step():
     ]
     outs = []
     for p in procs:
-        # the worker runs a one-step cluster check, a sharded eval sweep, AND
-        # a short multi-host train(); under full-suite CPU contention the
-        # old 540s budget was hit (observed r3) — compute is ~6.5 min idle
-        out, _ = p.communicate(timeout=900)
+        # the worker runs a one-step cluster check, a sharded eval sweep,
+        # three short multi-host train() loops (dp, resume, dp x tp) and
+        # their gating evals; cold-cache XLA:CPU compiles dominate (~15 min
+        # observed) — the persistent compile cache cuts warm reruns to
+        # minutes, but the budget must cover a cold first run under
+        # full-suite contention
+        out, _ = p.communicate(timeout=1800)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
