@@ -40,3 +40,24 @@ def test_sharded_sst_matches(mesh):
     got_h, got_s = sequence_sharded_sst(params, feats, mesh, "data")
     np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref_h), atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), atol=1e-5)
+
+
+def test_global_mesh_rejects_nondividing_tp():
+    """A requested tensor-parallel degree that does not divide the device
+    count must fail fast, not silently degrade to dp-only (review r3)."""
+    from echr_tpu.parallel.distributed import global_mesh
+
+    if jax.device_count() % 3 == 0:
+        pytest.skip("needs a device count not divisible by 3")
+    with pytest.raises(ValueError, match="tensor-parallel"):
+        global_mesh(tp=3)
+
+
+def test_global_mesh_honors_tp():
+    from echr_tpu.parallel.distributed import global_mesh
+
+    if jax.device_count() < 2:
+        pytest.skip("needs >=2 devices")
+    m = global_mesh(tp=2)
+    assert m.shape["model"] == 2
+    assert m.shape["data"] == jax.device_count() // 2
