@@ -328,6 +328,84 @@ def rl_rollout_step(tap_params, cg_params, batch: VideoBatch, cfg: Config,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "phase"))
+def rl_rollout_step_batched(tap_params, cg_params, batch: VideoBatch,
+                            cfg: Config, phase: str, rng: Array):
+    """SCST rollout (sampled + greedy baseline) vmapped over a [B]-video
+    batch (net-new — the reference's SCST is broken AND per-video,
+    train.py:241-245,303-308).  Row i consumes jax.random.split(rng, B)[i],
+    the exact split rl_update_step_batched replays, so the update's forced
+    re-decode reproduces the rollout's dropout masks and samples."""
+    from echr_tpu.models.captioner import make_contexts
+    from echr_tpu.models.decoder import decoder_sample
+
+    batch = decompress_batch(batch)
+    B = batch.feats.shape[0]
+    rngs = jax.random.split(rng, B)
+
+    def one(b, r):
+        tap_l, _, gen_seq, _ = _rl_forward(
+            tap_params, cg_params, cfg, b, phase, r
+        )
+        tap_feats_eval, _ = sst_forward(tap_params, b.feats, train=False)
+        props, _, _ = _select_props(b, phase)
+        ctxs_eval = make_contexts({"fusion": cg_params.get("fusion")}, cfg,
+                                  tap_feats_eval, b.feats, b.lda, props,
+                                  frame_mask=b.frame_mask, train=False)
+        greedy_seq, _, _ = decoder_sample(cg_params["decoder"], cfg, ctxs_eval,
+                                          greedy=True, train=False)
+        return tap_l, gen_seq, greedy_seq
+
+    return jax.vmap(one)(batch, rngs)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "phase"))
+def rl_update_step_batched(state: TrainState, batch: VideoBatch, cfg: Config,
+                           phase: str, rng: Array, gen_seq: Array,
+                           reward: Array):
+    """Policy-gradient update over a [B]-video batch: per-video reward
+    losses mean-reduced exactly like train_step, one dual-Adam update."""
+    batch = decompress_batch(batch)
+    B = batch.feats.shape[0]
+    opt = make_optimizer(cfg)
+
+    def loss_fn(tap_params, cg_params):
+        rngs = jax.random.split(rng, B)
+
+        def one(b, r, gs, rw):
+            tap_l, _, _, logps = _rl_forward(
+                tap_params, cg_params, cfg, b, phase, r, forced=gs
+            )
+            rl_l = losses.reward_loss(logps, gs, rw)
+            return {
+                "tap_loss": tap_l, "cg_loss": rl_l,
+                "total_loss": cfg.train.lambda1 * tap_l + cfg.train.lambda2 * rl_l,
+                "avg_reward": jnp.mean(rw[:, 0]),
+            }
+
+        m = jax.vmap(one)(batch, rngs, gen_seq, reward)
+        m = jax.tree.map(lambda x: jnp.mean(x), m)
+        return _phase_loss(m, phase, cfg), m
+
+    (loss, metrics), (tap_g, cg_g) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(state.tap_params, state.cg_params)
+
+    new_state = state
+    if phase in ("tap_cg", "gt_tap_cg"):
+        upd, tap_opt = opt.update(tap_g, state.tap_opt, state.tap_params)
+        new_state = new_state._replace(
+            tap_params=optax.apply_updates(state.tap_params, upd), tap_opt=tap_opt
+        )
+    upd, cg_opt = opt.update(cg_g, new_state.cg_opt, new_state.cg_params)
+    new_state = new_state._replace(
+        cg_params=optax.apply_updates(new_state.cg_params, upd), cg_opt=cg_opt,
+        step=state.step + 1,
+    )
+    metrics["loss"] = loss
+    return new_state, metrics
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "phase"))
 def rl_update_step(state: TrainState, batch: VideoBatch, cfg: Config, phase: str,
                    rng: Array, gen_seq: Array, reward: Array):
     """Policy-gradient update on the replayed rollout."""

@@ -119,19 +119,22 @@ def _collate(batches: List[VideoBatch]) -> VideoBatch:
 
 
 class _BucketCollator:
-    """Groups same-time-bucket videos until `batch_size` are available."""
+    """Groups same-time-bucket videos until `batch_size` are available.
+    Returns (stacked_batch, metas) — the metas carry the per-video GT
+    sentences the batched SCST reward needs."""
 
     def __init__(self, batch_size: int):
         self.batch_size = batch_size
         self.groups: Dict[int, List] = {}
 
-    def add(self, batch: VideoBatch, meta) -> Optional[VideoBatch]:
+    def add(self, batch: VideoBatch, meta):
         g = self.groups.setdefault(meta.t_bucket, [])
-        g.append(batch)
+        g.append((batch, meta))
         if len(g) >= self.batch_size:
-            out = _collate(g)
+            out = _collate([b for b, _ in g])
+            metas = [m for _, m in g]
             self.groups[meta.t_bucket] = []
-            return out
+            return out, metas
         return None
 
 
@@ -287,9 +290,22 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
         )
         rng, step_rng = jax.random.split(rng)
         if sc_flag:
-            state, metrics = _self_critical_step(
-                state, batch, meta, cfg, phase, step_rng, dataset
-            )
+            if collator is not None:
+                # batched SCST (net-new): vmapped sampled+greedy rollouts,
+                # host METEOR rewards per video, one policy-gradient update
+                res = collator.add(batch, meta)
+                if res is None:
+                    if meta.wrapped:
+                        epoch += 1
+                    continue
+                stacked, metas = res
+                state, metrics = _self_critical_step_batched(
+                    state, stacked, metas, cfg, phase, step_rng, dataset
+                )
+            else:
+                state, metrics = _self_critical_step(
+                    state, batch, meta, cfg, phase, step_rng, dataset
+                )
         elif cfg.train.m_batch > 1:
             # accumulate summed grads over m_batch iterations, one update
             # (reference: train.py:281-283,294,316-329)
@@ -305,11 +321,12 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
                 state = apply_grads(state, acc_grads[0], acc_grads[1], cfg, phase)
                 acc_grads = None
         elif collator is not None:
-            stacked = collator.add(batch, meta)
-            if stacked is None:
+            res = collator.add(batch, meta)
+            if res is None:
                 if meta.wrapped:
                     epoch += 1
                 continue
+            stacked, _ = res
             if mesh is not None:
                 stacked = _shard_batch(stacked, mesh, multihost)
             state, metrics = train_step(
@@ -507,6 +524,46 @@ def _self_critical_step(state, batch, meta, cfg, phase, step_rng, dataset):
     )
     return rl_update_step(
         state, batch, cfg, phase, step_rng, gen_seq, jnp.asarray(reward)
+    )
+
+
+def _self_critical_step_batched(state, stacked, metas, cfg, phase, step_rng,
+                                dataset):
+    """Batched SCST iteration: one vmapped rollout for `batch_size` videos,
+    per-video host METEOR rewards, one policy-gradient update.  Identical
+    per-video math to _self_critical_step (same reward, same replayed
+    dropout/sampling rng per row); the batching amortizes the device
+    dispatch and the host round trip — net-new, the reference's SCST is
+    broken and per-video (train.py:241-245,303-308)."""
+    import jax.numpy as jnp
+
+    from echr_tpu.engine.rl import self_critical_reward
+    from echr_tpu.engine.steps import (
+        rl_rollout_step_batched,
+        rl_update_step_batched,
+    )
+
+    tap_l, gen_seq, greedy_seq = rl_rollout_step_batched(
+        state.tap_params, state.cg_params, stacked, cfg, phase, step_rng
+    )
+    gen_np, greedy_np = np.asarray(gen_seq), np.asarray(greedy_seq)
+    gts_mask = np.asarray(stacked.gts_mask)
+    prop_mask = np.asarray(stacked.prop_mask)
+    rewards = []
+    for i, m in enumerate(metas):
+        if phase in ("cg", "gt_tap_cg"):
+            gt_sentences = list(m.sentences)
+            pm = gts_mask[i]
+        else:
+            gt_sentences = [m.sentences[int(j)] for j in m.cg_select]
+            pm = prop_mask[i]
+        rewards.append(self_critical_reward(
+            gen_np[i], greedy_np[i], gt_sentences, dataset.ix_to_word, pm,
+            meteor_weight=cfg.train.meteor_reward_weight,
+        ))
+    return rl_update_step_batched(
+        state, stacked, cfg, phase, step_rng, gen_seq,
+        jnp.asarray(np.stack(rewards)),
     )
 
 

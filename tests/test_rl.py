@@ -77,3 +77,69 @@ def test_self_critical_in_train_loop(tmp_path):
     cfg = tiny_cfg(tmp_path, **{"train.self_critical_after": 0})
     out = train(cfg, max_iterations=4)
     assert out["iteration"] == 4
+
+
+def test_rl_rollout_batched_matches_single_rows(tmp_path):
+    """Batched rollout row i == single-video rollout with the row's rng
+    split (the per-row rng contract rl_update_step_batched relies on)."""
+    import jax
+
+    from test_train_e2e import tiny_cfg
+
+    from echr_tpu.data.dataset import build_dataset
+    from echr_tpu.data.loader import Loader
+    from echr_tpu.engine.steps import (
+        init_train_state,
+        rl_rollout_step,
+        rl_rollout_step_batched,
+    )
+    from echr_tpu.engine.train import _collate
+    from echr_tpu.models.registry import init_captioner, init_tap
+
+    cfg = tiny_cfg(tmp_path)
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=dataset.vocab_size,
+                         CG_seq_length=dataset.seq_length)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(cfg, init_tap(rng, cfg), init_captioner(rng, cfg))
+
+    rows = []
+    while len(rows) < 2:
+        batch, meta = loader.get_batch("train")
+        if meta.proposal_num > 0 and meta.n_frames > 1:
+            rows.append(batch)
+    stacked = _collate(rows)
+
+    step_rng = jax.random.PRNGKey(7)
+    tap_l_b, gen_b, greedy_b = rl_rollout_step_batched(
+        state.tap_params, state.cg_params, stacked, cfg, "tap_cg", step_rng
+    )
+    rngs = jax.random.split(step_rng, 2)
+    for i, row in enumerate(rows):
+        tap_l, gen, greedy = rl_rollout_step(
+            state.tap_params, state.cg_params, row, cfg, "tap_cg", rngs[i]
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(tap_l_b)[i]), float(tap_l), atol=1e-5
+        )
+        # token equality can flip on vmapped-vs-single reassociation ties;
+        # near-uniform untrained logits make the sampled tokens the
+        # sensitive ones — compare and tolerate a tiny flip rate
+        same = (np.asarray(gen_b)[i] == np.asarray(gen)).mean()
+        assert same > 0.95, f"row {i}: only {same:.2%} sampled tokens agree"
+        same_g = (np.asarray(greedy_b)[i] == np.asarray(greedy)).mean()
+        assert same_g > 0.95, f"row {i}: only {same_g:.2%} greedy tokens agree"
+
+
+def test_self_critical_batched_in_train_loop(tmp_path):
+    import jax
+
+    from test_train_e2e import tiny_cfg
+
+    from echr_tpu.engine.train import train
+
+    cfg = tiny_cfg(tmp_path, **{"train.self_critical_after": 0,
+                                "train.batch_size": 2})
+    out = train(cfg, max_iterations=3)
+    assert out["iteration"] == 3
