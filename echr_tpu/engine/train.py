@@ -201,10 +201,15 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
                 f"global data axis ({mesh.shape['data']}); got "
                 f"{cfg.train.batch_size}"
             )
-        if cfg.train.m_batch > 1 or cfg.train.self_critical_after != -1:
+        if cfg.train.m_batch > 1:
             raise NotImplementedError(
-                "m_batch accumulation and SCST are single-host paths; "
-                "run them per-host or raise batch_size instead"
+                "m_batch accumulation is a single-host path; "
+                "raise batch_size instead"
+            )
+        if cfg.train.self_critical_after != -1 and cfg.train.batch_size <= 1:
+            raise ValueError(
+                "multi-host SCST needs the batched path: set batch_size to "
+                "a multiple of the global data axis"
             )
         log.info("multi-host mesh: %s over %d processes",
                  dict(mesh.shape), jax.process_count())
@@ -300,7 +305,8 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
                     continue
                 stacked, metas = res
                 state, metrics = _self_critical_step_batched(
-                    state, stacked, metas, cfg, phase, step_rng, dataset
+                    state, stacked, metas, cfg, phase, step_rng, dataset,
+                    mesh=mesh, multihost=multihost,
                 )
             else:
                 state, metrics = _self_critical_step(
@@ -528,13 +534,20 @@ def _self_critical_step(state, batch, meta, cfg, phase, step_rng, dataset):
 
 
 def _self_critical_step_batched(state, stacked, metas, cfg, phase, step_rng,
-                                dataset):
+                                dataset, mesh=None, multihost=False):
     """Batched SCST iteration: one vmapped rollout for `batch_size` videos,
     per-video host METEOR rewards, one policy-gradient update.  Identical
     per-video math to _self_critical_step (same reward, same replayed
     dropout/sampling rng per row); the batching amortizes the device
     dispatch and the host round trip — net-new, the reference's SCST is
-    broken and per-video (train.py:241-245,303-308)."""
+    broken and per-video (train.py:241-245,303-308).
+
+    mesh: data-parallel RL — the video batch shards over the mesh's data
+    axis (rollout + policy-gradient update partitioned by XLA, gradient
+    psum over ICI like train_step).  Multi-host: each process computes
+    METEOR rewards only for the batch rows resident on its devices (the
+    host pipeline is replicated, so metas agree everywhere); the reward
+    array is assembled shard-locally into a global array."""
     import jax.numpy as jnp
 
     from echr_tpu.engine.rl import self_critical_reward
@@ -543,27 +556,59 @@ def _self_critical_step_batched(state, stacked, metas, cfg, phase, step_rng,
         rl_update_step_batched,
     )
 
+    # host copies of the masks BEFORE sharding (global arrays on a
+    # multi-host mesh are not fully addressable)
+    gts_mask = np.asarray(stacked.gts_mask)
+    prop_mask = np.asarray(stacked.prop_mask)
+    if mesh is not None:
+        stacked = _shard_batch(stacked, mesh, multihost)
     tap_l, gen_seq, greedy_seq = rl_rollout_step_batched(
         state.tap_params, state.cg_params, stacked, cfg, phase, step_rng
     )
-    gen_np, greedy_np = np.asarray(gen_seq), np.asarray(greedy_seq)
-    gts_mask = np.asarray(stacked.gts_mask)
-    prop_mask = np.asarray(stacked.prop_mask)
-    rewards = []
-    for i, m in enumerate(metas):
+
+    def rows_of(arr):
+        """{global row index: [N, L] numpy} for rows this host can read."""
+        if not multihost:
+            a = np.asarray(arr)
+            return {i: a[i] for i in range(a.shape[0])}
+        out = {}
+        for sh in arr.addressable_shards:
+            r0 = sh.index[0].start or 0
+            d = np.asarray(sh.data)
+            for j in range(d.shape[0]):
+                out[r0 + j] = d[j]
+        return out
+
+    gen_rows, greedy_rows = rows_of(gen_seq), rows_of(greedy_seq)
+    N, L = next(iter(gen_rows.values())).shape
+    rewards = np.zeros((len(metas), N, L), np.float32)
+    for i in sorted(gen_rows):
+        m = metas[i]
         if phase in ("cg", "gt_tap_cg"):
             gt_sentences = list(m.sentences)
             pm = gts_mask[i]
         else:
             gt_sentences = [m.sentences[int(j)] for j in m.cg_select]
             pm = prop_mask[i]
-        rewards.append(self_critical_reward(
-            gen_np[i], greedy_np[i], gt_sentences, dataset.ix_to_word, pm,
+        rewards[i] = self_critical_reward(
+            gen_rows[i], greedy_rows[i], gt_sentences, dataset.ix_to_word, pm,
             meteor_weight=cfg.train.meteor_reward_weight,
-        ))
+        )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = NamedSharding(mesh, P("data"))
+        if multihost:
+            # each process serves its own rows; rows it could not score
+            # live on other processes' devices and are never read locally
+            reward = jax.make_array_from_callback(
+                rewards.shape, s, lambda idx: rewards[idx])
+        else:
+            reward = jax.device_put(jnp.asarray(rewards), s)
+    else:
+        reward = jnp.asarray(rewards)
     return rl_update_step_batched(
-        state, stacked, cfg, phase, step_rng, gen_seq,
-        jnp.asarray(np.stack(rewards)),
+        state, stacked, cfg, phase, step_rng, gen_seq, reward,
     )
 
 

@@ -232,6 +232,27 @@ def main(port: int, pid: int) -> None:
         "has_last_ckpt": os.path.exists(os.path.join(folder3, "model-last.ckpt")),
     }), flush=True)
 
+    # --- multi-host batched SCST: the vmapped rollout/update shards over
+    # the global data axis; each process computes METEOR rewards only for
+    # the batch rows resident on ITS devices and the rows are assembled
+    # shard-locally into one global reward array
+    # (train._self_critical_step_batched multihost path).  The invariant:
+    # both processes end with the identical global params — any divergence
+    # in the cross-process reward assembly would desync them immediately.
+    scfg = tcfg.replace(run_id=f"MHRL{port}")
+    scfg = scfg.replace_in("save", checkpoint_path=os.path.join(
+        tempfile.gettempdir(), f"mh_rl_{port}_{pid}"))
+    scfg = scfg.replace_in("train", self_critical_after=0, batch_size=4,
+                           lr=5e-4)
+    out4 = train(scfg, max_iterations=2)
+    leaves4 = jax.tree_util.tree_leaves(out4["state"].cg_params)
+    digest4 = float(sum(np.abs(np.asarray(x)).sum() for x in leaves4))
+    print("RLTRAIN", json.dumps({
+        "pid": pid,
+        "iteration": out4["iteration"],
+        "digest": digest4,
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]))

@@ -152,6 +152,19 @@ def test_two_process_data_parallel_step():
     assert tps[0]["digest"] == pytest.approx(tps[1]["digest"], rel=1e-9)
     assert tps[0]["has_last_ckpt"] and not tps[1]["has_last_ckpt"]
 
+    # --- multi-host batched SCST: each process scores only its resident
+    # rows; the shard-local reward assembly must keep the global update —
+    # and therefore the replicated params — identical on both processes
+    rls = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RLTRAIN "):
+                d = json.loads(line[8:])
+                rls[d["pid"]] = d
+    assert set(rls) == {0, 1}
+    assert rls[0]["iteration"] == rls[1]["iteration"] == 2
+    assert rls[0]["digest"] == pytest.approx(rls[1]["digest"], rel=1e-9)
+
 
 def test_loader_sharding_explicit_args():
     """Host-side sharding semantics without any jax cluster."""

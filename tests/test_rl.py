@@ -143,3 +143,45 @@ def test_self_critical_batched_in_train_loop(tmp_path):
                                 "train.batch_size": 2})
     out = train(cfg, max_iterations=3)
     assert out["iteration"] == 3
+
+
+def test_self_critical_batched_mesh(tmp_path):
+    """Batched SCST with the video batch sharded over a single-host
+    (4 data x 2 model) mesh: the vmapped rollout + policy-gradient update
+    are partitioned by XLA exactly like train_step's dp x tp path.
+
+    Runs in a fresh subprocess (same reason as the mesh train test: the
+    XLA:CPU compiler segfaults compiling new SPMD programs after the full
+    suite's hundreds of cached executables)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from test_train_e2e import tiny_cfg
+
+    cfg = tiny_cfg(tmp_path, **{"train.self_critical_after": 0,
+                                "train.batch_size": 4})
+    cfg = cfg.replace_in("runtime", mesh_shape=(4, 2))
+    cfg = cfg.replace_in("data", synthetic_vocab_size=59)  # V+1=60 over tp=2
+    cfg_path = tmp_path / "rl_mesh_cfg.json"
+    cfg_path.write_text(cfg.to_json())
+
+    script = (
+        "import sys;"
+        f"sys.path.insert(0, {repr(os.getcwd())});"
+        "from echr_tpu.config import Config;"
+        "from echr_tpu.engine.train import train;"
+        f"cfg = Config.from_json(open({repr(str(cfg_path))}).read());"
+        "out = train(cfg, max_iterations=2);"
+        "print('RL_MESH_OK', out['iteration'])"
+    )
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PALLAS_AXON_POOL_IPS": "",
+    })
+    res = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=420)
+    assert "RL_MESH_OK 2" in res.stdout, res.stdout + res.stderr
