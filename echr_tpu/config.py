@@ -221,6 +221,18 @@ class RuntimeConfig:
     mesh_axis_names: Tuple[str, str] = ("data", "model")
     donate_step_args: bool = True
     use_pallas: bool = True
+    # Training-path fused attention scores via the differentiable Pallas
+    # kernel (custom VJP; the backward recomputes tanh tile-by-tile in
+    # VMEM instead of round-tripping the [N, T, Hatt] intermediate through
+    # HBM like the jax.checkpoint remat path).  Gradients equal the jnp
+    # formulation (tests/test_pallas_attention.py).  Measured on the REAL
+    # train_step at flagship dims, B=32: 170.5 -> 139.3 ms/step (+22%
+    # videos/s; see BENCH_NOTES "Pallas differentiable attention").
+    # Auto-disabled by train() under a multi-device mesh: a Pallas call is
+    # an opaque custom call to the SPMD partitioner, which would replicate
+    # it instead of sharding the batch axis.  Falls back to the remat jnp
+    # path whenever kernel shape constraints don't hold (small tiles).
+    use_pallas_train: bool = True
     # Greedy/multinomial decode stops as soon as every sequence has emitted
     # its end token (the reference's break-when-all-finished,
     # OldModel_NEW.py:173-181) via lax.while_loop instead of a fixed-length

@@ -225,6 +225,12 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
                 f"{mesh.shape['data']} data-parallel devices"
             )
         log.info("mesh: %s", dict(mesh.shape))
+    if mesh is not None and cfg.runtime.use_pallas_train:
+        # a Pallas call is an opaque custom call to the SPMD partitioner —
+        # under a sharded batch it would be replicated, not partitioned;
+        # keep the jnp remat path, which XLA shards like the rest of the step
+        cfg = cfg.replace_in("runtime", use_pallas_train=False)
+        log.info("mesh training: use_pallas_train disabled (remat path)")
 
     epoch, iteration, best_val_score = 0, 0, -1.0
     histories: Dict[str, Dict] = {"loss": {}, "lr": {}, "val": {}}

@@ -49,8 +49,12 @@ Array = jax.Array
 
 
 def _use_pallas(cfg: "Config", train: bool) -> bool:
-    """Pallas fused attention only on no-grad paths (it has no custom VJP)."""
-    return bool(cfg.runtime.use_pallas) and not train
+    """Pallas fused attention: no-grad paths by default; training paths
+    opt in via runtime.use_pallas_train (differentiable custom-VJP kernel,
+    ops/pallas_attention.attention_scores_diff)."""
+    if train:
+        return bool(cfg.runtime.use_pallas_train)
+    return bool(cfg.runtime.use_pallas)
 
 
 class DecoderState(NamedTuple):

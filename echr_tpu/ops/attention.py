@@ -187,7 +187,15 @@ def additive_attention_step(
         from echr_tpu.ops import pallas_attention
 
         if pallas_attention.supported(pre_att, att_h):
-            scores = pallas_attention.attention_scores(pre_att, att_h, p["alpha_net"])
+            if remat:
+                # training: differentiable kernel (custom VJP recomputes
+                # the tanh tile-wise in VMEM — the kernel-level form of
+                # the jax.checkpoint remat below)
+                scores = pallas_attention.attention_scores_diff(
+                    pre_att, att_h, p["alpha_net"])
+            else:
+                scores = pallas_attention.attention_scores(
+                    pre_att, att_h, p["alpha_net"])
         else:
             use_pallas = False
     if not use_pallas:

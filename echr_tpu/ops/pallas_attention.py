@@ -84,3 +84,115 @@ def attention_scores(pre_att: Array, att_h: Array, alpha_params) -> Array:
         pre_att.astype(jnp.float32), att_h.astype(jnp.float32), w, b,
         interpret=interpret,
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable variant (training): custom VJP whose backward kernel
+# RECOMPUTES tanh per VMEM tile — like jax.checkpoint, the [N, T, H]
+# intermediate never exists, but here it never exists in HBM in the
+# backward either.  Grid order (T blocks OUTER, N blocks INNER) so that
+#   * d_pre [T, H] accumulates across the inner (consecutive) N steps,
+#   * d_w [1, H] accumulates in a constant output block,
+#   * d_q is emitted as [T/Tt, N, H] partials (tiny: gT is 1-2 at our
+#     bucket sizes) and reduced outside the kernel.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(pre_att_ref, att_h_ref, w_ref, g_ref,
+                d_pre_ref, d_q_ref, d_w_ref):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(0)  # outer: T blocks
+    i = pl.program_id(1)  # inner: N blocks
+    pre = pre_att_ref[:]  # [Tt, H]
+    q = att_h_ref[:]  # [Nt, H]
+    w = w_ref[:]  # [1, H]
+    g = g_ref[:]  # [Nt, Tt]
+    y = jnp.tanh(q[:, None, :] + pre[None, :, :])  # [Nt, Tt, H]
+    dz = (g[:, :, None] * w[None, :, :]) * (1.0 - y * y)  # [Nt, Tt, H]
+    d_q_ref[:] = jnp.sum(dz, axis=1)[None]  # [1, Nt, H] partial, this T block
+
+    @pl.when(i == 0)
+    def _init_pre():
+        d_pre_ref[:] = jnp.zeros_like(d_pre_ref)
+
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init_w():
+        d_w_ref[:] = jnp.zeros_like(d_w_ref)
+
+    d_pre_ref[:] += jnp.sum(dz, axis=0)  # [Tt, H]
+    d_w_ref[:] += jnp.sum(g[:, :, None] * y, axis=(0, 1))[None, :]  # [1, H]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _attention_scores_bwd_pallas(pre_att, att_h, w_row, g, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, H = pre_att.shape
+    N = att_h.shape[0]
+    gT, gN = T // _TILE_T, N // _TILE_N
+    d_pre, d_q_part, d_w = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, H), jnp.float32),
+            jax.ShapeDtypeStruct((gT, N, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+        ),
+        grid=(gT, gN),
+        in_specs=[
+            pl.BlockSpec((_TILE_T, H), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_N, H), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_N, _TILE_T), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_TILE_T, H), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE_N, H), lambda j, i: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(pre_att, att_h, w_row, g)
+    return d_pre, jnp.sum(d_q_part, axis=0), d_w
+
+
+def _scores_diff_impl(pre_att, att_h, w, b):
+    interpret = jax.default_backend() != "tpu"
+    return _attention_scores_pallas(pre_att, att_h, w, b, interpret=interpret)
+
+
+@jax.custom_vjp
+def _scores_diff(pre_att, att_h, w, b):
+    return _scores_diff_impl(pre_att, att_h, w, b)
+
+
+def _scores_diff_fwd(pre_att, att_h, w, b):
+    return _scores_diff_impl(pre_att, att_h, w, b), (pre_att, att_h, w)
+
+
+def _scores_diff_bwd(res, g):
+    pre_att, att_h, w = res
+    interpret = jax.default_backend() != "tpu"
+    g = g.astype(jnp.float32)
+    d_pre, d_q, d_w_row = _attention_scores_bwd_pallas(
+        pre_att, att_h, jnp.reshape(w, (1, -1)), g, interpret=interpret)
+    d_b = jnp.reshape(jnp.sum(g), (1, 1))
+    return d_pre, d_q, jnp.reshape(d_w_row, w.shape), d_b
+
+
+_scores_diff.defvjp(_scores_diff_fwd, _scores_diff_bwd)
+
+
+def attention_scores_diff(pre_att: Array, att_h: Array, alpha_params) -> Array:
+    """Differentiable fused scores for TRAINING paths: forward identical to
+    attention_scores; the backward recomputes tanh tile-by-tile in VMEM
+    instead of materialising the [N, T, H] intermediate in HBM (the jnp
+    remat path still round-trips it through HBM inside the fused backward).
+    Gradients equal the jnp formulation's (f32; pinned by
+    tests/test_pallas_attention.py)."""
+    w = alpha_params["w"].astype(jnp.float32)  # [H, 1]
+    b = jnp.reshape(alpha_params["b"].astype(jnp.float32), (1, 1))
+    return _scores_diff(
+        pre_att.astype(jnp.float32), att_h.astype(jnp.float32), w, b)

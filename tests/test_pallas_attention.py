@@ -43,3 +43,85 @@ def test_unsupported_shapes_fall_back():
     mask = jnp.ones((50, 60))
     a, w = additive_attention_step(p, h, feats, pre_att, mask, use_pallas=True)
     assert a.shape == (50, 10)
+
+
+def test_pallas_scores_diff_grads_match_jnp():
+    """Differentiable fused kernel: VJP vs autodiff of the jnp formulation
+    (all four inputs, random cotangent)."""
+    rng = jax.random.PRNGKey(3)
+    T, H, N = 128, 128, 16
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (H, 1)) * 0.1
+    b = jax.random.normal(jax.random.fold_in(rng, 2), (1,))
+    pre_att = jax.random.normal(jax.random.fold_in(rng, 3), (T, H))
+    att_h = jax.random.normal(jax.random.fold_in(rng, 4), (N, H))
+    ct = jax.random.normal(jax.random.fold_in(rng, 5), (N, T))
+    p = {"w": w, "b": b}
+
+    def loss_ref(pre, q, pp):
+        s = dense(pp, jnp.tanh(pre[None] + q[:, None]))[..., 0]
+        return jnp.sum(s * ct)
+
+    def loss_pallas(pre, q, pp):
+        return jnp.sum(pallas_attention.attention_scores_diff(pre, q, pp) * ct)
+
+    ref_g = jax.grad(loss_ref, argnums=(0, 1, 2))(pre_att, att_h, p)
+    got_g = jax.grad(loss_pallas, argnums=(0, 1, 2))(pre_att, att_h, p)
+    for r, g in zip(jax.tree_util.tree_leaves(ref_g),
+                    jax.tree_util.tree_leaves(got_g)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_pallas_scores_diff_grads_vmapped_multiblock():
+    """Batched (vmap) + multi-block grid (N, T > one tile): the accumulation
+    pattern across grid steps must stay exact."""
+    rng = jax.random.PRNGKey(4)
+    B, T, H, N = 3, 256, 128, 24
+    w = jax.random.normal(jax.random.fold_in(rng, 1), (H, 1)) * 0.1
+    b = jnp.zeros((1,))
+    pre_att = jax.random.normal(jax.random.fold_in(rng, 2), (B, T, H))
+    att_h = jax.random.normal(jax.random.fold_in(rng, 3), (B, N, H))
+    ct = jax.random.normal(jax.random.fold_in(rng, 4), (B, N, T))
+    p = {"w": w, "b": b}
+
+    def loss_ref(pre, q, pp):
+        s = jax.vmap(lambda a, c: dense(pp, jnp.tanh(a[None] + c[:, None]))[..., 0])(pre, q)
+        return jnp.sum(s * ct)
+
+    def loss_pallas(pre, q, pp):
+        s = jax.vmap(lambda a, c: pallas_attention.attention_scores_diff(a, c, pp))(pre, q)
+        return jnp.sum(s * ct)
+
+    ref_g = jax.grad(loss_ref, argnums=(0, 1, 2))(pre_att, att_h, p)
+    got_g = jax.grad(loss_pallas, argnums=(0, 1, 2))(pre_att, att_h, p)
+    for r, g in zip(jax.tree_util.tree_leaves(ref_g),
+                    jax.tree_util.tree_leaves(got_g)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=1e-4)
+
+
+def test_attention_step_train_pallas_matches_remat():
+    """The training-path routing (use_pallas=True, remat=True ->
+    attention_scores_diff) equals the jnp remat path in value AND gradient
+    through the full attention step (softmax + weighted sum)."""
+    rng = jax.random.PRNGKey(5)
+    T, H, N, D = 128, 128, 16, 96
+    p = additive_attention_init(rng, D, H, H)
+    feats = jax.random.normal(jax.random.fold_in(rng, 1), (T, D))
+    h = jax.random.normal(jax.random.fold_in(rng, 2), (N, H))
+    mask = (jax.random.uniform(jax.random.fold_in(rng, 3), (N, T)) > 0.3).astype(jnp.float32)
+    mask = mask.at[:, 0].set(1.0)
+
+    def loss(pp, use_pallas):
+        pre_att = dense(pp["ctx2att"], feats)
+        att, _ = additive_attention_step(pp, h, feats, pre_att, mask,
+                                         use_pallas=use_pallas, remat=True)
+        return jnp.sum(att * att)
+
+    v_ref, g_ref = jax.value_and_grad(lambda pp: loss(pp, False))(p)
+    v_got, g_got = jax.value_and_grad(lambda pp: loss(pp, True))(p)
+    np.testing.assert_allclose(float(v_got), float(v_ref), rtol=1e-5)
+    for r, g in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-4, rtol=1e-4)
