@@ -267,6 +267,63 @@ def bench_train(cfg, tap_params, cg_params):
     return results
 
 
+def bench_rl(cfg, tap_params, cg_params, B: int = 8):
+    """Batched SCST device path at flagship dims: one vmapped
+    sampled+greedy rollout + one policy-gradient update for B videos
+    (engine.steps.rl_rollout_step_batched / rl_update_step_batched — the
+    working replacement for the reference's broken self-critical stage,
+    train.py:241-245,303-308).  Host METEOR reward cost is excluded here
+    (measured in-loop in BENCH_NOTES: 0.09 s/video at B=8 all-in)."""
+    import jax
+    import jax.numpy as jnp
+
+    from echr_tpu.data.batcher import make_batch
+    from echr_tpu.data.dataset import SyntheticDataset
+    from echr_tpu.engine.steps import (
+        init_train_state,
+        rl_rollout_step_batched,
+        rl_update_step_batched,
+    )
+
+    ds = SyntheticDataset(cfg, num_videos=4, seed=7)
+    ex = ds.get_example(0)
+    ex.cap_labels = np.clip(ex.cap_labels, 0, cfg.decoder.CG_vocab_size)
+    host, _ = make_batch(ex, cfg, np.random.RandomState(0), w1=ds.w1)
+    batch = jax.tree.map(
+        lambda x: jnp.asarray(np.broadcast_to(
+            np.asarray(x)[None], (B,) + np.asarray(x).shape).copy()),
+        host,
+    )
+    st = init_train_state(cfg, jax.tree.map(jnp.array, tap_params),
+                          jax.tree.map(jnp.array, cg_params))
+    rng = jax.random.PRNGKey(5)
+
+    def one(st):
+        tap_l, gen, greedy = rl_rollout_step_batched(
+            st.tap_params, st.cg_params, batch, cfg, "tap_cg", rng)
+        reward = jnp.zeros(gen.shape[:2] + (gen.shape[2],), jnp.float32) + 0.1
+        return rl_update_step_batched(st, batch, cfg, "tap_cg", rng, gen, reward)
+
+    t0 = time.time()
+    st, m = one(st)
+    _ = float(np.asarray(m["loss"]))
+    log(f"rl B={B}: compile+first {time.time()-t0:.1f}s")
+    st, m = one(st)
+    _ = float(np.asarray(m["loss"]))
+    best = 1e9
+    for _w in range(3):
+        t0 = time.time()
+        for _i in range(5):
+            st, m = one(st)
+        _ = float(np.asarray(m["loss"]))
+        best = min(best, (time.time() - t0) / 5)
+    out = {"videos_per_s": round(B / best, 2),
+           "time_per_iter_s": round(best, 4), "batch": B}
+    log(f"rl B={B}: {out['videos_per_s']} videos/s device path "
+        f"({out['time_per_iter_s']}s/iter)")
+    return out
+
+
 def bench_e2e_eval(cfg, tap_params, cg_params, num_videos=384):
     # 384 synthetic videos -> a 96-video val split (was 48; docs/TODO.md
     # asked for a larger split to tighten the number — ~3 s/pass now)
@@ -584,6 +641,11 @@ def main():
         log(f"e2e eval bench failed: {e}")
         e2e_stats = None
     try:
+        rl_stats = bench_rl(cfg, tap_params, cg_params)
+    except Exception as e:
+        log(f"rl bench failed: {e}")
+        rl_stats = None
+    try:
         roofline = bench_roofline(cfg, cps_batched, train_stats)
     except Exception as e:
         log(f"roofline bench failed: {e}")
@@ -596,6 +658,7 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "train_throughput": train_stats,
         "e2e_eval": e2e_stats,
+        "rl": rl_stats,
         "roofline": roofline,
     }))
 

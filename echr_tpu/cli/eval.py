@@ -73,9 +73,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO, format="[%(asctime)s] %(message)s")
+    from echr_tpu.parallel.distributed import maybe_initialize_from_env
     from echr_tpu.utils.cache import enable_persistent_compile_cache
 
     enable_persistent_compile_cache()
+    # multi-host eval sweep: same command on every host with the cluster
+    # env set — each process evaluates its val shard, predictions are
+    # all-gathered, every host reports the full split (docs/OPERATIONS.md)
+    multihost = maybe_initialize_from_env()
+    if multihost:
+        import jax
+
+        multihost = jax.process_count() > 1
     ns = build_parser().parse_args(argv)
     folder = os.path.join(ns.checkpoint_path, ns.folder_id)
     path = ns.model_path or os.path.join(folder, f"model-{ns.which}.ckpt")
@@ -103,7 +112,15 @@ def main(argv=None) -> None:
     if ns.SOTA_json:
         cfg = cfg.replace_in("data", SOTA_json=ns.SOTA_json)
     dataset = build_dataset(cfg)
-    loader = Loader(dataset, cfg, seed=0)
+    if multihost:
+        # per-host shard of the eval split; eval_split_batched(multihost=
+        # True) all-gathers predictions so every host scores the full split
+        loader = Loader(dataset, cfg, seed=0, shard_splits=(ns.split,))
+        if ns.batch_videos <= 1:
+            ns.batch_videos = 8  # the multihost sweep is the batched path
+            log.info("multihost eval: defaulting --batch_videos 8")
+    else:
+        loader = Loader(dataset, cfg, seed=0)
     state = payload["state"]
 
     stamp = f"{ns.flag_eval_what}_top{ns.topN}_thr{ns.val_score_thres}_nms{ns.nms_threshold}"
@@ -123,7 +140,8 @@ def main(argv=None) -> None:
 
             mesh = build_mesh(shape=(ns.data_parallel, 1))
         runner = lambda *a, **k: eval_split_batched(  # noqa: E731
-            *a, batch_videos=ns.batch_videos, mesh=mesh, **k)
+            *a, batch_videos=ns.batch_videos, mesh=mesh,
+            multihost=multihost, **k)
     else:
         runner = eval_split
     preds, scores, val_loss = runner(

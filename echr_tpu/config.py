@@ -522,6 +522,11 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
                 v = bool(v)
             elif isinstance(default, tuple):
                 v = tuple(v) if isinstance(v, (list, tuple)) else (v,)
+                if default and isinstance(default[0], int):
+                    # tuple flags parse as strings (nargs="+"); int-typed
+                    # tuples (mesh_shape, time_buckets) need real ints —
+                    # '4' * '2' would blow up in build_mesh
+                    v = tuple(int(x) for x in v)
         stage(section, name, v)
 
     if ns.id is not None:

@@ -48,6 +48,44 @@ def initialize(
     )
 
 
+def maybe_initialize_from_env() -> bool:
+    """CLI entry hook: join a cluster when the environment asks for one.
+
+    * ``ECHR_COORDINATOR=host:port`` + ``ECHR_NUM_PROCESSES`` +
+      ``ECHR_PROCESS_ID`` — explicit cluster (CPU labs, non-pod setups);
+    * ``ECHR_DISTRIBUTED=1`` — full autodetection (TPU pods, where
+      jax.distributed.initialize() discovers the topology itself).
+
+    Returns True when a cluster was joined.  Launch the SAME command on
+    every host; engine.train/evaluate pick up jax.process_count() from
+    there (see docs/OPERATIONS.md)."""
+    # make the environment's platform choice authoritative: an interpreter-
+    # startup PJRT plugin registration (e.g. a sitecustomize) may have
+    # flipped jax_platforms after the env var was read
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialised; leave it be
+    coord = os.environ.get("ECHR_COORDINATOR")
+    if coord:
+        initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["ECHR_NUM_PROCESSES"]),
+            process_id=int(os.environ["ECHR_PROCESS_ID"]),
+        )
+        return True
+    if os.environ.get("ECHR_DISTRIBUTED", "").lower() in ("1", "true"):
+        jax.distributed.initialize()
+        log.info(
+            "distributed autodetect: process %d/%d, %d global devices",
+            jax.process_index(), jax.process_count(), jax.device_count(),
+        )
+        return True
+    return False
+
+
 def global_mesh(dp: Optional[int] = None, tp: int = 1):
     """Mesh over every device in the cluster.  Data-parallel rows should map
     to hosts first so gradient psum rides ICI within a host/slice and only

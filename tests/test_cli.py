@@ -87,6 +87,20 @@ def test_config_cli_reference_flags():
     assert cfg.video_context_dim == 100  # VL with lda_dim 100
 
 
+def test_config_cli_int_tuple_flags():
+    """Tuple-typed flags parse as nargs='+' strings; int-typed tuples
+    (mesh_shape, time_buckets) must come back as real ints — '4' * '2'
+    would blow up in build_mesh — while string tuples stay strings."""
+    from echr_tpu.config import parse_config
+
+    cfg = parse_config(["--mesh_shape", "4", "2",
+                        "--time_buckets", "64", "256",
+                        "--mesh_axis_names", "data", "model"])
+    assert cfg.runtime.mesh_shape == (4, 2)
+    assert cfg.data.time_buckets == (64, 256)
+    assert cfg.runtime.mesh_axis_names == ("data", "model")
+
+
 def test_dropsent_modes():
     import numpy as np
 

@@ -190,3 +190,59 @@ def test_loader_sharding_explicit_args():
         # single process: identical to the dataset order
         lall = Loader(ds, cfg, seed=0, process_index=0, process_count=1)
         assert sorted(lall.split_order["train"]) == sorted(tr)
+
+
+def test_cli_multihost_env_init(tmp_path):
+    """Operator launch path: `python -m echr_tpu.cli.train` joined into a
+    2-process cluster purely via ECHR_COORDINATOR/ECHR_NUM_PROCESSES/
+    ECHR_PROCESS_ID (parallel.distributed.maybe_initialize_from_env) —
+    the same command on every host, no code.  Asserts both processes
+    train to completion and the run artifacts are single-writer."""
+    import subprocess
+    import sys
+
+    from echr_tpu.config import flagship_config
+
+    cfg = flagship_config()
+    cfg = cfg.replace_in("data", synthetic=True, synthetic_num_videos=8,
+                         synthetic_vocab_size=61, synthetic_seq_length=10,
+                         lda_dim=16, time_buckets=(256,), shuffle=False)
+    cfg = cfg.replace_in("tap", video_dim=24, hidden_dim=32, K=32,
+                         prop_sample_num=8, rnn_num_layers=2)
+    cfg = cfg.replace_in("fusion", n_head=4, d_feats=32, d_o=32)
+    cfg = cfg.replace_in("decoder", CG_rnn_size=32, CG_input_encoding_size=32,
+                         CG_att_hid_size=32)
+    cfg = cfg.replace_in("train", training_mode="pre_cg", cg_epochs=1,
+                         batch_size=4, lr=5e-3)
+    cfg = cfg.replace_in("save", save_checkpoint_every=10**9,
+                         losses_log_every=1)
+    cfg = cfg.replace(run_id="CLIMH").validate()
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+            "ECHR_COORDINATOR": f"127.0.0.1:{port}",
+            "ECHR_NUM_PROCESSES": "2",
+            "ECHR_PROCESS_ID": str(pid),
+            "PYTHONPATH": os.path.dirname(os.path.dirname(__file__)),
+        })
+        cdir = tmp_path / f"p{pid}"
+        cfg_p = cfg.replace_in("save", checkpoint_path=str(cdir))
+        cfg_path = tmp_path / f"cli_mh_{pid}.json"
+        cfg_path.write_text(cfg_p.to_json())
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "echr_tpu.cli.train",
+             "--config_json", str(cfg_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+        ))
+    outs = [p.communicate(timeout=1500)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"cli worker {pid} failed:\n{out[-4000:]}"
+    # single-writer artifacts: config.json/train.log under process 0 only
+    assert (tmp_path / "p0" / "CLIMH" / "config.json").exists()
+    assert not (tmp_path / "p1" / "CLIMH" / "config.json").exists()
