@@ -166,6 +166,7 @@ def additive_attention_step(
     use_pallas: bool = False,
     remat: bool = False,
     grouping=None,
+    fused: bool = False,
 ) -> Tuple[Array, Array]:
     """One attention step for all proposals at once.
 
@@ -177,12 +178,21 @@ def additive_attention_step(
     remat recomputes the tanh in the backward pass — training paths.
     grouping (from grouped_attention_precompute) selects the group-shared
     windowed path — no-grad decode paths only; weights are returned as None.
+    fused additionally folds the masked softmax + weighted sum into the
+    kernel (flash-style online softmax; weights returned as None) —
+    no-grad decode paths only.
     """
     if compute_dtype is None:
         compute_dtype = p["h2att"]["w"].dtype
     if grouping is not None:
         return grouped_attention_step(p, h, feats, pre_att, grouping, compute_dtype), None
     att_h = dense(p["h2att"], h, compute_dtype)  # [N, Hatt]
+    if use_pallas and fused and not remat:
+        from echr_tpu.ops import pallas_attention
+
+        if pallas_attention.supported(pre_att, att_h):
+            return pallas_attention.attention_fused(
+                pre_att, att_h, p["alpha_net"], frame_mask, feats), None
     if use_pallas:
         from echr_tpu.ops import pallas_attention
 

@@ -87,6 +87,109 @@ def attention_scores(pre_att: Array, att_h: Array, alpha_params) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# Fully fused attention step (no-grad decode): scores + masked softmax +
+# weighted sum in ONE kernel with an online (flash-style) softmax — the
+# [N, T] scores/weights never round-trip HBM and the AV matmul (MXU)
+# overlaps the next tile's tanh (VPU) inside the kernel pipeline.
+# Matches ops.masked.masked_softmax semantics exactly: exp(s - rowmax)
+# restricted to mask==1, fully-masked rows return zeros.
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(pre_att_ref, att_h_ref, w_ref, b_ref, mask_ref, feats_ref,
+                  out_ref, acc_ref, m_ref, l_ref):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)  # inner: T blocks
+    gT = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _reset():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -1e30)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    pre = pre_att_ref[:]  # [Tt, H]
+    q = att_h_ref[:]  # [Nt, H]
+    w = w_ref[:]  # [H, 1]
+    y = jnp.tanh(q[:, None, :] + pre[None, :, :])  # [Nt, Tt, H]
+    s = jax.lax.dot_general(
+        y, w, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[..., 0] + b_ref[0, 0]  # [Nt, Tt]
+    mask = mask_ref[:] > 0
+    s = jnp.where(mask, s, -1e30)
+
+    m_prev = m_ref[:]  # [Nt, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)  # [Nt, 1]
+    p_ = jnp.where(mask, jnp.exp(s - m_new), 0.0)  # [Nt, Tt]
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p_, axis=1, keepdims=True)
+    # AV in the production decode dtype (the unfused path matmuls
+    # weights.astype(bf16) @ feats.astype(bf16) with f32 accumulation)
+    av = jax.lax.dot_general(
+        p_.astype(jnp.bfloat16), feats_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Nt, D]
+    acc_ref[:] = acc_ref[:] * alpha + av
+    m_ref[:] = m_new
+
+    @pl.when(j == gT - 1)
+    def _finish():
+        l = l_ref[:]
+        out_ref[:] = jnp.where(l > 0, acc_ref[:] / jnp.where(l > 0, l, 1.0), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _attention_fused_pallas(pre_att, att_h, w, b, mask, feats,
+                            interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, H = pre_att.shape
+    N = att_h.shape[0]
+    D = feats.shape[1]
+    grid = (N // _TILE_N, T // _TILE_T)
+    return pl.pallas_call(
+        _fused_kernel,
+        out_shape=jax.ShapeDtypeStruct((N, D), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TILE_T, H), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_N, H), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_TILE_N, _TILE_T), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_T, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TILE_N, D), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_TILE_N, D), jnp.float32),
+            pltpu.VMEM((_TILE_N, 1), jnp.float32),
+            pltpu.VMEM((_TILE_N, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pre_att, att_h, w, b, mask, feats)
+
+
+def attention_fused(pre_att: Array, att_h: Array, alpha_params,
+                    mask: Array, feats: Array) -> Array:
+    """att_res [N, D] = masked_softmax(alpha(tanh(pre+q)), mask) @ feats,
+    one kernel, online softmax.  No-grad decode paths only."""
+    w = alpha_params["w"].astype(jnp.float32)
+    b = jnp.reshape(alpha_params["b"].astype(jnp.float32), (1, 1))
+    interpret = jax.default_backend() != "tpu"
+    return _attention_fused_pallas(
+        pre_att.astype(jnp.float32), att_h.astype(jnp.float32), w, b,
+        mask.astype(jnp.float32), feats.astype(jnp.float32),
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Differentiable variant (training): custom VJP whose backward kernel
 # RECOMPUTES tanh per VMEM tile — like jax.checkpoint, the [N, T, H]
 # intermediate never exists, but here it never exists in HBM in the

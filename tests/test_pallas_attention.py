@@ -125,3 +125,30 @@ def test_attention_step_train_pallas_matches_remat():
                     jax.tree_util.tree_leaves(g_got)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    atol=2e-4, rtol=1e-4)
+
+
+def test_attention_fused_matches_unfused():
+    """Fully fused (flash-style) kernel == scores + masked_softmax + AV,
+    including a fully-masked row -> zeros.  Measured SLOWER than the
+    unfused form on TPU (fifth negative result, BENCH_NOTES) — kept as
+    exact-parity-tested infrastructure, not wired into decode."""
+    from echr_tpu.ops.masked import masked_softmax
+
+    rng = jax.random.PRNGKey(6)
+    T, H, N, D = 256, 128, 16, 96
+    p = additive_attention_init(rng, D, H, H)
+    pre = jax.random.normal(jax.random.fold_in(rng, 1), (T, H))
+    q = jax.random.normal(jax.random.fold_in(rng, 2), (N, H))
+    feats = jax.random.normal(jax.random.fold_in(rng, 3), (T, D))
+    mask = (jax.random.uniform(jax.random.fold_in(rng, 4), (N, T)) > 0.3
+            ).astype(jnp.float32)
+    mask = mask.at[:, 0].set(1.0)
+    mask = mask.at[3].set(0.0)  # fully-masked row
+
+    s = dense(p["alpha_net"], jnp.tanh(pre[None] + q[:, None]))[..., 0]
+    w = masked_softmax(s, mask, axis=-1)
+    ref = jnp.dot(w.astype(jnp.bfloat16), feats.astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    got = pallas_attention.attention_fused(pre, q, p["alpha_net"], mask, feats)
+    assert bool((np.asarray(got)[3] == 0).all())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
