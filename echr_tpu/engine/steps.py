@@ -279,7 +279,7 @@ def apply_grads(state: TrainState, tap_g, cg_g, cfg: Config, phase: str) -> Trai
 
 
 def _rl_forward(tap_params, cg_params, cfg: Config, batch: VideoBatch, phase: str,
-                rng: Array, forced=None):
+                rng: Array, forced=None, early_exit=None):
     """Train-mode rollout with deterministic rng splits.  Called twice with
     the same rng: once to sample (forced=None), once to replay the sampled
     tokens differentiably (forced=gen_seq) — dropout masks are identical."""
@@ -299,7 +299,7 @@ def _rl_forward(tap_params, cg_params, cfg: Config, batch: VideoBatch, phase: st
                          frame_mask=batch.frame_mask, train=True, rng=r_ctx)
     gen_seq, gen_logps, _ = decoder_sample(
         cg_params["decoder"], cfg, ctxs, greedy=False, rng=r_sample, train=True,
-        forced_tokens=forced,
+        forced_tokens=forced, early_exit=early_exit,
     )
     return tap_l, tap_feats, gen_seq, gen_logps
 
@@ -343,8 +343,11 @@ def rl_rollout_step_batched(tap_params, cg_params, batch: VideoBatch,
     rngs = jax.random.split(rng, B)
 
     def one(b, r):
+        # early_exit=False like every vmapped pipeline: under vmap the
+        # while_loop runs to the LAST-finishing row and just costs its
+        # per-step condition (see decoder_sample)
         tap_l, _, gen_seq, _ = _rl_forward(
-            tap_params, cg_params, cfg, b, phase, r
+            tap_params, cg_params, cfg, b, phase, r, early_exit=False
         )
         tap_feats_eval, _ = sst_forward(tap_params, b.feats, train=False)
         props, _, _ = _select_props(b, phase)
@@ -352,7 +355,8 @@ def rl_rollout_step_batched(tap_params, cg_params, batch: VideoBatch,
                                   tap_feats_eval, b.feats, b.lda, props,
                                   frame_mask=b.frame_mask, train=False)
         greedy_seq, _, _ = decoder_sample(cg_params["decoder"], cfg, ctxs_eval,
-                                          greedy=True, train=False)
+                                          greedy=True, train=False,
+                                          early_exit=False)
         return tap_l, gen_seq, greedy_seq
 
     return jax.vmap(one)(batch, rngs)
