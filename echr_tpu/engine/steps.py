@@ -225,6 +225,102 @@ def train_step(
     return new_state, metrics
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "phase", "mesh", "ss_prob",
+                              "update_tap", "update_cg"),
+)
+def train_step_shard_map(
+    state: TrainState,
+    batch: VideoBatch,  # leaves with leading [B] axis, sharded over "data"
+    rng: Array,
+    cfg: Config,
+    phase: str,
+    mesh,
+    ss_prob: float = 0.0,
+    update_tap: bool = True,
+    update_cg: bool = True,
+) -> Tuple[TrainState, Dict[str, Array]]:
+    """Explicit-SPMD variant of train_step (runtime.spmd_mode="shard_map"):
+    each device computes loss/grads over ITS batch rows at local shapes and
+    the gradients are psum'd over the data axis — numerically the same
+    global-batch mean as train_step's auto-partitioned form (row i keeps the
+    identical rng split), with two practical differences:
+
+      * collectives are explicit (the scaling-book shard_map recipe) rather
+        than inserted by the GSPMD partitioner;
+      * the per-device program sees LOCAL shapes, so Pallas kernels
+        (runtime.use_pallas_train) fire inside the mesh — the partitioner
+        would otherwise treat the opaque custom call as replicated.
+
+    dp-only meshes (model axis must be 1: tensor-parallel params need the
+    auto-partitioned path's sharding rules)."""
+    if mesh.shape["model"] != 1:
+        raise ValueError("spmd_mode='shard_map' supports dp-only meshes; "
+                         "use the auto-partitioned path for tensor parallelism")
+    from jax.sharding import PartitionSpec as P
+
+    dp = mesh.shape["data"]
+    opt = make_optimizer(cfg)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), jax.tree.map(lambda _: P("data"), batch), P()),
+        out_specs=(P(), P()),
+        # the model's scans start carries from replicated zeros that turn
+        # varying once sharded inputs enter — skip the static VMA checker
+        # instead of pcast-ing every scan carry (outputs are made
+        # replicated explicitly: grads psum'd, metrics pmean'd)
+        check_vma=False,
+    )
+    def run(state, local, rng):
+        local = decompress_batch(local)
+        Bl = local.feats.shape[0]
+        my = jax.lax.axis_index("data")
+        # row i of the GLOBAL batch consumes split(rng, B)[i], exactly like
+        # train_step — shard k holds contiguous rows [k*Bl, (k+1)*Bl)
+        # (*rng.shape keeps this correct for both raw uint32 [2] keys and
+        # typed key arrays)
+        rngs = jax.random.split(rng, dp * Bl).reshape(dp, Bl, *rng.shape)[my]
+
+        def loss_fn(tap_params, cg_params):
+            tap_c, cg_c = _cast(tap_params, cfg), _cast(cg_params, cfg)
+            m = jax.vmap(
+                lambda b, r: _one_video_losses(
+                    tap_c, cg_c, cfg, b, phase, r, True, ss_prob
+                )
+            )(local, rngs)
+            m = jax.tree.map(lambda x: jnp.mean(x), m)
+            m = jax.lax.pmean(m, "data")  # global-batch mean
+            return _phase_loss(m, phase, cfg), m
+
+        (loss, metrics), (tap_g, cg_g) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.tap_params, state.cg_params)
+        # pmean's VJP hands each shard cotangent 1/dp, so per-shard grads
+        # are (1/dp) d(local mean)/dθ; their psum is the global-mean grad
+        tap_g = jax.tree.map(lambda g: jax.lax.psum(g, "data"), tap_g)
+        cg_g = jax.tree.map(lambda g: jax.lax.psum(g, "data"), cg_g)
+
+        new_state = state
+        if update_tap and phase in UPDATES_TAP:
+            upd, tap_opt = opt.update(tap_g, state.tap_opt, state.tap_params)
+            new_state = new_state._replace(
+                tap_params=optax.apply_updates(state.tap_params, upd),
+                tap_opt=tap_opt,
+            )
+        if update_cg and phase in UPDATES_CG:
+            upd, cg_opt = opt.update(cg_g, new_state.cg_opt, new_state.cg_params)
+            new_state = new_state._replace(
+                cg_params=optax.apply_updates(new_state.cg_params, upd),
+                cg_opt=cg_opt,
+            )
+        new_state = new_state._replace(step=state.step + 1)
+        metrics["loss"] = loss
+        return new_state, metrics
+
+    return run(state, batch, rng)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "phase", "ss_prob"))
 def grad_step(
     state: TrainState,

@@ -225,10 +225,16 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
                 f"{mesh.shape['data']} data-parallel devices"
             )
         log.info("mesh: %s", dict(mesh.shape))
-    if mesh is not None and cfg.runtime.use_pallas_train:
-        # a Pallas call is an opaque custom call to the SPMD partitioner —
-        # under a sharded batch it would be replicated, not partitioned;
-        # keep the jnp remat path, which XLA shards like the rest of the step
+    use_shard_map = mesh is not None and cfg.runtime.spmd_mode == "shard_map"
+    if use_shard_map and mesh.shape["model"] != 1:
+        raise ValueError("spmd_mode='shard_map' supports dp-only meshes; "
+                         "tensor parallelism needs spmd_mode='auto'")
+    if mesh is not None and cfg.runtime.use_pallas_train and not use_shard_map:
+        # a Pallas call is an opaque custom call to the GSPMD partitioner —
+        # under a jit-sharded batch it would be replicated, not partitioned;
+        # keep the jnp remat path, which XLA shards like the rest of the
+        # step.  (spmd_mode="shard_map" keeps the kernel: per-device
+        # programs there have local shapes.)
         cfg = cfg.replace_in("runtime", use_pallas_train=False)
         log.info("mesh training: use_pallas_train disabled (remat path)")
 
@@ -341,9 +347,17 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             stacked, _ = res
             if mesh is not None:
                 stacked = _shard_batch(stacked, mesh, multihost)
-            state, metrics = train_step(
-                state, stacked, step_rng, cfg, phase, ss_prob=ss_prob
-            )
+            if use_shard_map:
+                from echr_tpu.engine.steps import train_step_shard_map
+
+                state, metrics = train_step_shard_map(
+                    state, stacked, step_rng, cfg, phase, mesh=mesh,
+                    ss_prob=ss_prob,
+                )
+            else:
+                state, metrics = train_step(
+                    state, stacked, step_rng, cfg, phase, ss_prob=ss_prob
+                )
         else:
             state, metrics = train_step(
                 state, _stack_batch(batch), step_rng, cfg, phase, ss_prob=ss_prob

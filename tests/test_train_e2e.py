@@ -181,3 +181,68 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
                         else restored["cg_params"])
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_train_step_shard_map_matches_auto(tmp_path):
+    """spmd_mode='shard_map' (explicit per-shard grads + psum) takes the
+    same step as the auto-partitioned train_step: identical per-row rng,
+    global-batch-mean gradients.  Subprocess for the usual SPMD-compile
+    reason."""
+    import os
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "shard_map_worker.py")
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PALLAS_AXON_POOL_IPS": "",
+    })
+    res = subprocess.run([sys.executable, worker, str(tmp_path)], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stdout + res.stderr
+    out = {l.split()[0]: l.split()[1:] for l in res.stdout.splitlines()
+           if l.startswith(("LOSSES", "MAXDIFF"))}
+    losses = list(map(float, out["LOSSES"]))
+    auto, sm = losses[:3], losses[3:]
+    # 3-step loss trajectory equality pins the gradient math end-to-end
+    for a, b in zip(auto, sm):
+        assert abs(a - b) < 1e-4, (auto, sm)
+    assert auto[2] < auto[0]  # and it actually learned
+    # post-Adam params only loosely comparable (g/sqrt(v) amplifies ~1e-6
+    # cross-executable f32 noise); bound by the Adam step size
+    assert float(out["MAXDIFF"][0]) < 5e-3, out["MAXDIFF"]
+
+
+def test_train_loop_shard_map_mode(tmp_path):
+    """train() routes through train_step_shard_map when
+    runtime.spmd_mode='shard_map' (dp-only mesh), keeping use_pallas_train
+    enabled.  Subprocess for the usual SPMD-compile reason."""
+    import os
+    import subprocess
+    import sys
+
+    cfg = tiny_cfg(tmp_path, **{"train.batch_size": 8})
+    cfg = cfg.replace_in("runtime", mesh_shape=(8, 1), spmd_mode="shard_map")
+    cfg_path = tmp_path / "sm_cfg.json"
+    cfg_path.write_text(cfg.to_json())
+
+    script = (
+        "import sys;"
+        f"sys.path.insert(0, {repr(os.getcwd())});"
+        "from echr_tpu.config import Config;"
+        "from echr_tpu.engine.train import train;"
+        f"cfg = Config.from_json(open({repr(str(cfg_path))}).read());"
+        "out = train(cfg, max_iterations=2);"
+        "print('SM_OK', out['iteration'])"
+    )
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PALLAS_AXON_POOL_IPS": "",
+    })
+    res = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert "SM_OK" in res.stdout, res.stdout + res.stderr
