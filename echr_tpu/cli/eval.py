@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", type=int, default=0,
                    help=">1 shards the batched eval's video axis over a "
                         "(data, model=1) mesh of that many chips")
+    p.add_argument("--spmd_mode", type=str, default=None,
+                   choices=["auto", "shard_map"],
+                   help="override runtime.spmd_mode for --data_parallel: "
+                        "'shard_map' runs each batched step as an explicit "
+                        "per-device program (Pallas kernels fire at local "
+                        "shapes); default keeps the checkpoint's setting")
     p.add_argument("--split", type=str, default="val", choices=["val", "test"])
     # reference eval.py flag-surface compatibility (accepted no-ops):
     # --dataset is informational (eval.py:105, always ActivityNet here),
@@ -111,6 +117,8 @@ def main(argv=None) -> None:
     )
     if ns.SOTA_json:
         cfg = cfg.replace_in("data", SOTA_json=ns.SOTA_json)
+    if ns.spmd_mode:
+        cfg = cfg.replace_in("runtime", spmd_mode=ns.spmd_mode)
     dataset = build_dataset(cfg)
     if multihost:
         # per-host shard of the eval split; eval_split_batched(multihost=

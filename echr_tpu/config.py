@@ -219,15 +219,20 @@ class RuntimeConfig:
     # vocab/head-sharded matmuls.  (1, 1) = single chip.
     mesh_shape: Tuple[int, int] = (1, 1)
     mesh_axis_names: Tuple[str, str] = ("data", "model")
-    # How the train step is distributed over the mesh:
+    # How device programs are distributed over the mesh:
     #   "auto"      — jit with NamedSharding inputs; the GSPMD partitioner
     #                 inserts the gradient psum.  Required for tensor
     #                 parallelism (model axis > 1).
-    #   "shard_map" — explicit per-device program over local batch rows
-    #                 with explicit pmean/psum collectives (the scaling-book
-    #                 recipe).  dp-only; identical math (same per-row rng),
-    #                 and Pallas kernels (use_pallas_train) fire inside the
-    #                 mesh because each device's program has local shapes.
+    #   "shard_map" — explicit per-device programs over local batch rows
+    #                 (the scaling-book recipe): the TRAIN step psums
+    #                 grads explicitly, and the batched EVAL/serving steps
+    #                 (encode/select/decode/beam/val-loss) run per-device
+    #                 with no collectives at all (rows independent).
+    #                 dp-only; identical math (same per-row rng), and
+    #                 Pallas kernels (use_pallas_train, use_pallas) fire
+    #                 inside the mesh because each device's program has
+    #                 local shapes — GSPMD would replicate the opaque
+    #                 pallas_call instead.
     spmd_mode: str = "auto"
     donate_step_args: bool = True
     use_pallas: bool = True

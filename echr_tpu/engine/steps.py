@@ -702,6 +702,169 @@ def beam_decode_step_batched(
     return jax.vmap(one)(tap_feats, feats, lda, frame_mask, props)
 
 
+# --- explicit-SPMD (shard_map) variants of the batched eval steps -------
+#
+# runtime.spmd_mode="shard_map" under a dp mesh: every batched eval step
+# becomes an explicit per-device program over its LOCAL video rows (rows
+# are independent — no collectives at all), instead of one global program
+# the GSPMD partitioner slices.  Outputs are identical to the auto
+# variants (same per-row math, same per-row rng), but Pallas kernels
+# (runtime.use_pallas decode attention) fire inside the mesh: to the
+# partitioner a pallas_call is an opaque custom call it would otherwise
+# replicate (docs/TODO.md "Open questions").  dp-only — eval params are
+# replicated, so there is no tensor-parallel eval to lose.  The batch
+# axis must be a multiple of mesh.shape["data"] (eval_split_batched pads
+# every group to one).
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def encode_step_batched_shard_map(tap_params, feats: Array, cfg: Config, mesh):
+    """encode_step_batched as an explicit per-device program (rows local)."""
+    from jax.sharding import PartitionSpec as P
+
+    from echr_tpu.models.sst import sst_forward_batched
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P(), P("data")),
+        out_specs=P("data"), check_vma=False,
+    )
+    def run(tp, f):
+        return sst_forward_batched(_cast(tp, cfg), f, train=False)
+
+    return run(tap_params, feats)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("topN", "nb", "mesh"))
+def select_topk_batched_shard_map(
+    pred_props: Array, n_frames: Array, topN: int, nb: int, mesh,
+    val_score_thres: float = 0.0,
+):
+    """select_topk_batched with each device selecting over its local rows."""
+    from jax.sharding import PartitionSpec as P
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=P("data"), check_vma=False,
+    )
+    def run(pp, nf):
+        return select_topk_batched(pp, nf, topN=topN, nb=nb,
+                                   val_score_thres=val_score_thres)
+
+    return run(pred_props, n_frames)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "phase", "mesh"))
+def val_loss_step_batched_shard_map(
+    tap_params, cg_params, batch: VideoBatch, cfg: Config, mesh,
+    phase: str = "tap_cg",
+) -> Dict[str, Array]:
+    """val_loss_step_batched over local rows (per-video [B] loss leaves)."""
+    from jax.sharding import PartitionSpec as P
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), P(), jax.tree.map(lambda _: P("data"), batch)),
+        out_specs=P("data"), check_vma=False,
+    )
+    def run(tp, cp, local):
+        tpc, cpc = _cast(tp, cfg), _cast(cp, cfg)
+        return jax.vmap(
+            lambda b: _one_video_losses(tpc, cpc, cfg, b, phase, None, False, 0.0)
+        )(local)
+
+    return run(tap_params, cg_params, batch)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "greedy", "mesh"))
+def decode_step_batched_shard_map(
+    cg_params,
+    cfg: Config,
+    tap_feats: Array,
+    feats: Array,
+    lda: Array,
+    frame_mask: Array,
+    props: ProposalBatch,
+    mesh,
+    greedy: bool = True,
+    temperature: float = 1.0,
+    rng: Optional[Array] = None,
+):
+    """decode_step_batched over local rows.  Row i's rng draw is
+    split(rng, B_global)[i] exactly like the auto variant (the split
+    happens at the global level, the [B] key array is then row-sharded),
+    so multinomial sampling is trajectory-identical across spmd modes."""
+    from jax.sharding import PartitionSpec as P
+
+    B = tap_feats.shape[0]
+    rngs = jax.random.split(rng, B) if rng is not None else None
+    prop_specs = jax.tree.map(lambda _: P("data"), props)
+
+    def body(cp, th, f, l, fm, pr, r=None):
+        cg_c = _cast(cp, cfg)
+
+        def one(th1, f1, l1, fm1, pr1, r1=None):
+            return captioner_sample(
+                cg_c, cfg, th1, f1, l1, pr1, frame_mask=fm1, greedy=greedy,
+                temperature=temperature, rng=r1, early_exit=False,
+            )
+
+        if r is None:
+            return jax.vmap(one)(th, f, l, fm, pr)
+        return jax.vmap(one)(th, f, l, fm, pr, r)
+
+    data_specs = (P(), P("data"), P("data"), P("data"), P("data"), prop_specs)
+    if rngs is None:
+        run = jax.shard_map(body, mesh=mesh, in_specs=data_specs,
+                            out_specs=P("data"), check_vma=False)
+        return run(cg_params, tap_feats, feats, lda, frame_mask, props)
+    run = jax.shard_map(body, mesh=mesh, in_specs=data_specs + (P("data"),),
+                        out_specs=P("data"), check_vma=False)
+    return run(cg_params, tap_feats, feats, lda, frame_mask, props, rngs)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "beam_size", "length_alpha", "mesh"))
+def beam_decode_step_batched_shard_map(
+    cg_params,
+    cfg: Config,
+    tap_feats: Array,
+    feats: Array,
+    lda: Array,
+    frame_mask: Array,
+    props: ProposalBatch,
+    beam_size: int,
+    mesh,
+    length_alpha: float = 0.0,
+):
+    """beam_decode_step_batched over local rows."""
+    from jax.sharding import PartitionSpec as P
+
+    from echr_tpu.models.beam import beam_search
+    from echr_tpu.models.captioner import make_contexts
+
+    prop_specs = jax.tree.map(lambda _: P("data"), props)
+
+    def body(cp, th, f, l, fm, pr):
+        cg_c = _cast(cp, cfg)
+
+        def one(th1, f1, l1, fm1, pr1):
+            ctxs = make_contexts(cg_c, cfg, th1, f1, l1, pr1,
+                                 frame_mask=fm1, train=False)
+            res = beam_search(cg_c["decoder"], cfg, ctxs, beam_size,
+                              length_alpha, early_exit=False)
+            return res.seq, res.logprob
+
+        return jax.vmap(one)(th, f, l, fm, pr)
+
+    run = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data"), P("data"), prop_specs),
+        out_specs=P("data"), check_vma=False,
+    )
+    return run(cg_params, tap_feats, feats, lda, frame_mask, props)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "beam_size", "length_alpha"))
 def beam_decode_step(
     cg_params,

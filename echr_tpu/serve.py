@@ -62,8 +62,14 @@ class CaptionService:
         self.nms_threshold = nms_threshold
         self.beam_size = beam_size
         # multi-chip serving: replicate params, shard the video batch axis
-        # over the mesh's data axis (chunks padded to a dp multiple)
+        # over the mesh's data axis (chunks padded to a dp multiple).
+        # runtime.spmd_mode="shard_map" (dp meshes) routes every batched
+        # step through its explicit per-device variant so the Pallas
+        # decode kernel fires at local shapes (see eval_split_batched).
         self.mesh = mesh
+        self._use_sm = (mesh is not None
+                        and cfg.runtime.spmd_mode == "shard_map"
+                        and mesh.shape["model"] == 1)
         if mesh is not None:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as PS
@@ -145,7 +151,14 @@ class CaptionService:
                         feats.astype(jnp.bfloat16)).astype(jnp.float32))
                 else:
                     feats_d = shard(jnp.asarray(feats))
-                tap_feats, pred_props = encode_step_batched(self.tap_params, feats_d, cfg)
+                if self._use_sm:
+                    from echr_tpu.engine.steps import encode_step_batched_shard_map
+
+                    tap_feats, pred_props = encode_step_batched_shard_map(
+                        self.tap_params, feats_d, cfg, self.mesh)
+                else:
+                    tap_feats, pred_props = encode_step_batched(
+                        self.tap_params, feats_d, cfg)
                 # the previous chunk's decode overlaps this encode + the
                 # proposal-score fetch below; collect it before selection
                 if pending is not None:
@@ -169,8 +182,18 @@ class CaptionService:
                     nb_sel = PROP_BUCKETS[-1]
                     nfr = np.array([int(fmask[i].sum()) for i in range(Bp)],
                                    np.int32)
-                    idx_b, cnt_b, conf_b = select_topk_batched(
-                        pred_props, jnp.asarray(nfr), topN=self.topN, nb=nb_sel)
+                    if self._use_sm:
+                        from echr_tpu.engine.steps import (
+                            select_topk_batched_shard_map,
+                        )
+
+                        idx_b, cnt_b, conf_b = select_topk_batched_shard_map(
+                            pred_props, shard(jnp.asarray(nfr)),
+                            topN=self.topN, nb=nb_sel, mesh=self.mesh)
+                    else:
+                        idx_b, cnt_b, conf_b = select_topk_batched(
+                            pred_props, jnp.asarray(nfr), topN=self.topN,
+                            nb=nb_sel)
                     idx_np, cnt_np, conf_np = (
                         np.asarray(idx_b), np.asarray(cnt_b), np.asarray(conf_b))
                     for i, r in enumerate(chunk):
@@ -207,16 +230,38 @@ class CaptionService:
                 lda_d, fm_d = shard(jnp.asarray(lda)), shard(jnp.asarray(fmask))
 
                 if self.beam_size > 1:
-                    seq, logp = beam_decode_step_batched(
-                        self.cg_params, cfg, tap_feats, feats_d, lda_d, fm_d,
-                        props, self.beam_size,
-                        length_alpha=float(cfg.eval.beam_length_alpha),
-                    )
+                    if self._use_sm:
+                        from echr_tpu.engine.steps import (
+                            beam_decode_step_batched_shard_map,
+                        )
+
+                        seq, logp = beam_decode_step_batched_shard_map(
+                            self.cg_params, cfg, tap_feats, feats_d, lda_d,
+                            fm_d, props, self.beam_size, mesh=self.mesh,
+                            length_alpha=float(cfg.eval.beam_length_alpha),
+                        )
+                    else:
+                        seq, logp = beam_decode_step_batched(
+                            self.cg_params, cfg, tap_feats, feats_d, lda_d,
+                            fm_d, props, self.beam_size,
+                            length_alpha=float(cfg.eval.beam_length_alpha),
+                        )
                     pending = (chunk, sels, nb, seq, logp, True)
                 else:
-                    seq, logps, active = decode_step_batched(
-                        self.cg_params, cfg, tap_feats, feats_d, lda_d, fm_d, props
-                    )
+                    if self._use_sm:
+                        from echr_tpu.engine.steps import (
+                            decode_step_batched_shard_map,
+                        )
+
+                        seq, logps, active = decode_step_batched_shard_map(
+                            self.cg_params, cfg, tap_feats, feats_d, lda_d,
+                            fm_d, props, mesh=self.mesh,
+                        )
+                    else:
+                        seq, logps, active = decode_step_batched(
+                            self.cg_params, cfg, tap_feats, feats_d, lda_d,
+                            fm_d, props
+                        )
                     pending = (chunk, sels, nb, seq, logps, False)
         if pending is not None:
             collect(pending)

@@ -146,6 +146,31 @@ def test_batched_eval_mesh_sharded_matches(tmp_path):
     np.testing.assert_allclose(loss_a[:3], loss_b[:3], rtol=1e-3)
 
 
+def test_batched_eval_shard_map_matches(tmp_path):
+    """spmd_mode='shard_map' eval: every batched step (encode, device
+    top-N select, val-loss, greedy/beam/sampling decode) runs as an
+    explicit per-device program over its local rows — predictions and
+    losses must match the single-chip pipeline.  This is the route that
+    lets the Pallas decode kernel fire under a dp mesh (a pallas_call is
+    opaque to the GSPMD partitioner).  Subprocess for the usual
+    SPMD-compile reason."""
+    import os
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "eval_shard_map_worker.py")
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PALLAS_AXON_POOL_IPS": "",
+    })
+    res = subprocess.run([sys.executable, worker, str(tmp_path)], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "ALL_OK" in res.stdout, res.stdout + res.stderr
+
+
 def test_grad_histograms_at_checkpoint(tmp_path):
     """Param AND grad histograms for every parameter at checkpoints
     (reference: train.py:417-422)."""
