@@ -53,8 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="RNG seed for multinomial sampling (sample_max=0)")
     p.add_argument("--wait_for_checkpoint", type=int, default=0,
                    help="poll until the checkpoint exists (reference: eval.py:53-55)")
-    p.add_argument("--batch_videos", type=int, default=1,
-                   help=">1 selects the batched throughput eval pipeline")
+    p.add_argument("--batch_videos", type=int, default=None,
+                   help=">1 selects the batched throughput eval pipeline "
+                        "(default 1; multihost runs default to 8 — the "
+                        "sweep is batched-only, so an explicit 1 errors)")
     p.add_argument("--data_parallel", type=int, default=0,
                    help=">1 shards the batched eval's video axis over a "
                         "(data, model=1) mesh of that many chips")
@@ -83,6 +85,11 @@ def main(argv=None) -> None:
     from echr_tpu.utils.cache import enable_persistent_compile_cache
 
     enable_persistent_compile_cache()
+    # parse BEFORE joining the cluster: a --help/typo exit must happen
+    # before jax.distributed.initialize, or this host would join (and then
+    # abandon) the barrier and wedge every other host at its first
+    # collective
+    ns = build_parser().parse_args(argv)
     # multi-host eval sweep: same command on every host with the cluster
     # env set — each process evaluates its val shard, predictions are
     # all-gathered, every host reports the full split (docs/OPERATIONS.md)
@@ -91,7 +98,6 @@ def main(argv=None) -> None:
         import jax
 
         multihost = jax.process_count() > 1
-    ns = build_parser().parse_args(argv)
     folder = os.path.join(ns.checkpoint_path, ns.folder_id)
     path = ns.model_path or os.path.join(folder, f"model-{ns.which}.ckpt")
     while not os.path.exists(path):
@@ -124,11 +130,19 @@ def main(argv=None) -> None:
         # per-host shard of the eval split; eval_split_batched(multihost=
         # True) all-gathers predictions so every host scores the full split
         loader = Loader(dataset, cfg, seed=0, shard_splits=(ns.split,))
-        if ns.batch_videos <= 1:
+        if ns.batch_videos is None:
             ns.batch_videos = 8  # the multihost sweep is the batched path
             log.info("multihost eval: defaulting --batch_videos 8")
+        elif ns.batch_videos <= 1:
+            # don't silently reroute an explicit request onto a different
+            # code path — the per-video pipeline has no multihost gather
+            raise ValueError(
+                "multihost eval runs the batched pipeline only; "
+                "--batch_videos must be > 1 (or omitted for the default 8)")
     else:
         loader = Loader(dataset, cfg, seed=0)
+    if ns.batch_videos is None:
+        ns.batch_videos = 1
     state = payload["state"]
 
     stamp = f"{ns.flag_eval_what}_top{ns.topN}_thr{ns.val_score_thres}_nms{ns.nms_threshold}"

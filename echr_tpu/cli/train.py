@@ -17,12 +17,16 @@ def main(argv=None) -> None:
     from echr_tpu.parallel.distributed import maybe_initialize_from_env
 
     enable_persistent_compile_cache()
+    # parse BEFORE joining the cluster: a --help/typo exit must happen
+    # before jax.distributed.initialize, or this host would join (and then
+    # abandon) the barrier and wedge every other host at its first
+    # collective
+    cfg = parse_config(argv)
     # multi-host launch (net-new vs the reference): run this same command
     # on every host with ECHR_COORDINATOR/ECHR_NUM_PROCESSES/ECHR_PROCESS_ID
     # (or ECHR_DISTRIBUTED=1 on TPU pods) — train() then shards the batch
     # over the global mesh; see docs/OPERATIONS.md
     maybe_initialize_from_env()
-    cfg = parse_config(argv)
     train(cfg)
 
 

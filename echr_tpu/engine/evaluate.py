@@ -325,21 +325,15 @@ def eval_split_batched(
         tap_params = jax.device_put(tap_params, _rep)
         cg_params = jax.device_put(cg_params, _rep)
 
-    from echr_tpu.engine.steps import (
-        decode_step_batched,
-        encode_step_batched,
-        val_loss_step_batched,
-    )
+    # resolves auto vs explicit-SPMD (runtime.spmd_mode="shard_map") step
+    # routing in ONE place: under a dp mesh the shard_map variants run each
+    # batched step as a per-device program over its local rows, so the
+    # Pallas decode kernel (runtime.use_pallas) fires at local shapes —
+    # the GSPMD partitioner would replicate the opaque pallas_call.
+    # Identical outputs (rows independent; same per-row rng).
+    from echr_tpu.engine.steps import eval_steps_for
 
-    # explicit-SPMD eval (runtime.spmd_mode="shard_map", dp meshes): run
-    # every batched step as a per-device program over its local rows so
-    # the Pallas decode kernel (runtime.use_pallas) fires at local shapes
-    # — the GSPMD partitioner would replicate the opaque pallas_call.
-    # Identical outputs (rows independent; same per-row rng).  Meshes
-    # with a model axis keep the auto path (eval params are replicated,
-    # so there is nothing tensor-parallel to route).
-    use_sm = (mesh is not None and cfg.runtime.spmd_mode == "shard_map"
-              and mesh.shape["model"] == 1)
+    ES = eval_steps_for(cfg, mesh)
 
     kw = dict(eval_kwargs or {})
     split = kw.get("split", "val")
@@ -403,14 +397,7 @@ def eval_split_batched(
                 feats_np.astype(jnp.bfloat16)).astype(jnp.float32))
         else:
             feats_b = shard(jnp.asarray(feats_np))
-        if use_sm:
-            from echr_tpu.engine.steps import encode_step_batched_shard_map
-
-            tap_feats_b, pred_props_b = encode_step_batched_shard_map(
-                tap_params, feats_b, cfg, mesh)
-        else:
-            tap_feats_b, pred_props_b = encode_step_batched(
-                tap_params, feats_b, cfg)
+        tap_feats_b, pred_props_b = ES.encode(tap_params, feats_b, cfg)
         # tap_cg without NMS: top-N selection runs ON DEVICE
         # (selection-identical to P.top_proposals, see select_topk_batched)
         # — fetches [B, nb] indices instead of the [B, T, K] score grid.
@@ -420,24 +407,14 @@ def eval_split_batched(
         # threshold-tie storms (>1024 tied anchors), changing tap recall.
         device_sel = flag_eval_what == "tap_cg" and not nms_threshold
         if device_sel:
-            from echr_tpu.engine.steps import select_topk_batched
-
             # bucket CEILING, not bucket(topN): threshold ties can exceed
             # topN and the host path truncates at bucket(max_n) <= ceiling
             nb_sel = PROP_BUCKETS[-1]
             nfr = shard(jnp.asarray([m.n_frames for _, m in items_p], jnp.int32))
-            if use_sm:
-                from echr_tpu.engine.steps import select_topk_batched_shard_map
-
-                idx_b, cnt_b, conf_b = select_topk_batched_shard_map(
-                    pred_props_b, nfr, topN=topN, nb=nb_sel, mesh=mesh,
-                    val_score_thres=val_score_thres,
-                )
-            else:
-                idx_b, cnt_b, conf_b = select_topk_batched(
-                    pred_props_b, nfr, topN=topN, nb=nb_sel,
-                    val_score_thres=val_score_thres,
-                )
+            idx_b, cnt_b, conf_b = ES.select_topk(
+                pred_props_b, nfr, topN=topN, nb=nb_sel,
+                val_score_thres=val_score_thres,
+            )
             idx_np = np.asarray(idx_b)
             cnt_np = np.asarray(cnt_b)
             conf_np = np.asarray(conf_b)
@@ -517,18 +494,10 @@ def eval_split_batched(
                 lambda *xs: shard(jnp.stack([jnp.asarray(x) for x in xs])),
                 *[b for b, _ in items_p],
             )
-            if use_sm:
-                from echr_tpu.engine.steps import val_loss_step_batched_shard_map
-
-                m = val_loss_step_batched_shard_map(
-                    tap_params, cg_params, stacked, cfg, mesh=mesh,
-                    phase=("tap" if flag_eval_what == "tap" else "tap_cg"),
-                )
-            else:
-                m = val_loss_step_batched(
-                    tap_params, cg_params, stacked, cfg,
-                    phase=("tap" if flag_eval_what == "tap" else "tap_cg"),
-                )
+            m = ES.val_loss(
+                tap_params, cg_params, stacked, cfg,
+                phase=("tap" if flag_eval_what == "tap" else "tap_cg"),
+            )
             has_sel = np.array([len(s[0]) > 0 for s in sel], bool)
             loss_sum[0] += float(np.asarray(m["tap_loss"])[:B][has_sel].sum())
             if flag_eval_what != "tap":
@@ -556,38 +525,21 @@ def eval_split_batched(
         lda_b = shard(jnp.asarray(np.stack([b.lda for b, _ in items_p])))
         fm_b = shard(jnp.asarray(np.stack([b.frame_mask for b, _ in items_p])))
         if beam_size > 1:
-            la = float(kw.get("beam_length_alpha", cfg.eval.beam_length_alpha))
-            if use_sm:
-                from echr_tpu.engine.steps import beam_decode_step_batched_shard_map
-
-                seq_b, logprob_b = beam_decode_step_batched_shard_map(
-                    cg_params, cfg, tap_feats_b, feats_b, lda_b, fm_b, props,
-                    beam_size, mesh=mesh, length_alpha=la,
-                )
-            else:
-                from echr_tpu.engine.steps import beam_decode_step_batched
-
-                seq_b, logprob_b = beam_decode_step_batched(
-                    cg_params, cfg, tap_feats_b, feats_b, lda_b, fm_b, props,
-                    beam_size, length_alpha=la,
-                )
+            seq_b, logprob_b = ES.beam(
+                cg_params, cfg, tap_feats_b, feats_b, lda_b, fm_b, props,
+                beam_size,
+                length_alpha=float(kw.get("beam_length_alpha",
+                                          cfg.eval.beam_length_alpha)),
+            )
             return (items, sel, nb, seq_b, logprob_b, None)
         r_dec = None
         if not greedy:
             r_dec = jax.random.fold_in(sample_base, dispatch_count[0])
             dispatch_count[0] += 1
-        if use_sm:
-            from echr_tpu.engine.steps import decode_step_batched_shard_map
-
-            seq_b, logps_b, active_b = decode_step_batched_shard_map(
-                cg_params, cfg, tap_feats_b, feats_b, lda_b, fm_b, props,
-                mesh=mesh, greedy=greedy, temperature=temperature, rng=r_dec,
-            )
-        else:
-            seq_b, logps_b, active_b = decode_step_batched(
-                cg_params, cfg, tap_feats_b, feats_b, lda_b, fm_b, props,
-                greedy=greedy, temperature=temperature, rng=r_dec,
-            )
+        seq_b, logps_b, active_b = ES.decode(
+            cg_params, cfg, tap_feats_b, feats_b, lda_b, fm_b, props,
+            greedy=greedy, temperature=temperature, rng=r_dec,
+        )
         return (items, sel, nb, seq_b, logps_b, active_b)
 
     def collect(entry):

@@ -228,6 +228,7 @@ def train_step(
 @functools.partial(
     jax.jit, static_argnames=("cfg", "phase", "mesh", "ss_prob",
                               "update_tap", "update_cg"),
+    donate_argnames=("state",),  # reuse param/optimizer buffers like train_step
 )
 def train_step_shard_map(
     state: TrainState,
@@ -700,6 +701,44 @@ def beam_decode_step_batched(
         return res.seq, res.logprob
 
     return jax.vmap(one)(tap_feats, feats, lda, frame_mask, props)
+
+
+class EvalSteps(NamedTuple):
+    """The batched eval step functions with mesh routing resolved — one
+    place decides auto vs shard_map so call sites can't drift (see
+    eval_steps_for)."""
+
+    encode: Any  # (tap_params, feats, cfg)
+    select_topk: Any  # (pred_props, n_frames, topN=, nb=, val_score_thres=)
+    val_loss: Any  # (tap_params, cg_params, batch, cfg, phase=)
+    decode: Any  # (cg_params, cfg, tap_feats, feats, lda, fm, props, ...)
+    beam: Any  # (cg_params, cfg, tap_feats, feats, lda, fm, props, beam_size, ...)
+    shard_mapped: bool
+
+
+def eval_steps_for(cfg: Config, mesh) -> EvalSteps:
+    """Resolve the batched eval/serving steps for (cfg, mesh).
+
+    runtime.spmd_mode="shard_map" on a dp-only mesh binds the explicit
+    per-device variants (mesh pre-applied — Pallas kernels fire at local
+    shapes); anything else returns the auto-partitioned steps with
+    identical signatures.  The single router for eval_split_batched AND
+    serve.CaptionService, so every step takes the same route."""
+    use_sm = (mesh is not None and cfg.runtime.spmd_mode == "shard_map"
+              and mesh.shape["model"] == 1)
+    if not use_sm:
+        return EvalSteps(encode_step_batched, select_topk_batched,
+                         val_loss_step_batched, decode_step_batched,
+                         beam_decode_step_batched, False)
+    bind = functools.partial(functools.partial, mesh=mesh)
+    return EvalSteps(
+        bind(encode_step_batched_shard_map),
+        bind(select_topk_batched_shard_map),
+        bind(val_loss_step_batched_shard_map),
+        bind(decode_step_batched_shard_map),
+        bind(beam_decode_step_batched_shard_map),
+        True,
+    )
 
 
 # --- explicit-SPMD (shard_map) variants of the batched eval steps -------

@@ -237,6 +237,13 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
         # programs there have local shapes.)
         cfg = cfg.replace_in("runtime", use_pallas_train=False)
         log.info("mesh training: use_pallas_train disabled (remat path)")
+    # SCST steps (rl_rollout/rl_update) are auto-partitioned jits even in
+    # shard_map mode, so the Pallas train kernel must stay out of THEM
+    # under any mesh — same replication reason as above (train_step is the
+    # only step with a shard_map variant today)
+    rl_cfg = cfg
+    if mesh is not None and cfg.runtime.use_pallas_train:
+        rl_cfg = cfg.replace_in("runtime", use_pallas_train=False)
 
     epoch, iteration, best_val_score = 0, 0, -1.0
     histories: Dict[str, Dict] = {"loss": {}, "lr": {}, "val": {}}
@@ -317,12 +324,12 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
                     continue
                 stacked, metas = res
                 state, metrics = _self_critical_step_batched(
-                    state, stacked, metas, cfg, phase, step_rng, dataset,
+                    state, stacked, metas, rl_cfg, phase, step_rng, dataset,
                     mesh=mesh, multihost=multihost,
                 )
             else:
                 state, metrics = _self_critical_step(
-                    state, batch, meta, cfg, phase, step_rng, dataset
+                    state, batch, meta, rl_cfg, phase, step_rng, dataset
                 )
         elif cfg.train.m_batch > 1:
             # accumulate summed grads over m_batch iterations, one update

@@ -99,6 +99,12 @@ def global_mesh(dp: Optional[int] = None, tp: int = 1):
             f"{n} devices; choose tp | device_count")
     if dp is None:
         dp = n // tp
+    elif dp * tp != n:
+        # same fail-fast for an explicit dp: build_mesh would silently
+        # rebuild as (n // tp, tp), discarding the requested layout
+        raise ValueError(
+            f"dp*tp = {dp}*{tp} does not cover the cluster's {n} devices; "
+            f"choose dp*tp == device_count (or omit dp)")
     return build_mesh(shape=(dp, tp))
 
 

@@ -20,11 +20,6 @@ from echr_tpu.config import Config
 from echr_tpu.data.batcher import pick_bucket
 from echr_tpu.data.labels import featstamp_to_time
 from echr_tpu.engine import proposals as P
-from echr_tpu.engine.steps import (
-    beam_decode_step_batched,
-    decode_step_batched,
-    encode_step_batched,
-)
 from echr_tpu.models.captioner import ProposalBatch
 from echr_tpu.utils.text import decode_sequence
 
@@ -65,11 +60,13 @@ class CaptionService:
         # over the mesh's data axis (chunks padded to a dp multiple).
         # runtime.spmd_mode="shard_map" (dp meshes) routes every batched
         # step through its explicit per-device variant so the Pallas
-        # decode kernel fires at local shapes (see eval_split_batched).
+        # decode kernel fires at local shapes — eval_steps_for is the one
+        # router shared with eval_split_batched.
+        from echr_tpu.engine.steps import eval_steps_for
+
         self.mesh = mesh
-        self._use_sm = (mesh is not None
-                        and cfg.runtime.spmd_mode == "shard_map"
-                        and mesh.shape["model"] == 1)
+        self._steps = eval_steps_for(cfg, mesh)
+        self._use_sm = self._steps.shard_mapped
         if mesh is not None:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec as PS
@@ -151,14 +148,8 @@ class CaptionService:
                         feats.astype(jnp.bfloat16)).astype(jnp.float32))
                 else:
                     feats_d = shard(jnp.asarray(feats))
-                if self._use_sm:
-                    from echr_tpu.engine.steps import encode_step_batched_shard_map
-
-                    tap_feats, pred_props = encode_step_batched_shard_map(
-                        self.tap_params, feats_d, cfg, self.mesh)
-                else:
-                    tap_feats, pred_props = encode_step_batched(
-                        self.tap_params, feats_d, cfg)
+                tap_feats, pred_props = self._steps.encode(
+                    self.tap_params, feats_d, cfg)
                 # the previous chunk's decode overlaps this encode + the
                 # proposal-score fetch below; collect it before selection
                 if pending is not None:
@@ -171,10 +162,7 @@ class CaptionService:
                     # top-N selection on device (== P.top_proposals, see
                     # engine.steps.select_topk_batched): fetch [B, nb]
                     # indices instead of the [B, T, K] score grid
-                    from echr_tpu.engine.steps import (
-                        select_topk_batched,
-                        unpack_topk_selection,
-                    )
+                    from echr_tpu.engine.steps import unpack_topk_selection
 
                     K = cfg.tap.K
                     # bucket ceiling so threshold ties are kept exactly
@@ -182,18 +170,9 @@ class CaptionService:
                     nb_sel = PROP_BUCKETS[-1]
                     nfr = np.array([int(fmask[i].sum()) for i in range(Bp)],
                                    np.int32)
-                    if self._use_sm:
-                        from echr_tpu.engine.steps import (
-                            select_topk_batched_shard_map,
-                        )
-
-                        idx_b, cnt_b, conf_b = select_topk_batched_shard_map(
-                            pred_props, shard(jnp.asarray(nfr)),
-                            topN=self.topN, nb=nb_sel, mesh=self.mesh)
-                    else:
-                        idx_b, cnt_b, conf_b = select_topk_batched(
-                            pred_props, jnp.asarray(nfr), topN=self.topN,
-                            nb=nb_sel)
+                    idx_b, cnt_b, conf_b = self._steps.select_topk(
+                        pred_props, shard(jnp.asarray(nfr)),
+                        topN=self.topN, nb=nb_sel)
                     idx_np, cnt_np, conf_np = (
                         np.asarray(idx_b), np.asarray(cnt_b), np.asarray(conf_b))
                     for i, r in enumerate(chunk):
@@ -230,38 +209,17 @@ class CaptionService:
                 lda_d, fm_d = shard(jnp.asarray(lda)), shard(jnp.asarray(fmask))
 
                 if self.beam_size > 1:
-                    if self._use_sm:
-                        from echr_tpu.engine.steps import (
-                            beam_decode_step_batched_shard_map,
-                        )
-
-                        seq, logp = beam_decode_step_batched_shard_map(
-                            self.cg_params, cfg, tap_feats, feats_d, lda_d,
-                            fm_d, props, self.beam_size, mesh=self.mesh,
-                            length_alpha=float(cfg.eval.beam_length_alpha),
-                        )
-                    else:
-                        seq, logp = beam_decode_step_batched(
-                            self.cg_params, cfg, tap_feats, feats_d, lda_d,
-                            fm_d, props, self.beam_size,
-                            length_alpha=float(cfg.eval.beam_length_alpha),
-                        )
+                    seq, logp = self._steps.beam(
+                        self.cg_params, cfg, tap_feats, feats_d, lda_d, fm_d,
+                        props, self.beam_size,
+                        length_alpha=float(cfg.eval.beam_length_alpha),
+                    )
                     pending = (chunk, sels, nb, seq, logp, True)
                 else:
-                    if self._use_sm:
-                        from echr_tpu.engine.steps import (
-                            decode_step_batched_shard_map,
-                        )
-
-                        seq, logps, active = decode_step_batched_shard_map(
-                            self.cg_params, cfg, tap_feats, feats_d, lda_d,
-                            fm_d, props, mesh=self.mesh,
-                        )
-                    else:
-                        seq, logps, active = decode_step_batched(
-                            self.cg_params, cfg, tap_feats, feats_d, lda_d,
-                            fm_d, props
-                        )
+                    seq, logps, active = self._steps.decode(
+                        self.cg_params, cfg, tap_feats, feats_d, lda_d, fm_d,
+                        props
+                    )
                     pending = (chunk, sels, nb, seq, logps, False)
         if pending is not None:
             collect(pending)

@@ -185,3 +185,45 @@ def test_self_critical_batched_mesh(tmp_path):
     res = subprocess.run([sys.executable, "-c", script], env=env,
                          capture_output=True, text=True, timeout=420)
     assert "RL_MESH_OK 2" in res.stdout, res.stdout + res.stderr
+
+
+def test_self_critical_shard_map_mode(tmp_path):
+    """SCST under spmd_mode='shard_map': the train steps take the
+    shard_map route (Pallas train kernel kept) while the auto-partitioned
+    rl rollout/update jits get the remat cfg (use_pallas_train stripped —
+    GSPMD would replicate the opaque pallas_call).  Subprocess for the
+    usual SPMD-compile reason."""
+    import os
+    import subprocess
+    import sys
+
+    from test_train_e2e import tiny_cfg
+
+    cfg = tiny_cfg(tmp_path, **{"train.self_critical_after": 0,
+                                "train.batch_size": 8})
+    # build_mesh spans all 8 virtual devices; batch_size must match the
+    # data axis.  One 8-row collated batch per ~epoch of the 8-video
+    # synthetic set -> give the curriculum room for 2 RL iterations
+    cfg = cfg.replace_in("train", cg_epochs=6)
+    cfg = cfg.replace_in("runtime", mesh_shape=(8, 1), spmd_mode="shard_map")
+    cfg_path = tmp_path / "rl_sm_cfg.json"
+    cfg_path.write_text(cfg.to_json())
+
+    script = (
+        "import sys;"
+        f"sys.path.insert(0, {repr(os.getcwd())});"
+        "from echr_tpu.config import Config;"
+        "from echr_tpu.engine.train import train;"
+        f"cfg = Config.from_json(open({repr(str(cfg_path))}).read());"
+        "out = train(cfg, max_iterations=2);"
+        "print('RL_SM_OK', out['iteration'])"
+    )
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "PALLAS_AXON_POOL_IPS": "",
+    })
+    res = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=420)
+    assert "RL_SM_OK 2" in res.stdout, res.stdout + res.stderr

@@ -53,6 +53,18 @@ def test_global_mesh_rejects_nondividing_tp():
         global_mesh(tp=3)
 
 
+def test_global_mesh_rejects_partial_dp():
+    """An explicit dp with dp*tp != device_count must also fail fast —
+    build_mesh would otherwise silently rebuild as (n//tp, tp), discarding
+    the requested data-parallel degree (review r3, fourth session)."""
+    from echr_tpu.parallel.distributed import global_mesh
+
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 devices")
+    with pytest.raises(ValueError, match="dp\\*tp"):
+        global_mesh(dp=jax.device_count() // 2 - 1, tp=2)
+
+
 def test_global_mesh_honors_tp():
     from echr_tpu.parallel.distributed import global_mesh
 
