@@ -290,7 +290,20 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
     acc_grads = None  # m_batch gradient accumulation
     collator = _BucketCollator(cfg.train.batch_size) if cfg.train.batch_size > 1 else None
 
+    # preemption-safe training (net-new; SURVEY §5.3 — the reference dies
+    # mid-step and relies on a manual --start_from restart): SIGTERM (what
+    # TPU pools / cluster schedulers send before reclaiming a VM) sets a
+    # flag, the loop breaks at the next iteration boundary, and the normal
+    # loop-exit path below writes a resumable model-last.ckpt.  Multi-host:
+    # schedulers preempt every worker, so each process breaks on its own
+    # signal and the collective _localize at loop exit still runs on all.
+    _preempt = _install_preemption_handler()
+
     while epoch < len(curriculum):
+        if _preempt["hit"]:
+            log.warning("preemption: stopping before iter %d; "
+                        "resume with --start_from", iteration + 1)
+            break
         phase = curriculum[min(iteration, len(curriculum) - 1)] if iter_indexed \
             else curriculum[epoch]
         new_lr = current_lr(cfg, epoch)
@@ -464,7 +477,12 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
 
         if max_iterations and iteration >= max_iterations:
             break
+        if _preempt["hit"]:
+            log.warning("preemption: checkpointing at iter %d and exiting; "
+                        "resume with --start_from", iteration)
+            break
 
+    _restore_preemption_handler(_preempt)
     # tp-sharded leaves need the collective resharding on every process;
     # replicated (dp-only) leaves are host-addressable as-is
     final_state = (_localize(state, mesh)
@@ -720,6 +738,36 @@ def _run_eval(state: TrainState, loader: Loader, cfg: Config, save_folder: str,
              iteration, current, f1, mean_scores, gt_means,
              np.round(val_loss, 4).tolist())
     return current, scores
+
+
+def _install_preemption_handler() -> Dict:
+    """Route SIGTERM to a flag the train loop polls at iteration
+    boundaries (graceful preemption, SURVEY §5.3 net-new).  Returns a box
+    {"hit": bool, "prev": handler}; no-op off the main thread (signal
+    handlers are main-thread-only — e.g. train() under a test harness
+    thread), where "prev" stays None and the flag can simply never fire."""
+    import signal
+
+    box: Dict = {"hit": False, "prev": None}
+
+    def handler(signum, frame):
+        box["hit"] = True
+        log.warning("SIGTERM received: will checkpoint at the next "
+                    "iteration boundary and exit cleanly")
+
+    try:
+        box["prev"] = signal.signal(signal.SIGTERM, handler)
+        box["installed"] = True
+    except ValueError:  # not the main thread
+        box["installed"] = False
+    return box
+
+
+def _restore_preemption_handler(box: Dict) -> None:
+    if box.get("installed"):
+        import signal
+
+        signal.signal(signal.SIGTERM, box["prev"] or signal.SIG_DFL)
 
 
 def _save(state, cfg, save_folder, iteration, epoch, best_val_score, loader,
