@@ -636,7 +636,13 @@ def main():
         log(f"train throughput bench failed: {e}")
         train_stats = None
     try:
-        e2e_stats = bench_e2e_eval(cfg, tap_params, cg_params)
+        # --fullscale: the REAL ActivityNet val-split size (4,917 val
+        # videos out of 19,668) instead of the default 96-video split —
+        # ~6 min incl. warmup; see BENCH_NOTES "Full ActivityNet-scale
+        # eval sweep".  Not used by the driver (one-line contract kept).
+        n_e2e = 19668 if "--fullscale" in sys.argv else 384
+        e2e_stats = bench_e2e_eval(cfg, tap_params, cg_params,
+                                   num_videos=n_e2e)
     except Exception as e:
         log(f"e2e eval bench failed: {e}")
         e2e_stats = None

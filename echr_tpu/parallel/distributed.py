@@ -46,6 +46,34 @@ def initialize(
         jax.process_index(), jax.process_count(),
         jax.local_device_count(), jax.device_count(),
     )
+    _collective_warmup()
+
+
+def _collective_warmup(attempts: int = 3) -> None:
+    """Initialise the cross-host collective context EARLY with a trivial
+    barrier, retried.  XLA:CPU's Gloo context init has a hard 30 s
+    rendezvous deadline; without this, the first REAL collective lands
+    after minutes of compile work whose duration can skew between
+    processes (persistent-cache hits vs fresh compiles, host load), and a
+    >30 s skew kills the run.  At process start the skew is milliseconds.
+    CPU-only: TPU collectives ride ICI with the coordination service's
+    long barriers and need no warmup."""
+    import time as _time
+
+    if jax.process_count() <= 1 or jax.default_backend() != "cpu":
+        return
+    from jax.experimental import multihost_utils
+
+    for attempt in range(attempts):
+        try:
+            multihost_utils.sync_global_devices(f"echr_gloo_warmup_{attempt}")
+            return
+        except Exception:  # Gloo rendezvous deadline — peer slow; retry
+            if attempt == attempts - 1:
+                raise
+            log.warning("collective warmup attempt %d timed out; retrying",
+                        attempt)
+            _time.sleep(5)
 
 
 def maybe_initialize_from_env() -> bool:
@@ -82,6 +110,7 @@ def maybe_initialize_from_env() -> bool:
             "distributed autodetect: process %d/%d, %d global devices",
             jax.process_index(), jax.process_count(), jax.device_count(),
         )
+        _collective_warmup()
         return True
     return False
 
