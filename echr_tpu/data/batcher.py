@@ -142,7 +142,8 @@ def _sota_select(fs_scores_ts, K: int, rng, cg_select_fn):
 
 
 def _make_batch_nolabels(
-    ex, cfg, sota_rng, feats, frame_mask, featstamps, T_use, T_pad, sota_fn
+    ex, cfg, sota_rng, feats, frame_mask, featstamps, grid_featstamps,
+    T_use, T_pad, dur_use, sota_fn,
 ):
     """Decode-only batch: geometry + an exact proposal_num, no label grids."""
     tapc = cfg.tap
@@ -150,7 +151,7 @@ def _make_batch_nolabels(
     tap_masks = np.zeros((T_pad, K), np.float32)
     tap_masks[:T_use] = L.anchor_mask(T_use, K)
     proposal_num = L.good_proposal_count(
-        featstamps, T_use, K, tapc.iou_threshold_for_good_proposal
+        grid_featstamps, T_use, K, tapc.iou_threshold_for_good_proposal
     )
     Lw = ex.cap_labels.shape[1]
     zi = np.zeros((N,), np.int32)
@@ -173,11 +174,11 @@ def _make_batch_nolabels(
     sota_kw = {}
     if sota_fn is not None:
         sota_kw = _sota_select(
-            sota_fn(T_use), K, sota_rng, cg_select_fn=lambda f: 0
+            sota_fn(T_use, dur_use), K, sota_rng, cg_select_fn=lambda f: 0
         )
     meta = BatchMeta(
         vid=ex.vid,
-        duration=ex.duration,
+        duration=dur_use,
         timestamps=ex.timestamps,
         sentences=ex.sentences,
         gt_featstamps=featstamps,
@@ -214,13 +215,31 @@ def make_batch(
     T_real = int(ex.feats.shape[0])
     T_pad = pick_bucket(T_real, cfg.data.time_buckets)
     T_use = min(T_real, T_pad)  # over-long videos are truncated to max bucket
+    # Truncation keeps the REAL frame-grid time scale: feats[:T_use] are the
+    # FIRST T_use frames, covering only duration*T_use/T_real seconds — so
+    # label geometry and every featstamp<->time conversion downstream
+    # (meta.duration) use that effective duration.  Squashing the full
+    # timeline onto the prefix would misalign labels with feature content
+    # and stretch predicted timestamps by T_real/T_use (review r3 fourth
+    # session).  No-op for T_real <= max bucket.
+    dur_use = ex.duration * (T_use / T_real) if T_use < T_real else ex.duration
 
     feats = np.zeros((T_pad, ex.feats.shape[1]), np.float32)
     feats[:T_use] = ex.feats[:T_use]
     frame_mask = np.zeros((T_pad,), np.float32)
     frame_mask[:T_use] = 1.0
 
-    featstamps = [L.timestamp_to_featstamp(t, T_use, ex.duration) for t in ex.timestamps]
+    # clamped stamps (indices always valid — used for gt selection lists);
+    # events fully past the truncation point additionally get an impossible
+    # GRID stamp: zero IoU with every anchor, so they are never
+    # argmax-matched and never counted as good proposals
+    featstamps = [L.timestamp_to_featstamp(t, T_use, dur_use) for t in ex.timestamps]
+    grid_featstamps = featstamps
+    if T_use < T_real:
+        grid_featstamps = [
+            (T_use + 1, T_use + 2) if t[0] >= dur_use else f
+            for f, t in zip(featstamps, ex.timestamps)
+        ]
     # Dedicated substream for the SOTA long-window random crop, drawn at a
     # FIXED position (before the labels/nolabels fork) so both paths produce
     # identical crops — this is what lets SOTA_TEP ride the decode-only fast
@@ -231,9 +250,10 @@ def make_batch(
         sota_rng = np.random.RandomState(rng.randint(0, 2**31 - 1))
     if not labels:
         return _make_batch_nolabels(
-            ex, cfg, sota_rng, feats, frame_mask, featstamps, T_use, T_pad, sota_fn
+            ex, cfg, sota_rng, feats, frame_mask, featstamps, grid_featstamps,
+            T_use, T_pad, dur_use, sota_fn,
         )
-    iou_scores, gts_index_f, tap_masks_r = L.iou_grid(featstamps, T_use, K)
+    iou_scores, gts_index_f, tap_masks_r = L.iou_grid(grid_featstamps, T_use, K)
     gts_index = gts_index_f.astype(np.int64)
 
     tap_labels = np.zeros((T_pad, K), np.float32)
@@ -300,13 +320,13 @@ def make_batch(
     sota_kw = {}
     if sota_fn is not None:
         sota_kw = _sota_select(
-            sota_fn(T_use), K, sota_rng,
+            sota_fn(T_use, dur_use), K, sota_rng,
             cg_select_fn=lambda f: int(tap_gts_for_good[f[1], f[1] - f[0] - 1]),
         )
 
     meta = BatchMeta(
         vid=ex.vid,
-        duration=ex.duration,
+        duration=dur_use,
         timestamps=ex.timestamps,
         sentences=ex.sentences,
         gt_featstamps=featstamps,

@@ -218,6 +218,23 @@ class SyntheticDataset(BaseDataset):
         }
         self._synthetic_sota = cfg.data.SOTA_json == "synthetic"
 
+    def _geometry(self, ix: int):
+        """The event-geometry prefix of get_example's rng stream: (rng, T,
+        duration, n_events, timestamps).  Shared by get_example and
+        get_sota so the draw sequences stay bit-identical without
+        synthesizing the [T, D] feature matrix when only timestamps are
+        needed (get_sota runs on the prefetch hot path)."""
+        rng = np.random.RandomState(self.seed * 100003 + ix)
+        T = int(rng.randint(40, 220))
+        duration = float(T * (0.5 + rng.rand()))
+        n_events = int(rng.randint(2, 7))
+        starts = np.sort(rng.rand(n_events) * duration * 0.8)
+        lengths = (0.05 + rng.rand(n_events) * 0.4) * duration
+        timestamps = [
+            (float(s), float(min(s + l, duration))) for s, l in zip(starts, lengths)
+        ]
+        return rng, T, duration, n_events, timestamps
+
     def get_sota(self, vid: str, nfeats: int, duration: float):
         """Synthetic external proposals: GT events jittered + noise windows."""
         if not self._synthetic_sota:
@@ -226,15 +243,13 @@ class SyntheticDataset(BaseDataset):
 
         ix = int(vid[-5:])
         rng = np.random.RandomState(self.seed * 7919 + ix)
-        ex_rng = np.random.RandomState(self.seed * 100003 + ix)
-        T = int(ex_rng.randint(40, 220))  # reproduce get_example's draws
+        _, _, ex_duration, _, ex_timestamps = self._geometry(ix)
         timestamps = []
         scores = []
-        ex = self.get_example(ix)
-        for s, e in ex.timestamps:
+        for s, e in ex_timestamps:
             for _ in range(3):
                 j = (rng.rand(2) - 0.5) * 0.2 * (e - s)
-                ts = [max(0.0, s + j[0]), min(ex.duration, max(s + j[0] + 0.5, e + j[1]))]
+                ts = [max(0.0, s + j[0]), min(ex_duration, max(s + j[0] + 0.5, e + j[1]))]
                 timestamps.append(ts)
                 scores.append(float(rng.rand()))
         featstamps = [timestamp_to_featstamp(t, nfeats, duration) for t in timestamps]
@@ -245,16 +260,8 @@ class SyntheticDataset(BaseDataset):
 
     def get_example(self, ix: int) -> VideoExample:
         cfg = self.cfg
-        rng = np.random.RandomState(self.seed * 100003 + ix)
-        T = int(rng.randint(40, 220))
+        rng, T, duration, n_events, timestamps = self._geometry(ix)
         D = cfg.tap.video_dim
-        duration = float(T * (0.5 + rng.rand()))
-        n_events = int(rng.randint(2, 7))
-        starts = np.sort(rng.rand(n_events) * duration * 0.8)
-        lengths = (0.05 + rng.rand(n_events) * 0.4) * duration
-        timestamps = [
-            (float(s), float(min(s + l, duration))) for s, l in zip(starts, lengths)
-        ]
         # features: noise + per-event bias patterns so TAP has signal
         feats = rng.randn(T, D).astype(np.float32) * 0.5
         pattern_ids = rng.randint(0, 16, size=n_events)
@@ -278,7 +285,8 @@ class SyntheticDataset(BaseDataset):
                 words = rng.randint(1, self._vocab + 1, size=ln)
             cap[i, 1 : 1 + ln] = words  # col 0 stays 0 (BOS)
             sentences.append(" ".join(f"w{w}" for w in words))
-        split = "train" if ix in set(self.split_ix["train"]) else "val"
+        # train indices are exactly range(n_train) — no per-call set build
+        split = "train" if ix < len(self.split_ix["train"]) else "val"
         return VideoExample(
             vid=f"v_synth{ix:05d}",
             feats=feats,

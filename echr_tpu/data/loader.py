@@ -25,6 +25,20 @@ from echr_tpu.data.batcher import BatchMeta, VideoBatch, make_batch
 from echr_tpu.data.dataset import BaseDataset
 
 
+def _derived_seed(base: int, split: str, epoch: int, pos: int) -> int:
+    """Deterministic per-item seed from (base_seed, split, epoch, position).
+
+    Replaces draws from a shared RandomState stream: a stream's draw order
+    depended on producer run-ahead and on WHEN other splits' fetchers ran
+    (an in-training eval advanced the stream, changing every later train
+    sample), so runs differed with eval cadence and resume could not
+    reproduce a sample.  Derived seeds are independent of all of that and
+    identical on every process of a replicated multi-host pipeline."""
+    import zlib
+
+    return zlib.crc32(f"{base}:{split}:{epoch}:{pos}".encode()) & 0x7FFFFFFF
+
+
 def _process_info():
     """(process_index, process_count) from an already-initialised jax
     runtime; (0, 1) when jax is absent or single-process."""
@@ -50,7 +64,8 @@ class Loader:
         self.dataset = dataset
         self.cfg = cfg
         self.prefetch = max(1, prefetch)
-        self.rng = np.random.RandomState(seed)
+        self.base_seed = int(seed)  # per-item seeds derive from this
+        self.rng = np.random.RandomState(seed)  # direct _make() fallback only
         # multi-host data sharding (net-new vs the reference, SURVEY §5.8):
         # each process iterates a strided shard of the split so data-parallel
         # rows across hosts see disjoint videos.  Defaults resolve from the
@@ -78,42 +93,60 @@ class Loader:
             )
             for s, ix in dataset.split_ix.items()
         }
-        self._shuffle_if_needed("train", initial=True)
-        # consumer-side state (what checkpoints must capture)
-        self._consumed: Dict[str, Tuple[int, List[int]]] = {}
+        # per-split epoch counters (seed derivation + checkpoint state)
+        self.epochs: Dict[str, int] = {s: 0 for s in dataset.split_ix}
+        self._shuffle_if_needed("train", epoch=0)
+        # consumer-side state (what checkpoints must capture):
+        # split -> (next position, epoch order, epoch counter)
+        self._consumed: Dict[str, Tuple[int, List[int], int]] = {}
         self._fetchers: Dict[str, "_Prefetcher"] = {}
 
     # -- iterator state (checkpointable, reference: train.py:477,493) --------
 
     def state(self) -> Dict:
         """Consumer-side positions: resuming replays exactly the items the
-        training loop had not yet consumed."""
+        training loop had not yet consumed, with the exact per-item seeds
+        (base_seed + epoch counters are part of the state).  At an epoch
+        boundary the cursor carries the NEXT epoch's shuffled order, so a
+        resumed run continues with the same fresh permutation a
+        non-resumed run would have used."""
         iterators = dict(self.iterators)
         orders = {k: list(v) for k, v in self.split_order.items()}
-        for split, (pos, order) in self._consumed.items():
+        epochs = dict(self.epochs)
+        for split, (pos, order, epoch) in self._consumed.items():
             iterators[split] = pos
             orders[split] = list(order)
-        return {"iterators": iterators, "split_order": orders}
+            epochs[split] = epoch
+        return {"iterators": iterators, "split_order": orders,
+                "epochs": epochs, "base_seed": self.base_seed}
 
     def load_state(self, st: Dict) -> None:
+        # stop (and JOIN) fetchers BEFORE mutating producer state: a racing
+        # worker could otherwise advance the just-restored cursor
+        self._restart_fetchers()
         self.iterators.update(st.get("iterators", {}))
         for k, v in st.get("split_order", {}).items():
             self.split_order[k] = list(v)
+        self.epochs.update(st.get("epochs", {}))
+        self.base_seed = int(st.get("base_seed", self.base_seed))
         self._consumed.clear()
-        self._restart_fetchers()
 
     # ------------------------------------------------------------------
 
-    def _shuffle_if_needed(self, split: str, initial: bool = False) -> None:
+    def _shuffle_if_needed(self, split: str, epoch: int) -> None:
         if split == "train" and self.cfg.data.shuffle:
-            self.rng.shuffle(self.split_order[split])
+            np.random.RandomState(
+                _derived_seed(self.base_seed, split + "/order", epoch, 0)
+            ).shuffle(self.split_order[split])
 
     def reset_iterator(self, split: str) -> None:
-        self.iterators[split] = 0
-        self._consumed.pop(split, None)
+        # stop+join first (see load_state), then reset
         if split in self._fetchers:
             self._fetchers[split].stop()
             del self._fetchers[split]
+        self.iterators[split] = 0
+        self.epochs[split] = 0
+        self._consumed.pop(split, None)
 
     def _restart_fetchers(self) -> None:
         for f in self._fetchers.values():
@@ -139,7 +172,11 @@ class Loader:
         if getattr(self.dataset, "sota_proposals", None) or getattr(
             self.dataset, "_synthetic_sota", False
         ):
-            sota_fn = lambda nfeats: self.dataset.get_sota(ex.vid, nfeats, ex.duration)  # noqa: E731
+            # duration comes back from make_batch as the EFFECTIVE duration
+            # of the retained frame prefix (== ex.duration unless the video
+            # is longer than the max time bucket)
+            sota_fn = lambda nfeats, duration: self.dataset.get_sota(  # noqa: E731
+                ex.vid, nfeats, duration)
         return make_batch(ex, self.cfg, sub, w1=self.dataset.w1, sota_fn=sota_fn,
                           labels=labels)
 
@@ -155,9 +192,11 @@ class Loader:
         if split not in self._fetchers:
             n_threads = max(1, int(getattr(self.cfg.data, "nthreads", 1)))
             self._fetchers[split] = _Prefetcher(self, split, self.prefetch, n_threads)
-        batch, meta, pos, order = self._fetchers[split].get()
-        # consumer cursor: next position to replay on resume
-        self._consumed[split] = (0 if meta.wrapped else pos + 1, order)
+        batch, meta, resume = self._fetchers[split].get()
+        # consumer cursor: (next position, order, epoch) to replay on
+        # resume — at a wrap this is the NEXT epoch's freshly shuffled
+        # order, not the completed epoch's permutation
+        self._consumed[split] = resume
         return batch, meta
 
     def find_video(self, vid: str, split: str = "train", max_iters: int = None):
@@ -199,25 +238,32 @@ class _Prefetcher:
             t.start()
 
     def _next_position(self):
-        """Assign the next (seq, pos, order, ix, wrapped) under the lock and
-        advance the loader's producer cursor (wrap -> reshuffle)."""
+        """Assign the next (seq, pos, order, ix, wrapped, seed, resume)
+        under the lock and advance the loader's producer cursor (wrap ->
+        epoch counter + reshuffle).  `seed` is derived from
+        (base_seed, split, epoch, pos) — see _derived_seed; `resume` is
+        the consumer-cursor tuple for checkpoint state."""
         ld = self.loader
         with self._lock:
             pos = ld.iterators[self.split]
             order = ld.split_order[self.split]
+            epoch = ld.epochs[self.split]
             ix = order[pos]
             wrapped = pos + 1 >= len(order)
             seq = self._seq
             self._seq += 1
-            seed = ld.rng.randint(0, 2**31 - 1)  # epoch-order-deterministic
+            seed = _derived_seed(ld.base_seed, self.split, epoch, pos)
             if wrapped:
                 ld.iterators[self.split] = 0
+                ld.epochs[self.split] = epoch + 1
                 # reshuffle produces a NEW list; in-flight items keep theirs
                 ld.split_order[self.split] = list(order)
-                ld._shuffle_if_needed(self.split)
+                ld._shuffle_if_needed(self.split, epoch + 1)
+                resume = (0, ld.split_order[self.split], epoch + 1)
             else:
                 ld.iterators[self.split] = pos + 1
-            return seq, pos, order, ix, wrapped, seed
+                resume = (pos + 1, order, epoch)
+            return seq, pos, order, ix, wrapped, seed, resume
 
     def _run(self) -> None:
         ld = self.loader
@@ -231,11 +277,11 @@ class _Prefetcher:
                     self._buf_cv.wait(timeout=0.25)
             if self._stop.is_set():
                 return
-            seq, pos, order, ix, wrapped, seed = self._next_position()
+            seq, pos, order, ix, wrapped, seed, resume = self._next_position()
             batch, meta = ld._make(ix, seed, labels=ld.labels_for(self.split))
             meta.wrapped = wrapped
             with self._buf_cv:
-                self._buf[seq] = (batch, meta, pos, order)
+                self._buf[seq] = (batch, meta, resume)
                 self._buf_cv.notify_all()
             # drain the reorder buffer head into the consumer queue
             while not self._stop.is_set():
@@ -263,11 +309,22 @@ class _Prefetcher:
                 continue
 
     def stop(self) -> None:
+        """Stop AND JOIN the workers: callers mutate loader producer state
+        right after stop(), and an unjoined worker mid-_next_position
+        could advance a freshly reset cursor or reshuffle a just-restored
+        order (review r3 fourth session)."""
         self._stop.set()
         with self._buf_cv:
             self._buf_cv.notify_all()
         try:
             while True:
-                self.q.get_nowait()
+                self.q.get_nowait()  # unblock producers stuck on a full q
+        except queue.Empty:
+            pass
+        for t in self.threads:
+            t.join(timeout=10.0)
+        try:
+            while True:
+                self.q.get_nowait()  # drop anything pushed while exiting
         except queue.Empty:
             pass

@@ -248,8 +248,8 @@ _FUNCTION_WORDS = frozenset(
     within without along around past toward towards is am are was were be
     been being do does did doing have has had having will would shall
     should may might must can could not n't there here also just only
-    very too quite rather now ever never always often again once's let us
-    it's 's 'd 'll 'm 're 've""".split()
+    very too quite rather now ever never always often again let
+    's 'd 'll 'm 're 've""".split()
 )
 
 

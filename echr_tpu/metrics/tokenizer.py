@@ -20,7 +20,13 @@ behavior on caption text:
   ptb3Escaping writes the last as `and\\/or`; we keep it unescaped, a
   bijective renaming applied to candidates and references alike, so every
   n-gram metric is unchanged);
-- drop the punctuation token list coco-caption filters after tokenizing.
+- symbol tokens the jar emits AND the filter keeps survive as their own
+  tokens: `$ % & + = # @ * /` ("100% of the $5 weights" ->
+  `100 % of the $ 5 weights`);
+- drop the punctuation token list coco-caption filters after tokenizing
+  (parentheses never surface: the jar emits them as -LRB-/-RRB-/-LCB-/
+  -RCB-, all in the filter list, so silently dropping ( ) { } here is
+  equivalent).
 
 Known residual gap vs the jar (documented, unmeasurable here without a
 JVM): rare Unicode normalizations and mid-token typography.
@@ -50,9 +56,11 @@ _ASSIMILATIONS = {
 _APOSTROPHE_WHOLE = {"o'clock", "y'all", "ma'am"}
 
 # word chars may be joined by - . , ' / when flanked by alphanumerics
-# (twenty-one, 3.5, 1,000, it's, and/or); everything else splits
+# (twenty-one, 3.5, 1,000, it's, and/or); symbol tokens the jar keeps
+# ($ % & + = # @ * and a lone /) are emitted standalone; everything else
+# splits
 _WORD_RE = re.compile(
-    r"[a-z0-9]+(?:[-.,'/][a-z0-9]+)*|\.\.\.|--|[.,?!:;`\-]|''|``|'"
+    r"[a-z0-9]+(?:[-.,'/][a-z0-9]+)*|\.\.\.|--|[$%&+=#@*/]|[.,?!:;`\-]|''|``|'"
 )
 
 # clitics peeled off the END of a word token, innermost last ("he'd've"

@@ -42,6 +42,15 @@ class Caption:
     sentence_confidence: float
 
 
+def _effective_duration(r: "CaptionRequest", T_use: int) -> float:
+    """Duration of the retained frame prefix: requests longer than the max
+    time bucket are prefix-truncated, and frame i still spans
+    duration*i/T_real seconds — mirrors make_batch's dur_use so proposal
+    timestamps stay on the real clock (review r3 fourth session)."""
+    T_real = len(r.feats)
+    return r.duration * (T_use / T_real) if T_use < T_real else r.duration
+
+
 class CaptionService:
     """Stateless-per-call batched captioner."""
 
@@ -178,7 +187,8 @@ class CaptionService:
                     for i, r in enumerate(chunk):
                         ind, soi, ts, tp = unpack_topk_selection(
                             idx_np[i], cnt_np[i], nb_sel, K, int(nfr[i]),
-                            r.duration, featstamp_to_time, conf_np[i])
+                            _effective_duration(r, int(nfr[i])),
+                            featstamp_to_time, conf_np[i])
                         sels.append((ind, soi, ts, tp))
                         max_n = max(max_n, len(ind))
                 else:
@@ -189,7 +199,8 @@ class CaptionService:
                         T = int(fmask[i].sum())
                         masks = anchor_mask(T, cfg.tap.K)
                         ind, soi, _, ts, tp = P.top_proposals_nms(
-                            pp[i][:T], masks, None, r.duration, featstamp_to_time,
+                            pp[i][:T], masks, None, _effective_duration(r, T),
+                            featstamp_to_time,
                             overlap=self.nms_threshold, topN=self.topN,
                         )
                         sels.append((ind, soi, ts, tp))

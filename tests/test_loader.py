@@ -32,12 +32,64 @@ def test_state_roundtrip_resumes_order(tmp_path):
     for _ in range(3):
         loader.get_batch("train")
     st = loader.state()
-    next_vids = [loader.get_batch("train")[1].vid for _ in range(3)]
+    nxt = [loader.get_batch("train") for _ in range(3)]
+    next_vids = [m.vid for _, m in nxt]
 
-    loader2 = Loader(ds, cfg, seed=999)  # different rng; state must win
+    loader2 = Loader(ds, cfg, seed=999)  # different seed; state must win
     loader2.load_state(st)
-    resumed = [loader2.get_batch("train")[1].vid for _ in range(3)]
-    assert resumed == next_vids
+    resumed = [loader2.get_batch("train") for _ in range(3)]
+    assert [m.vid for _, m in resumed] == next_vids
+    # EXACT sample reproduction: per-item seeds derive from the
+    # checkpointed (base_seed, split, epoch, pos), so sampled proposals
+    # match too, not just the video order
+    for (ba, _), (bb, _) in zip(nxt, resumed):
+        assert np.asarray(ba.ind_select).tolist() == np.asarray(bb.ind_select).tolist()
+        assert np.asarray(ba.soi).tolist() == np.asarray(bb.soi).tolist()
+
+
+def test_train_seeds_independent_of_eval_cadence(tmp_path):
+    """Interleaved val fetches (in-training evals) must not change the
+    train stream's sampled proposals: per-item seeds are derived from
+    (base_seed, split, epoch, pos), not drawn from a shared stream whose
+    order depended on WHEN other splits' fetchers ran (review r3 fourth
+    session)."""
+    cfg = tiny_cfg(tmp_path)
+    ds = build_dataset(cfg)
+
+    def stream(interleave_val):
+        loader = Loader(ds, cfg, seed=0)
+        items = []
+        for i in range(8):
+            if interleave_val and i % 3 == 1:
+                loader.reset_iterator("val")
+                loader.get_batch("val")
+            b, m = loader.get_batch("train")
+            items.append((m.vid, np.asarray(b.ind_select).tolist(),
+                          np.asarray(b.soi).tolist()))
+        return items
+
+    assert stream(False) == stream(True)
+
+
+def test_wrap_resume_uses_fresh_permutation(tmp_path):
+    """A checkpoint taken exactly at an epoch boundary must resume with
+    the NEXT epoch's fresh shuffle, not replay the completed epoch's
+    permutation (review r3 fourth session; reference reshuffles every
+    epoch, dataloader.py:707-708)."""
+    cfg = tiny_cfg(tmp_path)
+    ds = build_dataset(cfg)
+    ref = Loader(ds, cfg, seed=5)
+    n = ref.split_size("train")
+    epoch1 = [ref.get_batch("train")[1].vid for _ in range(n)]  # wraps at n
+    epoch2 = [ref.get_batch("train")[1].vid for _ in range(n)]
+    assert epoch1 != epoch2  # the reshuffle actually fired
+
+    other = Loader(ds, cfg, seed=5)
+    for _ in range(n):
+        other.get_batch("train")  # consume exactly one epoch (wrapped)
+    resumed = Loader(ds, cfg, seed=5)
+    resumed.load_state(other.state())
+    assert [resumed.get_batch("train")[1].vid for _ in range(n)] == epoch2
 
 
 def test_val_split_not_shuffled(tmp_path):

@@ -43,6 +43,23 @@ def test_tokenizer_stanford_clitic_splitting():
         assert tokenize_caption(inp) == want, inp
 
 
+def test_tokenizer_keeps_symbol_tokens():
+    """Symbol tokens the jar emits AND coco's punctuation filter keeps
+    ($ % & + = # @ * /) must survive as standalone tokens — deleting them
+    merges distinct captions and shifts every n-gram metric (review r3
+    fourth session)."""
+    cases = [
+        ("He lifts 100% of the $5 weights",
+         "he lifts 100 % of the $ 5 weights"),
+        ("Rock & roll at 5+ mph (roughly)", "rock & roll at 5 + mph roughly"),
+        ("score = 3 #fun @home *starred*", "score = 3 # fun @ home * starred *"),
+        # word-internal slash stays whole; a lone slash is its own token
+        ("a 50/50 split / and/or more", "a 50/50 split / and/or more"),
+    ]
+    for inp, want in cases:
+        assert tokenize_caption(inp) == want, inp
+
+
 def test_bleu_identical_is_one():
     gts = {0: ["a man is running fast"], 1: ["the dog jumps over a log"]}
     res = {0: ["a man is running fast"], 1: ["the dog jumps over a log"]}

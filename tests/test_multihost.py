@@ -28,7 +28,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_data_parallel_step():
+def _launch_worker_pair():
     port = _free_port()
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -53,6 +53,26 @@ def test_two_process_data_parallel_step():
         # full-suite contention
         out, _ = p.communicate(timeout=1800)
         outs.append(out)
+    return procs, outs
+
+
+def test_two_process_data_parallel_step():
+    for attempt in range(2):
+        procs, outs = _launch_worker_pair()
+        if all(p.returncode == 0 for p in procs):
+            break
+        # XLA:CPU's Gloo communicator init has a HARDCODED 30 s rendezvous
+        # deadline (no jax/XLA knob), and every executable makes its own
+        # communicator — under full-suite host contention one worker's
+        # compile can lag the other past the deadline.  That is a test-
+        # environment flake, not a semantics failure: retry once, and only
+        # for this exact signature.
+        gloo_flake = attempt == 0 and any(
+            "Gloo context initialization failed" in out and "DEADLINE_EXCEEDED" in out
+            for out in outs
+        )
+        if not gloo_flake:
+            break
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
 
