@@ -255,7 +255,10 @@ def _step_all_img(p, cfg, xt, ctxs, pre_att, state, train, rng):
     d = cfg.decoder
     pooled = None
     if "C" in cfg.context.CG_input_feats_type:
-        pooled = window_mean_padded(ctxs.clip_feats, ctxs_soi(ctxs), ctxs.prop_mask)
+        pooled = (pre_att or {}).get("allimg_pooled")
+        if pooled is None:  # direct step calls without the precompute
+            pooled = window_mean_padded(
+                ctxs.clip_feats, ctxs_soi(ctxs), ctxs.prop_mask)
     input_feats = _gather_input_feats(cfg, ctxs, pooled, xt.shape[0])
     x = xt if input_feats is None else jnp.concatenate([xt, input_feats], 1)
     hs, cs = [], []
@@ -582,6 +585,13 @@ def precompute_attention(params, cfg: Config, ctxs: Contexts, fuse_inputs: bool 
         pre["att"] = additive_attention_precompute(att_p, ctxs.clip_feats)
     if fuse_inputs and cfg.decoder.caption_model == "three_stream":
         pre["ts"] = _precompute_three_stream(params["core"], cfg, ctxs)
+    if (cfg.decoder.caption_model == "all_img" and ctxs.clip_feats is not None
+            and "C" in cfg.context.CG_input_feats_type):
+        # all_img's per-step clip input is its loop-invariant padded-window
+        # mean — hoist it like the attention precompute instead of redoing
+        # the [N,T]x[T,D] pooling inside every scan step
+        pre["allimg_pooled"] = window_mean_padded(
+            ctxs.clip_feats, ctxs_soi(ctxs), ctxs.prop_mask)
     return pre or None
 
 
@@ -617,14 +627,14 @@ def decoder_forward(
     V = cfg.decoder.CG_vocab_size
 
     use_ss = train and ss_prob > 0.0 and rng is not None
-    step_rngs = jax.random.split(rng, steps) if rng is not None else None
+    has_rng = rng is not None
 
     def body(carry, inp):
         state, prev_logprobs = carry
         i, it_gt = inp
         it = it_gt
         r = None
-        if step_rngs is not None:
+        if has_rng:
             r = jax.random.fold_in(rng, i)
         if use_ss:
             r_ss, r = jax.random.split(r)
@@ -749,6 +759,11 @@ def decoder_sample(
     of masked-out compute.  Outputs are identical to the fixed-length scan
     (unexecuted steps hold the same zeros the post-scan active mask writes).
     """
+    if not greedy and forced_tokens is None and rng is None:
+        raise ValueError(
+            "decoder_sample(greedy=False) needs an rng for the categorical "
+            "draws (the reference's sample_max=0 path, OldModel.sample "
+            ":157-167)")
     N = ctxs.prop_mask.shape[0]
     L = cfg.decoder.CG_seq_length
     pre_att = precompute_attention(params, cfg, ctxs)

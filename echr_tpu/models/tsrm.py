@@ -63,7 +63,11 @@ def position_matrix(soi: Array) -> Array:
     s = soi[:, 0].astype(jnp.float32)
     e = soi[:, 1].astype(jnp.float32)
     center = 0.5 * (s + e)
-    length = e - s
+    # real proposals always have length >= 1 (anchors are (t-k-1, t]), so
+    # the clamp only fires on degenerate padding rows — without it a
+    # zero-length row makes 1/0 and log(0) whose NaN poisons pair_pos_fc
+    # gradients through tanh even though the forward output is masked
+    length = jnp.maximum(e - s, 1.0)
     delta_center = (center[:, None] - center[None, :]) / length[:, None]
     delta_center = jnp.maximum(jnp.abs(delta_center), 1e-3)
     delta_length = jnp.log(length[None, :] / length[:, None])

@@ -5,7 +5,6 @@ from echr_tpu.ops.core import (  # noqa: F401
     uniform_init,
 )
 from echr_tpu.ops.masked import (  # noqa: F401
-    masked_log_softmax,
     masked_mean,
     masked_softmax,
     segment_mean,

@@ -190,7 +190,12 @@ def additive_attention_step(
     if use_pallas and fused and not remat:
         from echr_tpu.ops import pallas_attention
 
-        if pallas_attention.supported(pre_att, att_h):
+        # the fused kernel's AV matmul is hardcoded to the production bf16
+        # decode dtype (pallas_attention._fused_kernel) — an fp32 caller
+        # (parity/fidelity modes) must take the unfused path, whose matmul
+        # follows compute_dtype
+        if (pallas_attention.supported(pre_att, att_h)
+                and compute_dtype == jnp.bfloat16):
             return pallas_attention.attention_fused(
                 pre_att, att_h, p["alpha_net"], frame_mask, feats), None
     if use_pallas:

@@ -32,12 +32,6 @@ def masked_softmax(logits: Array, mask: Array, axis: int = -1) -> Array:
     return e / jnp.where(denom == 0.0, 1.0, denom)
 
 
-def masked_log_softmax(logits: Array, mask: Array, axis: int = -1) -> Array:
-    mask = mask.astype(bool)
-    masked_logits = jnp.where(mask, logits, _NEG_INF)
-    return jax.nn.log_softmax(masked_logits, axis=axis)
-
-
 def masked_mean(x: Array, mask: Array, axis: int = 0, eps: float = 0.0,
                 compute_dtype=None) -> Array:
     """Mean of x over ``axis`` counting only mask==1 rows.

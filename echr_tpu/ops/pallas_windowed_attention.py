@@ -72,7 +72,10 @@ def _kernel(starts_ref, shifts_ref, lens_ref, att_h_ref, w_ref, b_ref,
         scores = jnp.where(valid, scores, -1e30)
         m = jnp.max(scores)
         e = jnp.where(valid, jnp.exp(scores - m), 0.0)  # [Wd, 1]
-        weights = e / jnp.sum(e)
+        # zero-length windows return all-zero attention like the full-T
+        # path's masked_softmax (denom==0 guard), not NaN
+        denom = jnp.sum(e)
+        weights = e / jnp.where(denom > 0, denom, 1.0)
         att = jax.lax.dot_general(
             weights, feat_s[i], dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
