@@ -107,7 +107,12 @@ def main(argv=None) -> None:
         time.sleep(60)
 
     payload = ckpt.load_checkpoint(path)
-    cfg: Config = payload["config"]
+    cfg: Config = payload.get("config")
+    if cfg is None:
+        raise FileNotFoundError(
+            f"{path}.config.json is missing — the eval CLI rebuilds the "
+            "model from the checkpoint's config sidecar; copy it alongside "
+            "the .ckpt file")
     cfg = cfg.replace_in(
         "eval",
         topN=ns.topN,
@@ -158,9 +163,23 @@ def main(argv=None) -> None:
 
         mesh = None
         if ns.data_parallel > 1:
+            import jax
+
             from echr_tpu.parallel.mesh import build_mesh
 
-            mesh = build_mesh(shape=(ns.data_parallel, 1))
+            # host-LOCAL chips only: under a multihost cluster each process
+            # evaluates its own Loader shard, so per-host group counts
+            # differ and a global mesh cannot work (and jax.device_put
+            # cannot target non-addressable devices); slicing the device
+            # list also stops build_mesh's fallback from silently spanning
+            # every chip when N < the local count
+            local = jax.local_devices()
+            if ns.data_parallel > len(local):
+                raise ValueError(
+                    f"--data_parallel {ns.data_parallel} exceeds the "
+                    f"{len(local)} local devices")
+            mesh = build_mesh(shape=(ns.data_parallel, 1),
+                              devices=local[: ns.data_parallel])
         runner = lambda *a, **k: eval_split_batched(  # noqa: E731
             *a, batch_videos=ns.batch_videos, mesh=mesh,
             multihost=multihost, **k)

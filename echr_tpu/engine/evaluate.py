@@ -50,6 +50,71 @@ def _pad_props(ind, soi, n_bucket):
     return ProposalBatch(jnp.asarray(pi), jnp.asarray(ps), jnp.asarray(pm))
 
 
+def select_proposals(flag_eval_what, batch, meta, pp, masks, cfg, *,
+                     nms_threshold, val_score_thres, topN):
+    """Per-video host-side proposal selection for every flag_eval_what
+    mode — the ONE copy shared by eval_split and eval_split_batched
+    (reference: eval_utils.py:60-118).  `pp`/`masks` are the [n_frames, K]
+    score grid / anchor mask (only read by tap/tap_cg).  Returns
+    (ind, soi, cg_sel, timestamps, tap_prob), or None for a SOTA_TEP
+    video without external proposals (the reference's bad-video skip,
+    eval_utils.py:77-80)."""
+    if flag_eval_what == "cg":
+        n_gt = len(meta.gt_featstamps)
+        ind = [f[1] for f in meta.gt_featstamps]
+        soi = [[f[0], f[1] + 1] for f in meta.gt_featstamps]
+        return ind, soi, list(range(n_gt)), list(meta.timestamps), [1.0] * n_gt
+    if flag_eval_what == "cg_extend":
+        pm = np.asarray(batch.prop_mask) > 0
+        ind = np.asarray(batch.ind_select)[pm].tolist()
+        soi = np.asarray(batch.soi)[pm].tolist()
+        cg_sel = list(meta.cg_select[: pm.sum()])
+        timestamps = [
+            featstamp_to_time(s, e, meta.n_frames, meta.duration) for s, e in soi
+        ]
+        return ind, soi, cg_sel, timestamps, [1.0] * len(ind)
+    if flag_eval_what == "SOTA_TEP":
+        # external proposals with score threshold / NMS / topN cap
+        # (reference: eval_utils.py:76-104)
+        if meta.SOTA_scores is None:
+            return None
+        _ind, _soi = meta.SOTA_ind, meta.SOTA_soi
+        _cg, _ts, _tp = meta.SOTA_cg_select, meta.SOTA_timestamps, meta.SOTA_scores
+        if nms_threshold > 0:
+            _, _, pick = P.external_proposals_nms(
+                _ts, _tp, _tp, nms_overlap=nms_threshold, topN=1000
+            )
+            pick = set(int(p) for p in pick)
+        else:
+            pick = set(range(len(_tp)))
+        ind, soi, cg_sel, timestamps, tap_prob = [], [], [], [], []
+        for i2, p_score in enumerate(_tp):
+            if i2 not in pick:
+                continue
+            if p_score >= val_score_thres:
+                ind.append(_ind[i2])
+                soi.append(_soi[i2])
+                cg_sel.append(_cg[i2])
+                timestamps.append(_ts[i2])
+                tap_prob.append(_tp[i2])
+            if len(ind) >= topN:
+                break
+        return ind, soi, cg_sel, timestamps, tap_prob
+    if flag_eval_what in ("tap", "tap_cg"):
+        if nms_threshold:
+            return P.top_proposals_nms(
+                pp, masks, meta.gts_index, meta.duration, featstamp_to_time,
+                overlap=nms_threshold, topN=topN,
+            )
+        cg_gts = meta.gts_index * (
+            meta.iou_scores >= cfg.tap.iou_threshold_for_good_proposal)
+        return P.top_proposals(
+            pp, masks, cg_gts, meta.duration, featstamp_to_time,
+            val_score_thres=val_score_thres, topN=topN,
+        )
+    raise ValueError(f"flag_eval_what {flag_eval_what!r} not supported")
+
+
 def _prop_bucket(n: int) -> int:
     for b in PROP_BUCKETS:
         if n <= b:
@@ -118,67 +183,18 @@ def eval_split(
         pp = np.asarray(pred_props)[: meta.n_frames]
         masks = np.asarray(batch.tap_masks)[: meta.n_frames]
 
-        cg_gts = meta.gts_index * (meta.iou_scores >= cfg.tap.iou_threshold_for_good_proposal)
-
-        if flag_eval_what == "cg":
-            n_gt = len(meta.gt_featstamps)
-            ind = [f[1] for f in meta.gt_featstamps]
-            soi = [[f[0], f[1] + 1] for f in meta.gt_featstamps]
-            cg_sel = list(range(n_gt))
-            timestamps = list(meta.timestamps)
-            tap_prob = [1.0] * n_gt
-        elif flag_eval_what == "cg_extend":
-            pm = np.asarray(batch.prop_mask) > 0
-            ind = np.asarray(batch.ind_select)[pm].tolist()
-            soi = np.asarray(batch.soi)[pm].tolist()
-            cg_sel = list(meta.cg_select[: pm.sum()])
-            timestamps = [
-                featstamp_to_time(s, e, meta.n_frames, meta.duration) for s, e in soi
-            ]
-            tap_prob = [1.0] * len(ind)
-        elif flag_eval_what == "SOTA_TEP":
-            # external proposals with score threshold / NMS / topN cap
-            # (reference: eval_utils.py:76-104)
-            if meta.SOTA_scores is None:
-                log.info("bad video for SOTA_TEP, vid:%s", meta.vid)
-                bad_vid_num += 1
-                if meta.wrapped or it >= num_vids_eval:
-                    break
-                continue
-            _ind, _soi = meta.SOTA_ind, meta.SOTA_soi
-            _cg, _ts, _tp = meta.SOTA_cg_select, meta.SOTA_timestamps, meta.SOTA_scores
-            if nms_threshold > 0:
-                _, _, pick = P.external_proposals_nms(
-                    _ts, _tp, _tp, nms_overlap=nms_threshold, topN=1000
-                )
-                pick = set(int(p) for p in pick)
-            else:
-                pick = set(range(len(_tp)))
-            ind, soi, cg_sel, timestamps, tap_prob = [], [], [], [], []
-            for i2, p_score in enumerate(_tp):
-                if i2 not in pick:
-                    continue
-                if p_score >= val_score_thres:
-                    ind.append(_ind[i2])
-                    soi.append(_soi[i2])
-                    cg_sel.append(_cg[i2])
-                    timestamps.append(_ts[i2])
-                    tap_prob.append(_tp[i2])
-                if len(ind) >= topN:
-                    break
-        elif flag_eval_what in ("tap", "tap_cg"):
-            if nms_threshold:
-                ind, soi, cg_sel, timestamps, tap_prob = P.top_proposals_nms(
-                    pp, masks, meta.gts_index, meta.duration, featstamp_to_time,
-                    overlap=nms_threshold, topN=topN,
-                )
-            else:
-                ind, soi, cg_sel, timestamps, tap_prob = P.top_proposals(
-                    pp, masks, cg_gts, meta.duration, featstamp_to_time,
-                    val_score_thres=val_score_thres, topN=topN,
-                )
-        else:
-            raise ValueError(f"flag_eval_what {flag_eval_what!r} not supported")
+        sel = select_proposals(
+            flag_eval_what, batch, meta, pp, masks, cfg,
+            nms_threshold=nms_threshold, val_score_thres=val_score_thres,
+            topN=topN,
+        )
+        if sel is None:  # SOTA_TEP video without external proposals
+            log.info("bad video for SOTA_TEP, vid:%s", meta.vid)
+            bad_vid_num += 1
+            if meta.wrapped or it >= num_vids_eval:
+                break
+            continue
+        ind, soi, cg_sel, timestamps, tap_prob = sel
 
         beam_size = int(kw.get("beam_size", cfg.eval.beam_size) or 1)
         if len(ind) == 0:
@@ -437,52 +453,13 @@ def eval_split_batched(
                 continue
             pp = pp_b[i][: meta.n_frames]
             masks = np.asarray(batch.tap_masks)[: meta.n_frames]
-            cg_gts = meta.gts_index * (
-                meta.iou_scores >= cfg.tap.iou_threshold_for_good_proposal
+            # SOTA-less videos were filtered out at grouping time, so the
+            # shared helper never returns None here
+            ind, soi, _, ts, tp = select_proposals(
+                flag_eval_what, batch, meta, pp, masks, cfg,
+                nms_threshold=nms_threshold, val_score_thres=val_score_thres,
+                topN=topN,
             )
-            if flag_eval_what == "cg":
-                ind = [f[1] for f in meta.gt_featstamps]
-                soi = [[f[0], f[1] + 1] for f in meta.gt_featstamps]
-                ts = list(meta.timestamps)
-                tp = [1.0] * len(ind)
-            elif flag_eval_what == "cg_extend":
-                pm = np.asarray(batch.prop_mask) > 0
-                ind = np.asarray(batch.ind_select)[pm].tolist()
-                soi = np.asarray(batch.soi)[pm].tolist()
-                ts = [featstamp_to_time(s, e, meta.n_frames, meta.duration) for s, e in soi]
-                tp = [1.0] * len(ind)
-            elif flag_eval_what == "SOTA_TEP":
-                # external proposals (reference: eval_utils.py:76-104);
-                # SOTA-less videos were filtered out at grouping time
-                _ts, _tp = meta.SOTA_timestamps, meta.SOTA_scores
-                if nms_threshold > 0:
-                    _, _, pick = P.external_proposals_nms(
-                        _ts, _tp, _tp, nms_overlap=nms_threshold, topN=1000)
-                    pick = set(int(x) for x in pick)
-                else:
-                    pick = set(range(len(_tp)))
-                ind, soi, ts, tp = [], [], [], []
-                for i2, p_score in enumerate(_tp):
-                    if i2 not in pick:
-                        continue
-                    if p_score >= val_score_thres:
-                        ind.append(meta.SOTA_ind[i2])
-                        soi.append(meta.SOTA_soi[i2])
-                        ts.append(_ts[i2])
-                        tp.append(_tp[i2])
-                    if len(ind) >= topN:
-                        break
-            else:
-                if nms_threshold:
-                    ind, soi, _, ts, tp = P.top_proposals_nms(
-                        pp, masks, meta.gts_index, meta.duration, featstamp_to_time,
-                        overlap=nms_threshold, topN=topN,
-                    )
-                else:
-                    ind, soi, _, ts, tp = P.top_proposals(
-                        pp, masks, cg_gts, meta.duration, featstamp_to_time,
-                        val_score_thres=val_score_thres, topN=topN,
-                    )
             sel.append((ind, soi, ts, tp))
             max_n = max(max_n, len(ind))
 

@@ -379,10 +379,15 @@ def _rl_forward(tap_params, cg_params, cfg: Config, batch: VideoBatch, phase: st
                 rng: Array, forced=None, early_exit=None):
     """Train-mode rollout with deterministic rng splits.  Called twice with
     the same rng: once to sample (forced=None), once to replay the sampled
-    tokens differentiably (forced=gen_seq) — dropout masks are identical."""
+    tokens differentiably (forced=gen_seq) — dropout masks are identical.
+    Params are cast to runtime.compute_dtype like every other step, so the
+    SCST phase runs the same mixed precision as the decode path whose
+    captions it optimizes."""
     from echr_tpu.models.captioner import make_contexts
     from echr_tpu.models.decoder import decoder_sample
 
+    tap_params = _cast(tap_params, cfg)
+    cg_params = _cast(cg_params, cfg)
     r_tap, r_ctx, r_sample = jax.random.split(rng, 3)
     tap_feats, scores = sst_forward(
         tap_params, batch.feats, train=True, rng=r_tap,
@@ -413,13 +418,14 @@ def rl_rollout_step(tap_params, cg_params, batch: VideoBatch, cfg: Config,
     tap_l, _, gen_seq, gen_logps = _rl_forward(
         tap_params, cg_params, cfg, batch, phase, rng
     )
-    # greedy baseline: eval mode, no dropout
-    tap_feats_eval, _ = sst_forward(tap_params, batch.feats, train=False)
+    # greedy baseline: eval mode, no dropout (cast like the decode path)
+    tap_c, cg_c = _cast(tap_params, cfg), _cast(cg_params, cfg)
+    tap_feats_eval, _ = sst_forward(tap_c, batch.feats, train=False)
     props, _, _ = _select_props(batch, phase)
-    ctxs_eval = make_contexts({"fusion": cg_params.get("fusion")}, cfg,
+    ctxs_eval = make_contexts({"fusion": cg_c.get("fusion")}, cfg,
                               tap_feats_eval, batch.feats, batch.lda, props,
                               frame_mask=batch.frame_mask, train=False)
-    greedy_seq, _, _ = decoder_sample(cg_params["decoder"], cfg, ctxs_eval,
+    greedy_seq, _, _ = decoder_sample(cg_c["decoder"], cfg, ctxs_eval,
                                       greedy=True, train=False)
     return tap_l, gen_seq, greedy_seq
 
@@ -438,6 +444,7 @@ def rl_rollout_step_batched(tap_params, cg_params, batch: VideoBatch,
     batch = decompress_batch(batch)
     B = batch.feats.shape[0]
     rngs = jax.random.split(rng, B)
+    tap_c, cg_c = _cast(tap_params, cfg), _cast(cg_params, cfg)
 
     def one(b, r):
         # early_exit=False like every vmapped pipeline: under vmap the
@@ -446,12 +453,12 @@ def rl_rollout_step_batched(tap_params, cg_params, batch: VideoBatch,
         tap_l, _, gen_seq, _ = _rl_forward(
             tap_params, cg_params, cfg, b, phase, r, early_exit=False
         )
-        tap_feats_eval, _ = sst_forward(tap_params, b.feats, train=False)
+        tap_feats_eval, _ = sst_forward(tap_c, b.feats, train=False)
         props, _, _ = _select_props(b, phase)
-        ctxs_eval = make_contexts({"fusion": cg_params.get("fusion")}, cfg,
+        ctxs_eval = make_contexts({"fusion": cg_c.get("fusion")}, cfg,
                                   tap_feats_eval, b.feats, b.lda, props,
                                   frame_mask=b.frame_mask, train=False)
-        greedy_seq, _, _ = decoder_sample(cg_params["decoder"], cfg, ctxs_eval,
+        greedy_seq, _, _ = decoder_sample(cg_c["decoder"], cfg, ctxs_eval,
                                           greedy=True, train=False,
                                           early_exit=False)
         return tap_l, gen_seq, greedy_seq
@@ -476,11 +483,14 @@ def rl_update_step_batched(state: TrainState, batch: VideoBatch, cfg: Config,
             tap_l, _, _, logps = _rl_forward(
                 tap_params, cg_params, cfg, b, phase, r, forced=gs
             )
-            rl_l = losses.reward_loss(logps, gs, rw)
+            pm = _select_props(b, phase)[0].prop_mask
+            rl_l = losses.reward_loss(logps, gs, rw, prop_mask=pm)
+            n_real = jnp.maximum(jnp.sum(pm), 1.0)
             return {
                 "tap_loss": tap_l, "cg_loss": rl_l,
                 "total_loss": cfg.train.lambda1 * tap_l + cfg.train.lambda2 * rl_l,
-                "avg_reward": jnp.mean(rw[:, 0]),
+                # mean reward over REAL proposals (padded rows carry 0)
+                "avg_reward": jnp.sum(rw[:, 0] * pm) / n_real,
             }
 
         m = jax.vmap(one)(batch, rngs, gen_seq, reward)
@@ -517,10 +527,13 @@ def rl_update_step(state: TrainState, batch: VideoBatch, cfg: Config, phase: str
         tap_l, _, _, logps = _rl_forward(
             tap_params, cg_params, cfg, batch, phase, rng, forced=gen_seq
         )
-        rl_l = losses.reward_loss(logps, gen_seq, reward)
+        pm = _select_props(batch, phase)[0].prop_mask
+        rl_l = losses.reward_loss(logps, gen_seq, reward, prop_mask=pm)
+        n_real = jnp.maximum(jnp.sum(pm), 1.0)
         metrics = {"tap_loss": tap_l, "cg_loss": rl_l,
                    "total_loss": cfg.train.lambda1 * tap_l + cfg.train.lambda2 * rl_l,
-                   "avg_reward": jnp.mean(reward[:, 0])}
+                   # mean reward over REAL proposals (padded rows carry 0)
+                   "avg_reward": jnp.sum(reward[:, 0] * pm) / n_real}
         return _phase_loss(metrics, phase, cfg), metrics
 
     (loss, metrics), (tap_g, cg_g) = jax.value_and_grad(

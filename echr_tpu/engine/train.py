@@ -237,10 +237,11 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
         # programs there have local shapes.)
         cfg = cfg.replace_in("runtime", use_pallas_train=False)
         log.info("mesh training: use_pallas_train disabled (remat path)")
-    # SCST steps (rl_rollout/rl_update) are auto-partitioned jits even in
-    # shard_map mode, so the Pallas train kernel must stay out of THEM
-    # under any mesh — same replication reason as above (train_step is the
-    # only step with a shard_map variant today)
+    # The SCST steps (rl_rollout/rl_update) AND grad_step (m_batch
+    # accumulation, checkpoint-time histograms) are auto-partitioned jits
+    # even in shard_map mode, so the Pallas train kernel must stay out of
+    # them under any mesh — same replication reason as above (train_step
+    # is the only step with a shard_map variant today)
     rl_cfg = cfg
     if mesh is not None and cfg.runtime.use_pallas_train:
         rl_cfg = cfg.replace_in("runtime", use_pallas_train=False)
@@ -349,8 +350,10 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             # (reference: train.py:281-283,294,316-329)
             from echr_tpu.engine.steps import apply_grads, grad_step
 
+            # rl_cfg: grad_step is an auto-partitioned jit (see rl_cfg above)
             grads, metrics = grad_step(
-                state, _stack_batch(batch), step_rng, cfg, phase, ss_prob=ss_prob
+                state, _stack_batch(batch), step_rng, rl_cfg, phase,
+                ss_prob=ss_prob,
             )
             acc_grads = grads if acc_grads is None else jax.tree.map(
                 jnp.add, acc_grads, grads
@@ -434,8 +437,11 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
                 # replicated global batch: the grad program is a collective
                 # over global params, so EVERY process runs it; p0 writes
                 hist_batch = _replicate_global(hist_batch, mesh)
+            # rl_cfg, not cfg: grad_step is an auto-partitioned jit, so the
+            # Pallas train kernel must stay out of it under any mesh (same
+            # invariant as the SCST steps, see rl_cfg above)
             hist_grads, _ = grad_step(
-                state, hist_batch, step_rng, cfg, phase, ss_prob=ss_prob
+                state, hist_batch, step_rng, rl_cfg, phase, ss_prob=ss_prob
             )
             if multihost and mesh.shape["model"] > 1:
                 # collective localization (allgathers tp-sharded leaves) on
@@ -690,9 +696,13 @@ def _run_eval(state: TrainState, loader: Loader, cfg: Config, save_folder: str,
     elif cfg.eval.batch_videos > 1:
         from echr_tpu.engine.evaluate import eval_split_batched
 
+        # single-host multi-chip training: shard the gating eval's video
+        # axis over the same mesh instead of idling every chip but one
+        # (eval_split_batched replicates the params and pads groups to a
+        # dp multiple; identical outputs)
         def runner(*a, **k):
             return eval_split_batched(
-                *a, batch_videos=cfg.eval.batch_videos, **k)
+                *a, batch_videos=cfg.eval.batch_videos, mesh=mesh, **k)
     else:
         runner = eval_split
     json_path = os.path.join(save_folder, "pred_sent", f"pred_iter{iteration}.json")

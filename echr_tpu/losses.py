@@ -59,17 +59,26 @@ def language_model_loss(logprobs: Array, targets: Array, masks: Array) -> Array:
     return -jnp.sum(gathered * masks) / (jnp.sum(masks) + 1e-6)
 
 
-def reward_loss(sample_logprobs: Array, gen_seq: Array, reward: Array) -> Array:
+def reward_loss(sample_logprobs: Array, gen_seq: Array, reward: Array,
+                prop_mask: Array = None) -> Array:
     """Self-critical policy gradient
     (reference: RewardCriterion, misc/utils.py:48-59).
 
     The mask covers each generated token plus one trailing position (the
     reference prepends a column of ones to the shifted seq>0 mask).
+
+    prop_mask [N]: real-proposal mask.  The reference has no padded rows
+    (its N is the raw sampled-proposal count); our bucket-padded rows
+    decode real tokens with zero reward, so WITHOUT the mask they inflate
+    the token-count denominator and the gradient magnitude silently
+    varies with bucket fill (padding must be mathematically invisible).
     """
     m = (gen_seq > 0).astype(jnp.float32)
     mask = jnp.concatenate([jnp.ones_like(m[:, :1]), m[:, :-1]], axis=1)
+    if prop_mask is not None:
+        mask = mask * prop_mask[:, None].astype(jnp.float32)
     out = -sample_logprobs * reward * mask
-    return jnp.sum(out) / jnp.sum(mask)
+    return jnp.sum(out) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
 def clip_grads_elementwise(grads, clip_value: float):
