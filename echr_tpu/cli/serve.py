@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nms_threshold", type=float, default=0.0)
     p.add_argument("--beam_size", type=int, default=1)
     p.add_argument("--limit", type=int, default=0, help="cap #videos (0 = all)")
+    p.add_argument("--pre_normalized", action="store_true",
+                   help="features are ALREADY (f - C3D_MEAN)/sqrt(C3D_VAR) "
+                        "normalized; by default the CLI applies the same "
+                        "normalization the training/eval pipeline applies to "
+                        "raw on-disk C3D features (dataset.py, reference: "
+                        "dataloader.py:49-51)")
     return p
 
 
@@ -86,6 +92,12 @@ def main(argv=None) -> None:
         for path in files[i0 : i0 + ns.batch_videos]:
             vid = os.path.splitext(os.path.basename(path))[0]
             feats = np.load(path).astype(np.float32)
+            if not ns.pre_normalized:
+                # the model trained on normalized features; raw on-disk
+                # C3D would be mis-scaled ~1.39x (review r3 fourth session)
+                from echr_tpu.data.dataset import C3D_MEAN, C3D_VAR
+
+                feats = (feats - C3D_MEAN) / np.sqrt(C3D_VAR)
             dur = float(durations.get(vid, feats.shape[0] * ns.feature_seconds))
             requests.append(CaptionRequest(vid=vid, feats=feats, duration=dur))
         results.update(service.caption(requests))

@@ -117,10 +117,26 @@ def external_proposals_nms(
 ):
     """NMS for external (SOTA) proposals choosing the best-sentence-score
     representative of each overlap cluster (reference: gettopN_nms,
-    eval_utils.py:230-256).  Returns (props, scores, pick)."""
+    eval_utils.py:230-256).  Returns (props, scores, pick).  Dispatches to
+    the native C++ kernel when available (selection-identical,
+    tests/test_native.py), like top_proposals_nms."""
     props = np.asarray(props, dtype=np.float64)
     prop_scores = np.asarray(prop_scores, dtype=np.float64)
     sent_score = np.asarray(sent_score, dtype=np.float64)
+
+    from echr_tpu import native
+
+    if native.available():
+        pick = [int(i) for i in native.nms_external(
+            props, prop_scores, sent_score, nms_overlap, topN)]
+        return props[pick].tolist(), prop_scores[pick].tolist(), pick
+    return _external_proposals_nms_numpy(
+        props, prop_scores, sent_score, nms_overlap, topN)
+
+
+def _external_proposals_nms_numpy(props, prop_scores, sent_score,
+                                  nms_overlap, topN):
+    """Pure-numpy reference path for external_proposals_nms."""
     t1, t2 = props[:, 0], props[:, 1]
     ind = np.argsort(prop_scores, kind="stable")
     area = t2 - t1 + 1e-3

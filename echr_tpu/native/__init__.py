@@ -24,8 +24,11 @@ _TRIED = False
 
 def ensure_built() -> bool:
     src = os.path.join(_DIR, "echr_native.cc")
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(src):
-        return True
+    try:
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(src):
+            return True
+    except OSError:  # source missing (packaged install) — try the .so as-is
+        return os.path.exists(_SO)
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
@@ -47,20 +50,36 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     if not ensure_built():
         return None
-    lib = ctypes.CDLL(_SO)
-    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-    lib.iou_grid.argtypes = [i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                             f32p, f32p, f32p]
-    lib.iou_grid.restype = None
-    lib.nms_temporal.argtypes = [i64p, f64p, ctypes.c_int, ctypes.c_double,
-                                 ctypes.c_int, ctypes.c_double, i32p]
-    lib.nms_temporal.restype = ctypes.c_int
-    lib.nms_external.argtypes = [f64p, f64p, f64p, ctypes.c_int,
-                                 ctypes.c_double, ctypes.c_int, i32p]
-    lib.nms_external.restype = ctypes.c_int
+    # every failure mode here (corrupt/foreign-arch .so, missing symbol)
+    # must degrade to the numpy fallbacks, per the module contract
+    try:
+        lib = ctypes.CDLL(_SO)
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.iou_grid.argtypes = [i64p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                                 f32p, f32p, f32p]
+        lib.iou_grid.restype = None
+        lib.nms_temporal.argtypes = [i64p, f64p, ctypes.c_int, ctypes.c_double,
+                                     ctypes.c_int, ctypes.c_double, i32p]
+        lib.nms_temporal.restype = ctypes.c_int
+        lib.nms_external.argtypes = [f64p, f64p, f64p, ctypes.c_int,
+                                     ctypes.c_double, ctypes.c_int, i32p]
+        lib.nms_external.restype = ctypes.c_int
+        # smoke-run a tiny grid: catches a loadable-but-broken binary (e.g.
+        # built with -march=native on a different CPU and copied over)
+        # before any production call site dispatches to it
+        iou = np.empty((2, 2), np.float32)
+        gts = np.empty((2, 2), np.float32)
+        msk = np.empty((2, 2), np.float32)
+        lib.iou_grid(np.ascontiguousarray([[0, 1]], np.int64), 1, 2, 2,
+                     iou, gts, msk)
+        if not np.isfinite(iou).all():
+            raise ValueError("native iou_grid smoke run produced non-finite")
+    except Exception as e:
+        log.warning("native library unusable, using numpy fallbacks: %s", e)
+        return None
     _LIB = lib
     return _LIB
 

@@ -21,9 +21,8 @@ from echr_tpu.data.batcher import pick_bucket
 from echr_tpu.data.labels import featstamp_to_time
 from echr_tpu.engine import proposals as P
 from echr_tpu.models.captioner import ProposalBatch
+from echr_tpu.engine.evaluate import PROP_BUCKETS, _prop_bucket
 from echr_tpu.utils.text import decode_sequence
-
-PROP_BUCKETS = (64, 128, 256, 512, 1024)
 
 
 @dataclasses.dataclass
@@ -206,7 +205,7 @@ class CaptionService:
                         sels.append((ind, soi, ts, tp))
                         max_n = max(max_n, len(ind))
 
-                nb = next((b for b in PROP_BUCKETS if max_n <= b), PROP_BUCKETS[-1])
+                nb = _prop_bucket(max_n)
                 pi = np.zeros((Bp, nb), np.int32)
                 ps = np.tile(np.array([[0, 1]], np.int32), (Bp, nb, 1)).reshape(Bp, nb, 2)
                 pm = np.zeros((Bp, nb), np.float32)
@@ -244,5 +243,12 @@ def from_checkpoint(path: str, **kw) -> CaptionService:
     payload = ckpt.load_checkpoint(path)
     cfg = payload["config"]
     state = payload["state"]
-    return CaptionService(cfg, state.tap_params, state.cg_params,
-                          payload.get("vocab") or {}, **kw)
+    vocab = payload.get("vocab")
+    if not vocab:
+        # fail at load time with a clear message, not with a KeyError deep
+        # inside decode_sequence after minutes of compiles
+        raise ValueError(
+            f"checkpoint {path} carries no vocab — the caption service "
+            "cannot render token ids to words; re-save the checkpoint with "
+            "vocab (engine.checkpoint.save_checkpoint(vocab=...))")
+    return CaptionService(cfg, state.tap_params, state.cg_params, vocab, **kw)

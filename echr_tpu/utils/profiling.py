@@ -46,7 +46,14 @@ def _barrier(out) -> None:
 
     leaves = jax.tree.leaves(out)
     if leaves:
-        np.asarray(leaves[0]).ravel()[:1]
+        x = leaves[0]
+        if hasattr(x, "ravel") and not isinstance(x, np.ndarray):
+            # slice ON DEVICE first: np.asarray(whole leaf) would pull the
+            # full buffer through the relay (MBs of variable transfer time
+            # inside every measured sample); the tiny slice program still
+            # depends on the whole computation, so it is a true barrier
+            x = x.ravel()[:1]
+        np.asarray(x)
 
 
 def time_fn(

@@ -78,19 +78,29 @@ def test_native_nms_matches_python_loop():
 
 
 def test_native_nms_external_matches_python_loop():
-    from echr_tpu.engine.proposals import external_proposals_nms
+    # compare the kernel against the NUMPY reference path explicitly —
+    # external_proposals_nms itself now dispatches to the kernel
+    from echr_tpu.engine.proposals import (
+        _external_proposals_nms_numpy,
+        external_proposals_nms,
+    )
 
     rng = np.random.RandomState(1)
     n = 120
     starts = rng.rand(n) * 50
     lens = rng.rand(n) * 20 + 0.5
-    props = np.stack([starts, starts + lens], 1)
+    props = np.stack([starts, starts + lens], 1).astype(np.float64)
     prop_scores = rng.rand(n)
     sent_scores = rng.rand(n)
-    _, _, pick_py = external_proposals_nms(props, prop_scores, sent_scores,
-                                           nms_overlap=0.8, topN=30)
+    _, _, pick_py = _external_proposals_nms_numpy(
+        props, prop_scores.astype(np.float64), sent_scores.astype(np.float64),
+        0.8, 30)
     pick_c = native.nms_external(props, prop_scores, sent_scores, 0.8, 30)
     np.testing.assert_array_equal(pick_c, pick_py)
+    # and the public dispatcher agrees with both
+    _, _, pick_pub = external_proposals_nms(props, prop_scores, sent_scores,
+                                            nms_overlap=0.8, topN=30)
+    np.testing.assert_array_equal(pick_pub, pick_py)
 
 
 def test_native_grid_used_by_labels_api():
