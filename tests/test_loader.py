@@ -112,6 +112,21 @@ def test_reset_iterator(tmp_path):
     assert loader.get_batch("val")[1].vid == first
 
 
+def test_reset_during_prefetch_is_clean(tmp_path):
+    """reset_iterator stops AND JOINS the split's prefetcher before
+    resetting the cursor: with live workers racing the reset, the first
+    post-reset batch must always be the split's first video (review r3
+    fourth session — workers could advance a freshly reset cursor)."""
+    cfg = tiny_cfg(tmp_path, **{"data.nthreads": 4})
+    ds = build_dataset(cfg)
+    loader = Loader(ds, cfg, seed=0)
+    expected = loader.get_batch("val")[1].vid
+    for _ in range(15):
+        loader.get_batch("val")  # leave workers mid-prefetch
+        loader.reset_iterator("val")
+        assert loader.get_batch("val")[1].vid == expected
+
+
 def test_multithreaded_prefetch_matches_single(tmp_path):
     """nthreads>1 pool must yield the exact same ordered stream (vids,
     wrap flags, sampled proposal lists) as the single-thread prefetcher —
