@@ -301,7 +301,7 @@ def bench_rl(cfg, tap_params, cg_params, B: int = 8):
     def one(st):
         tap_l, gen, greedy = rl_rollout_step_batched(
             st.tap_params, st.cg_params, batch, cfg, "tap_cg", rng)
-        reward = jnp.zeros(gen.shape[:2] + (gen.shape[2],), jnp.float32) + 0.1
+        reward = jnp.full(gen.shape, 0.1, jnp.float32)
         return rl_update_step_batched(st, batch, cfg, "tap_cg", rng, gen, reward)
 
     t0 = time.time()
@@ -469,7 +469,10 @@ def bench_attention_op_probe(cfg):
     pre = jax.vmap(lambda f: additive_attention_precompute(p, f, jnp.bfloat16))(feats)
 
     @jax.jit
-    def probe(h0):
+    def probe(h0, p, feats, pre, mask):
+        # big tensors as ARGUMENTS, not closures: closed-over constants
+        # become compile-payload literals and can 413 the relay's
+        # remote_compile (CLAUDE.md environment gotchas)
         def step(h, _):
             att, _w = jax.vmap(
                 lambda hh, f, pa, m: additive_attention_step(p, hh, f, pa, m)
@@ -481,11 +484,11 @@ def bench_attention_op_probe(cfg):
         h, _ = jax.lax.scan(step, h0, None, length=steps)
         return jnp.sum(h)
 
-    float(np.asarray(probe(h0)))  # compile + barrier
+    float(np.asarray(probe(h0, p, feats, pre, mask)))  # compile + barrier
     dts = []
     for _ in range(3):
         t0 = time.time()
-        float(np.asarray(probe(h0)))
+        float(np.asarray(probe(h0, p, feats, pre, mask)))
         dts.append(time.time() - t0)
     step_s = min(dts) / steps
     tanh_rate = B * N * T * H / step_s
@@ -605,12 +608,9 @@ def main():
     import jax
 
     # persistent compile cache — compiles through the axon relay are slow
-    try:
-        os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:
-        log(f"no persistent compile cache: {e}")
+    from echr_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     log(f"devices: {_devices()}")
     cfg, tap_params, cg_params = build()
     inputs = make_inputs(cfg)

@@ -451,7 +451,6 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--comment", type=str, default=None)
     p.add_argument("--debug", action="store_true", default=None)
     p.add_argument("--config_json", type=str, default=None, help="load a Config JSON first")
-    bool_like = set()
     for flag, (section, name) in sorted(_FLAG_MAP.items()):
         cls = _SUBCONFIGS[section]
         f = next(sf for sf in dataclasses.fields(cls) if sf.name == name)
@@ -460,10 +459,12 @@ def build_argparser() -> argparse.ArgumentParser:
             # nargs="?" accepts both the reference's bare store_true
             # spelling (--fast_eval_cg, opts.py:268) and the valued one
             p.add_argument(f"--{flag}", type=int, nargs="?", const=1, default=None)
-            bool_like.add(flag)
         elif isinstance(default, tuple):
             p.add_argument(f"--{flag}", type=str, nargs="+", default=None)
-        elif isinstance(default, float):
+        elif f.type in ("float", float) or isinstance(default, float):
+            # annotation wins over the default's Python type: a float field
+            # with an int default (learning_rate_decay_start=8) must still
+            # accept fractional values like the reference (opts.py:230,232)
             p.add_argument(f"--{flag}", type=float, default=None)
         elif isinstance(default, int):
             p.add_argument(f"--{flag}", type=int, default=None)
@@ -484,7 +485,6 @@ def build_argparser() -> argparse.ArgumentParser:
         p.add_argument(f"--{dead}", nargs="?", const="1", default=None,
                        help="accepted no-op (declared but never read, or "
                             "overwritten at runtime, in the reference)")
-    p.set_defaults(_bool_like=sorted(bool_like))
     return p
 
 

@@ -33,13 +33,22 @@ def tap_loss(
     weights = labels * w0[None, :] + (1.0 - labels) * w1[None, :]
     scores = scores * masks
     # double-where safe logs: the zero-coefficient branch must not see a
-    # log(0), or autodiff produces 0 * inf = NaN gradients
+    # log(0), or autodiff produces 0 * inf = NaN gradients.  The torch
+    # BCELoss clamp (log >= -100, what the reference's criterion reports
+    # for a fully saturated score) is applied via the OUTER where — the
+    # 1e-38 NaN-safety floor alone would silently cap the loss at ~87.5
+    # instead.  Scores in (exp(-100), 1e-38), where torch would report
+    # between -100 and -87.5, cannot come out of an f32 sigmoid (needs a
+    # pre-activation beyond ~-87), so sending them to the clamp too is
+    # unreachable in practice.
     pos = labels > 0
-    log_p = jnp.maximum(
-        jnp.log(jnp.where(pos, jnp.maximum(scores, 1e-38), 1.0)), _LOG_CLAMP
+    log_p = jnp.where(
+        jnp.where(pos, scores, 1.0) < 1e-38, _LOG_CLAMP,
+        jnp.log(jnp.where(pos, jnp.maximum(scores, 1e-38), 1.0)),
     )
-    log_1mp = jnp.maximum(
-        jnp.log(jnp.where(pos, 1.0, jnp.maximum(1.0 - scores, 1e-38))), _LOG_CLAMP
+    log_1mp = jnp.where(
+        jnp.where(pos, 1.0, 1.0 - scores) < 1e-38, _LOG_CLAMP,
+        jnp.log(jnp.where(pos, 1.0, jnp.maximum(1.0 - scores, 1e-38))),
     )
     bce = -(labels * log_p + (1.0 - labels) * log_1mp)
     return jnp.sum(weights * bce) / jnp.maximum(n_valid_frames, 1.0)

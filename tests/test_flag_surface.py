@@ -108,6 +108,22 @@ def test_eval_flag_surface_complete():
     assert not missing, f"reference eval flags not accepted: {missing}"
 
 
+def test_float_typed_flags_accept_fractions():
+    """Reference float-typed flags must accept fractional values even when
+    our dataclass default happens to be an int (the argparse type derives
+    from the ANNOTATION; reference: opts.py:230,232 declare type=float) —
+    review r3 fourth session."""
+    from echr_tpu.config import parse_config
+
+    cfg = parse_config([
+        "--learning_rate_decay_start", "7.5",
+        "--learning_rate_decay_every", "1.5",
+        "--lr", "0.0001",
+    ])
+    assert cfg.train.learning_rate_decay_start == 7.5
+    assert cfg.train.learning_rate_decay_every == 1.5
+
+
 def test_dead_flags_are_logged_noops(caplog):
     """--diff (opts.py:275) and friends: declared-but-never-read flags parse
     without error and are logged as ignored (VERDICT r2 missing-3)."""
