@@ -91,6 +91,52 @@ def test_short_videos_unchanged(tmp_path):
     assert meta.n_frames == 60 and abs(meta.duration - 60.0) < 1e-9
 
 
+def test_eval_pipeline_with_truncated_videos(tmp_path):
+    """End-to-end eval over a split where every video is longer than the
+    max time bucket: predictions must carry timestamps on the REAL clock
+    of the retained prefix (<= dur_use), and both eval pipelines must
+    agree — the pipeline-level form of the time-scale fix."""
+    import jax
+
+    from echr_tpu.data.dataset import build_dataset
+    from echr_tpu.data.loader import Loader
+    from echr_tpu.engine.evaluate import eval_split, eval_split_batched
+    from echr_tpu.engine.steps import init_train_state
+    from echr_tpu.models.registry import init_captioner, init_tap
+
+    cfg = tiny_cfg(tmp_path)
+    cfg = cfg.replace_in("data", time_buckets=(32,))  # T in [40, 220) -> all truncate
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=dataset.vocab_size,
+                         CG_seq_length=dataset.seq_length)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(cfg, init_tap(rng, cfg), init_captioner(rng, cfg))
+
+    kw = {"num_vids_eval": 2, "val_all_metrics": False, "topN": 10,
+          "language_eval": False, "get_eval_loss": False}
+    preds_a, _, _ = eval_split(
+        state.tap_params, state.cg_params, loader, cfg, str(tmp_path / "t.json"),
+        kw, flag_eval_what="tap_cg",
+    )
+    preds_b, _, _ = eval_split_batched(
+        state.tap_params, state.cg_params, loader, cfg, str(tmp_path / "u.json"),
+        kw, flag_eval_what="tap_cg", batch_videos=2,
+    )
+    assert preds_a and set(preds_a) == set(preds_b)
+    for vid in preds_a:
+        ix = int(vid[-5:])
+        ex = dataset.get_example(ix)
+        t_real = ex.feats.shape[0]
+        dur_use = ex.duration * 32 / t_real
+        for pa, pb in zip(preds_a[vid], preds_b[vid]):
+            assert pa["timestamp"] == pb["timestamp"]
+            s, e = pa["timestamp"]
+            # real-clock seconds of the retained prefix, never the
+            # stretched full-duration scale the old code produced
+            assert 0.0 <= s < e <= dur_use + 1e-6, (vid, s, e, dur_use)
+
+
 def test_serve_effective_duration():
     from echr_tpu.serve import CaptionRequest, _effective_duration
 
