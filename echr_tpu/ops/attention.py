@@ -201,7 +201,9 @@ def additive_attention_step(
     if use_pallas:
         from echr_tpu.ops import pallas_attention
 
-        if pallas_attention.supported(pre_att, att_h):
+        # the differentiable (training) kernel has no T ceiling; the
+        # no-grad decode kernel is gated at the measured crossover
+        if pallas_attention.supported(pre_att, att_h, differentiable=remat):
             if remat:
                 # training: differentiable kernel (custom VJP recomputes
                 # the tanh tile-wise in VMEM — the kernel-level form of

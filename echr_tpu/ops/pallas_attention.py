@@ -64,25 +64,29 @@ def _attention_scores_pallas(pre_att, att_h, w, b, interpret: bool = False):
     )(pre_att, att_h, w, b)
 
 
-# kernel-vs-XLA crossover (measured on TPU v5e at N=4096, H=512, bf16
-# weights — docs/BENCH_NOTES.md "Pallas score kernel T crossover"): the
-# fused-score kernel wins up to T=384 (+10-11%/decode step) and LOSES
-# beyond (-22% at T=512, -37% at T=1024) — past the crossover the dense
+# kernel-vs-XLA crossover (measured on TPU v5e at H=512, bf16 weights —
+# docs/BENCH_NOTES.md "Pallas score kernel T crossover"): the NO-GRAD
+# score kernel wins up to T=384 (+10-11%/decode step) and LOSES beyond
+# (-22% at T=512, -37% at T=1024) — past the crossover the dense
 # broadcast amortizes its HBM traffic better than the kernel's [N, T]
-# score round trip.  Larger buckets take the jnp path.
-_MAX_T = 384
+# score round trip.  The DIFFERENTIABLE kernel wins at EVERY bucket
+# (+24/36/27/7% fwd+bwd at T=256/384/512/1024): its backward's saving —
+# never materializing the [N, T, H] tanh in HBM — grows with T, so it
+# gets no ceiling.
+_MAX_T_DECODE = 384
 
 
-def supported(pre_att: Array, att_h: Array) -> bool:
+def supported(pre_att: Array, att_h: Array, *,
+              differentiable: bool = False) -> bool:
     T, H = pre_att.shape
     N = att_h.shape[0]
     return (
         N % _TILE_N == 0
         and T % _TILE_T == 0
-        and T <= _MAX_T
+        and (differentiable or T <= _MAX_T_DECODE)
         and H % 128 == 0
         and pre_att.dtype == jnp.float32
-    )  # T buckets below 128 (or above _MAX_T) fall back to the jnp path
+    )  # T buckets below 128 (or above the decode ceiling) -> jnp path
 
 
 def attention_scores(pre_att: Array, att_h: Array, alpha_params) -> Array:
