@@ -45,6 +45,22 @@ def test_unsupported_shapes_fall_back():
     assert a.shape == (50, 10)
 
 
+def test_supported_gate_is_path_specific():
+    """The measured T crossover gates only the NO-GRAD decode kernel:
+    the differentiable training kernel wins at every bucket (fwd+bwd,
+    docs/BENCH_NOTES.md 'Pallas score kernel T crossover') and keeps
+    T > 384; the decode path falls back to the jnp formulation there."""
+    from echr_tpu.ops import pallas_attention as PA
+
+    pre_small = jnp.zeros((256, 128), jnp.float32)
+    pre_big = jnp.zeros((512, 128), jnp.float32)
+    q = jnp.zeros((64, 128), jnp.float32)
+    assert PA.supported(pre_small, q)
+    assert PA.supported(pre_small, q, differentiable=True)
+    assert not PA.supported(pre_big, q)  # decode: past the crossover
+    assert PA.supported(pre_big, q, differentiable=True)  # train: no ceiling
+
+
 def test_pallas_scores_diff_grads_match_jnp():
     """Differentiable fused kernel: VJP vs autodiff of the jnp formulation
     (all four inputs, random cotangent)."""
