@@ -177,6 +177,13 @@ class EvalConfig:
     # the 0/1 fallback; net-new vs the reference's one-video eval loop,
     # eval_utils.py:38)
     batch_videos: int = 8
+    # Paths to METEOR 1.5 matcher data assets (jar-style formats, see
+    # metrics/matchers.py).  Empty = exact+stem only (the oracle-pinned
+    # default; the jar's WordNet/paraphrase assets are absent in this
+    # environment).  Set both to enable the jar's full module stack
+    # (reference: external_tool/densevid_eval/evaluate.py:16,61).
+    meteor_synonyms: str = ""
+    meteor_paraphrases: str = ""
 
 
 @dataclass(frozen=True)
@@ -248,6 +255,20 @@ class RuntimeConfig:
     # it instead of sharding the batch axis.  Falls back to the remat jnp
     # path whenever kernel shape constraints don't hold (small tiles).
     use_pallas_train: bool = True
+    # T ceiling for the NO-GRAD decode score kernel: the kernel wins below,
+    # loses above (measured crossover on TPU v5e at H=512 — see
+    # ops/pallas_attention._MAX_T_DECODE and docs/BENCH_NOTES.md "Pallas
+    # score kernel T crossover").  Other TPU generations / hidden sizes
+    # move the crossover; re-tune here without code changes
+    # (experiments/probe_attention_T.py reproduces the sweep).  The
+    # differentiable TRAINING kernel has no ceiling (wins at every bucket).
+    pallas_decode_t_max: int = 384
+    # Greedy decode sorts proposals by window start inside decoder_sample
+    # (bit-exact: every decoder op is row-independent in N, outputs are
+    # unsorted back) so the mask-aware Pallas score kernel sees clustered
+    # windows and skips fully-masked tanh tiles.  Only fires on the
+    # greedy, non-replay path where the kernel runs (use_pallas).
+    sort_decode_props: bool = True
     # Greedy/multinomial decode stops as soon as every sequence has emitted
     # its end token (the reference's break-when-all-finished,
     # OldModel_NEW.py:173-181) via lax.while_loop instead of a fixed-length

@@ -57,6 +57,19 @@ def featstamp_to_time(
     return start, end
 
 
+def featstamps_to_times(soi, nfeats: int, duration: float):
+    """Vectorized featstamp_to_time over an [n, 2] window array — identical
+    per-row math (the eval pipelines convert up to topN proposals per video;
+    the scalar loop was a measurable host cost at batch_videos=32)."""
+    import numpy as np
+
+    soi = np.asarray(soi, np.float64)
+    time_per_feat = duration / nfeats
+    start = np.clip(soi[:, 0] * time_per_feat, 0, duration - time_per_feat)
+    end = np.maximum(soi[:, 1] * time_per_feat, start + time_per_feat)
+    return np.stack([start, end], axis=1)
+
+
 def single_iou(
     interval: Sequence[float], featstamps: Sequence[Sequence[float]]
 ) -> Tuple[float, int]:

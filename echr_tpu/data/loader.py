@@ -323,6 +323,18 @@ class _Prefetcher:
             pass
         for t in self.threads:
             t.join(timeout=10.0)
+            if t.is_alive():
+                # a _make() slower than the join window (cold native build,
+                # huge video) leaves this worker finishing against the
+                # discarded fetcher while the caller mutates producer state
+                # — benign today (workers only touch fetcher-local state
+                # after the cursor), but surface it so a silent overlap is
+                # detectable (ADVICE r3)
+                import logging
+
+                logging.getLogger("echr_tpu.loader").warning(
+                    "prefetch worker %s still alive after a 10s join — it "
+                    "will finish against the stopped fetcher", t.name)
         try:
             while True:
                 self.q.get_nowait()  # drop anything pushed while exiting

@@ -466,7 +466,8 @@ def rl_rollout_step_batched(tap_params, cg_params, batch: VideoBatch,
     return jax.vmap(one)(batch, rngs)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "phase"))
+@functools.partial(jax.jit, static_argnames=("cfg", "phase"),
+                   donate_argnames=("state",))  # reuse buffers like train_step
 def rl_update_step_batched(state: TrainState, batch: VideoBatch, cfg: Config,
                            phase: str, rng: Array, gen_seq: Array,
                            reward: Array):
@@ -516,7 +517,8 @@ def rl_update_step_batched(state: TrainState, batch: VideoBatch, cfg: Config,
     return new_state, metrics
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "phase"))
+@functools.partial(jax.jit, static_argnames=("cfg", "phase"),
+                   donate_argnames=("state",))  # reuse buffers like train_step
 def rl_update_step(state: TrainState, batch: VideoBatch, cfg: Config, phase: str,
                    rng: Array, gen_seq: Array, reward: Array):
     """Policy-gradient update on the replayed rollout."""
@@ -633,17 +635,21 @@ def unpack_topk_selection(idx_row, count, nb: int, K: int, n_frames: int,
                           duration: float, featstamp_to_time, conf_row):
     """Host-side decode of one video's select_topk_batched row into the
     (ind, soi, timestamps, confidence) lists the eval/serving paths use —
-    the single place that knows the flat row-major (t*K + k) layout."""
+    the single place that knows the flat row-major (t*K + k) layout.
+    Timestamp conversion is vectorized (labels.featstamps_to_times); the
+    `featstamp_to_time` arg is kept for signature stability but unused."""
     import numpy as np
+
+    from echr_tpu.data.labels import featstamps_to_times
 
     n = int(min(count, nb))
     flat = np.asarray(idx_row)[:n].astype(np.int64)
     tt, kk = flat // K, flat % K
     ind = tt.tolist()
-    soi = np.stack([tt - kk, tt + 1], axis=1).tolist()
-    ts = [featstamp_to_time(int(s), int(e), n_frames, duration) for s, e in soi]
+    soi_np = np.stack([tt - kk, tt + 1], axis=1)
+    ts = featstamps_to_times(soi_np, n_frames, duration).tolist()
     tp = np.asarray(conf_row)[:n].astype(float).tolist()
-    return ind, soi, ts, tp
+    return ind, soi_np.tolist(), ts, tp
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -242,9 +242,14 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
     # even in shard_map mode, so the Pallas train kernel must stay out of
     # them under any mesh — same replication reason as above (train_step
     # is the only step with a shard_map variant today)
+    # use_pallas too: the SCST rollout's no-grad decode attention
+    # (runtime.use_pallas) sits inside the same auto-partitioned rl jits —
+    # under a mesh the opaque pallas_call would be replicated rather than
+    # sharded (a silent perf loss, ADVICE r3)
     rl_cfg = cfg
-    if mesh is not None and cfg.runtime.use_pallas_train:
-        rl_cfg = cfg.replace_in("runtime", use_pallas_train=False)
+    if mesh is not None and (cfg.runtime.use_pallas_train or cfg.runtime.use_pallas):
+        rl_cfg = cfg.replace_in("runtime", use_pallas_train=False,
+                                use_pallas=False)
 
     epoch, iteration, best_val_score = 0, 0, -1.0
     histories: Dict[str, Dict] = {"loss": {}, "lr": {}, "val": {}}
@@ -301,7 +306,18 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
     _preempt = _install_preemption_handler()
 
     while epoch < len(curriculum):
-        if _preempt["hit"]:
+        # the stop decision is COLLECTIVE under multi-process: schedulers
+        # usually SIGTERM every worker, but under partial delivery a local
+        # break would leave peers blocked in the next gradient psum until
+        # the scheduler hard-kills the job (ADVICE r3) — any(one hit) stops
+        # everyone at the same iteration boundary
+        hit = _preempt["hit"]
+        if multihost:
+            from jax.experimental import multihost_utils
+
+            hit = bool(multihost_utils.process_allgather(
+                np.asarray(_preempt["hit"])).any())
+        if hit:
             log.warning("preemption: stopping before iter %d; "
                         "resume with --start_from", iteration + 1)
             break
@@ -562,7 +578,7 @@ def _self_critical_step(state, batch, meta, cfg, phase, step_rng, dataset):
     self-critical path, train.py:243,303-308)."""
     import jax.numpy as jnp
 
-    from echr_tpu.engine.rl import self_critical_reward
+    from echr_tpu.engine.rl import default_reward_pool, self_critical_reward
     from echr_tpu.engine.steps import rl_rollout_step, rl_update_step
 
     tap_l, gen_seq, greedy_seq = rl_rollout_step(
@@ -578,6 +594,7 @@ def _self_critical_step(state, batch, meta, cfg, phase, step_rng, dataset):
         np.asarray(gen_seq), np.asarray(greedy_seq), gt_sentences,
         dataset.ix_to_word, np.asarray(prop_mask),
         meteor_weight=cfg.train.meteor_reward_weight,
+        pool=default_reward_pool(),
     )
     return rl_update_step(
         state, batch, cfg, phase, step_rng, gen_seq, jnp.asarray(reward)
@@ -601,7 +618,10 @@ def _self_critical_step_batched(state, stacked, metas, cfg, phase, step_rng,
     array is assembled shard-locally into a global array."""
     import jax.numpy as jnp
 
-    from echr_tpu.engine.rl import self_critical_reward
+    from echr_tpu.engine.rl import (
+        default_reward_pool,
+        self_critical_reward_batched,
+    )
     from echr_tpu.engine.steps import (
         rl_rollout_step_batched,
         rl_update_step_batched,
@@ -631,20 +651,22 @@ def _self_critical_step_batched(state, stacked, metas, cfg, phase, step_rng,
         return out
 
     gen_rows, greedy_rows = rows_of(gen_seq), rows_of(greedy_seq)
-    N, L = next(iter(gen_rows.values())).shape
-    rewards = np.zeros((len(metas), N, L), np.float32)
-    for i in sorted(gen_rows):
+    gts, pms = {}, {}
+    for i in gen_rows:
         m = metas[i]
         if phase in ("cg", "gt_tap_cg"):
-            gt_sentences = list(m.sentences)
-            pm = gts_mask[i]
+            gts[i] = list(m.sentences)
+            pms[i] = gts_mask[i]
         else:
-            gt_sentences = [m.sentences[int(j)] for j in m.cg_select]
-            pm = prop_mask[i]
-        rewards[i] = self_critical_reward(
-            gen_rows[i], greedy_rows[i], gt_sentences, dataset.ix_to_word, pm,
-            meteor_weight=cfg.train.meteor_reward_weight,
-        )
+            gts[i] = [m.sentences[int(j)] for j in m.cg_select]
+            pms[i] = prop_mask[i]
+    # all B*N rows scored as one flat list over the reward pool (process
+    # parallelism across host cores; serial fallback on 1-core hosts)
+    rewards = self_critical_reward_batched(
+        gen_rows, greedy_rows, gts, dataset.ix_to_word, pms, len(metas),
+        meteor_weight=cfg.train.meteor_reward_weight,
+        pool=default_reward_pool(),
+    )
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

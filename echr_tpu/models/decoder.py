@@ -178,7 +178,8 @@ def _step_three_stream(p, cfg, xt, ctxs, pre_att, state, train, rng):
         h0 = dropout(r[0], h0, 0.5, train)
         att, _ = additive_attention_step(
             p["attention"], pre_h1, ctxs.clip_feats, pre_att["att"],
-            ctxs.clip_mask, use_pallas=_use_pallas(cfg, train), remat=train)
+            ctxs.clip_mask, use_pallas=_use_pallas(cfg, train), remat=train,
+                                 pallas_t_max=cfg.runtime.pallas_decode_t_max)
         E = cfg.decoder.CG_input_encoding_size
         att_proj = lstm_input_proj(p["layer1"], att, col_start=E, with_bias=True)
         h1, c1 = lstm_cell_pre(p["layer1"], x1 + att_proj, state.h[1], state.c[1])
@@ -191,7 +192,8 @@ def _step_three_stream(p, cfg, xt, ctxs, pre_att, state, train, rng):
         h0 = dropout(r[0], h0, 0.5, train)
         att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats,
                                          pre_att["att"] if pre_att else None, ctxs.clip_mask,
-                                         use_pallas=_use_pallas(cfg, train), remat=train)
+                                         use_pallas=_use_pallas(cfg, train), remat=train,
+                                 pallas_t_max=cfg.runtime.pallas_decode_t_max)
         h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])
         h1 = dropout(r[1], h1, 0.5, train)
         h2, c2 = lstm_cell(p["layer2"], jnp.concatenate([xt, video], 1), state.h[2], state.c[2])
@@ -223,7 +225,8 @@ def _step_show_attend_tell(p, cfg, xt, ctxs, pre_att, state, train, rng):
     LSTM advances one step with inter-layer dropout."""
     d = cfg.decoder
     att, _ = additive_attention_step(p["attention"], state.h[-1], ctxs.clip_feats, pre_att["att"], ctxs.clip_mask,
-                                 use_pallas=_use_pallas(cfg, train), remat=train)
+                                 use_pallas=_use_pallas(cfg, train), remat=train,
+                                 pallas_t_max=cfg.runtime.pallas_decode_t_max)
     input_feats = _gather_input_feats(cfg, ctxs, att, xt.shape[0])
     x = xt if input_feats is None else jnp.concatenate([xt, input_feats], 1)
     hs, cs = [], []
@@ -308,7 +311,8 @@ def _make_h3_step(variant: str):
         else:
             h1 = dropout(r[1], h1_raw, 0.5, train)
         att, _ = additive_attention_step(p["attention"], h1, ctxs.clip_feats, pre_att["att"], ctxs.clip_mask,
-                                 use_pallas=_use_pallas(cfg, train), remat=train)
+                                 use_pallas=_use_pallas(cfg, train), remat=train,
+                                 pallas_t_max=cfg.runtime.pallas_decode_t_max)
         x2 = jnp.concatenate([att, h1], 1)
         h2_raw, c2 = lstm_cell(p["layer2"], x2, state.h[2], state.c[2])
 
@@ -347,7 +351,8 @@ def _step_two_stream(p, cfg, xt, ctxs, pre_att, state, train, rng):
     h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, ctxs.event], 1), state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
     att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att["att"], ctxs.clip_mask,
-                                 use_pallas=_use_pallas(cfg, train), remat=train)
+                                 use_pallas=_use_pallas(cfg, train), remat=train,
+                                 pallas_t_max=cfg.runtime.pallas_decode_t_max)
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])
     h1 = dropout(r[1], h1, 0.5, train)
     new_state = DecoderState(jnp.stack([h0, h1]), jnp.stack([c0, c1]))
@@ -363,7 +368,8 @@ def _step_two_stream_jump(p, cfg, xt, ctxs, pre_att, state, train, rng):
                        state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
     att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att["att"], ctxs.clip_mask,
-                                 use_pallas=_use_pallas(cfg, train), remat=train)
+                                 use_pallas=_use_pallas(cfg, train), remat=train,
+                                 pallas_t_max=cfg.runtime.pallas_decode_t_max)
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att, pre_h0], 1),
                        state.h[1], state.c[1])
     h1 = dropout(r[1], h1, 0.5, train)
@@ -406,7 +412,8 @@ def _step_two_stream_3lstm(p, cfg, xt, ctxs, pre_att, state, train, rng):
     h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([h2, ctxs.event], 1), state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
     att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att["att"], ctxs.clip_mask,
-                                 use_pallas=_use_pallas(cfg, train), remat=train)
+                                 use_pallas=_use_pallas(cfg, train), remat=train,
+                                 pallas_t_max=cfg.runtime.pallas_decode_t_max)
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([h2, att], 1), state.h[1], state.c[1])
     h1 = dropout(r[1], h1, 0.5, train)
     new_state = DecoderState(jnp.stack([h0, h1, h2]), jnp.stack([c0, c1, c2]))
@@ -434,7 +441,8 @@ def _step_ts2_lda(p, cfg, xt, ctxs, pre_att, state, train, rng):
     h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, video], 1), state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
     att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att["att"], ctxs.clip_mask,
-                                 use_pallas=_use_pallas(cfg, train), remat=train)
+                                 use_pallas=_use_pallas(cfg, train), remat=train,
+                                 pallas_t_max=cfg.runtime.pallas_decode_t_max)
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])
     h1 = dropout(r[1], h1, 0.5, train)
     return jnp.concatenate([h0, h1], 1), DecoderState(jnp.stack([h0, h1]), jnp.stack([c0, c1]))
@@ -457,7 +465,8 @@ def _step_ts2_cc(p, cfg, xt, ctxs, pre_att, state, train, rng):
     r = jax.random.split(rng, 2) if rng is not None else (None, None)
     pre_h1 = state.h[1]
     att, _ = additive_attention_step(p["attention"], pre_h1, ctxs.clip_feats, pre_att["att"], ctxs.clip_mask,
-                                 use_pallas=_use_pallas(cfg, train), remat=train)
+                                 use_pallas=_use_pallas(cfg, train), remat=train,
+                                 pallas_t_max=cfg.runtime.pallas_decode_t_max)
     h0, c0 = lstm_cell(p["layer0"], jnp.concatenate([xt, att], 1), state.h[0], state.c[0])
     h0 = dropout(r[0], h0, 0.5, train)
     h1, c1 = lstm_cell(p["layer1"], jnp.concatenate([xt, att], 1), state.h[1], state.c[1])
@@ -766,6 +775,32 @@ def decoder_sample(
             ":157-167)")
     N = ctxs.prop_mask.shape[0]
     L = cfg.decoder.CG_seq_length
+
+    # Sort proposals by window start so the mask-aware Pallas score kernel
+    # sees clustered windows and can skip fully-masked tanh tiles
+    # (ops/pallas_attention.attention_scores_masked).  BIT-EXACT: every
+    # decoder op is row-independent in N (per-row LSTM dots, per-row
+    # attention/softmax, per-row logits), so permuting ctxs rows and
+    # un-permuting the outputs reproduces the unsorted results exactly.
+    # Greedy-only: categorical draws and forced replays consume rng by row
+    # POSITION, which a sort would change.
+    inv_order = None
+    if (cfg.runtime.sort_decode_props and cfg.runtime.use_pallas
+            and greedy and forced_tokens is None and not train
+            and ctxs.clip_mask is not None):
+        starts = jnp.min(
+            jnp.where(ctxs.clip_mask > 0,
+                      jnp.arange(ctxs.clip_mask.shape[1])[None, :],
+                      ctxs.clip_mask.shape[1]),
+            axis=1)
+        order = jnp.argsort(starts, stable=True)
+        inv_order = jnp.argsort(order, stable=True)
+        ctxs = ctxs._replace(
+            event=None if ctxs.event is None else ctxs.event[order],
+            clip_mask=ctxs.clip_mask[order],
+            prop_mask=ctxs.prop_mask[order],
+        )
+
     pre_att = precompute_attention(params, cfg, ctxs)
     state = init_state(params, cfg, ctxs, N)
 
@@ -830,6 +865,8 @@ def decoder_sample(
             jnp.zeros((L,), bool),
         )
         carry = jax.lax.while_loop(cond, body, init)
+        if inv_order is not None:
+            return carry[5][inv_order], carry[6][inv_order], carry[7]
         return carry[5], carry[6], carry[7]
 
     def body(carry, t):
@@ -846,4 +883,6 @@ def decoder_sample(
     # unfinished after the token update (its loop breaks *before* appending)
     seq = jnp.swapaxes(seq, 0, 1) * active[None, :]
     logps = jnp.swapaxes(logps, 0, 1) * active[None, :]
+    if inv_order is not None:
+        return seq[inv_order], logps[inv_order], active
     return seq, logps, active

@@ -14,7 +14,7 @@ one [N, T] x [T, D] matmul remain.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -167,6 +167,7 @@ def additive_attention_step(
     remat: bool = False,
     grouping=None,
     fused: bool = False,
+    pallas_t_max: Optional[int] = None,
 ) -> Tuple[Array, Array]:
     """One attention step for all proposals at once.
 
@@ -194,7 +195,7 @@ def additive_attention_step(
         # decode dtype (pallas_attention._fused_kernel) — an fp32 caller
         # (parity/fidelity modes) must take the unfused path, whose matmul
         # follows compute_dtype
-        if (pallas_attention.supported(pre_att, att_h)
+        if (pallas_attention.supported(pre_att, att_h, t_max=pallas_t_max)
                 and compute_dtype == jnp.bfloat16):
             return pallas_attention.attention_fused(
                 pre_att, att_h, p["alpha_net"], frame_mask, feats), None
@@ -203,7 +204,9 @@ def additive_attention_step(
 
         # the differentiable (training) kernel has no T ceiling; the
         # no-grad decode kernel is gated at the measured crossover
-        if pallas_attention.supported(pre_att, att_h, differentiable=remat):
+        # (default _MAX_T_DECODE, overridable via runtime.pallas_decode_t_max)
+        if pallas_attention.supported(pre_att, att_h, differentiable=remat,
+                                      t_max=pallas_t_max):
             if remat:
                 # training: differentiable kernel (custom VJP recomputes
                 # the tanh tile-wise in VMEM — the kernel-level form of
@@ -211,8 +214,13 @@ def additive_attention_step(
                 scores = pallas_attention.attention_scores_diff(
                     pre_att, att_h, p["alpha_net"])
             else:
-                scores = pallas_attention.attention_scores(
-                    pre_att, att_h, p["alpha_net"])
+                # no-grad decode: the mask-aware kernel skips fully-masked
+                # [Nt, Tt] tile tanh blocks (decoder_sample sorts proposals
+                # by window start to cluster them — measured -16%/-20%
+                # attention step at T=256/512 sorted, +2% worst case dense,
+                # experiments/probe_tile_skip.py); exact wherever mask==1
+                scores = pallas_attention.attention_scores_masked(
+                    pre_att, att_h, p["alpha_net"], frame_mask)
         else:
             use_pallas = False
     if not use_pallas:

@@ -16,6 +16,7 @@ TPU (CPU tests).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -77,13 +78,16 @@ _MAX_T_DECODE = 384
 
 
 def supported(pre_att: Array, att_h: Array, *,
-              differentiable: bool = False) -> bool:
+              differentiable: bool = False,
+              t_max: Optional[int] = None) -> bool:
     T, H = pre_att.shape
     N = att_h.shape[0]
+    if t_max is None:
+        t_max = _MAX_T_DECODE  # overridable via runtime.pallas_decode_t_max
     return (
         N % _TILE_N == 0
         and T % _TILE_T == 0
-        and (differentiable or T <= _MAX_T_DECODE)
+        and (differentiable or T <= t_max)
         and H % 128 == 0
         and pre_att.dtype == jnp.float32
     )  # T buckets below 128 (or above the decode ceiling) -> jnp path
@@ -97,6 +101,94 @@ def attention_scores(pre_att: Array, att_h: Array, alpha_params) -> Array:
     return _attention_scores_pallas(
         pre_att.astype(jnp.float32), att_h.astype(jnp.float32), w, b,
         interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mask-aware tile-skipping variant (no-grad decode): the window mask makes
+# most [TILE_N, TILE_T] score tiles FULLY masked when proposals are sorted
+# by window start (ECHR windows are short events inside a long video —
+# reference: the padded clip windows of CaptionGenerator.py:142-160).
+# masked_softmax ignores masked columns, so a fully-masked tile's scores
+# are never read: skip its 512K-tanh block entirely and write zeros.
+# Exact — identical outputs wherever mask==1 — and adaptive: dense masks
+# degrade to the plain kernel plus one SMEM flag read per tile.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_skip(pre_att_ref, att_h_ref, w_ref, b_ref, any_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    # any_ref holds the FULL [gN, gT] flag grid in SMEM (tiny); a (1, 1)
+    # block would violate the TPU (8, 128) tile rule
+    flag = any_ref[pl.program_id(0), pl.program_id(1)]
+
+    @pl.when(flag > 0)
+    def _compute():
+        pre = pre_att_ref[:]  # [Tt, H]
+        q = att_h_ref[:]  # [Nt, H]
+        y = jnp.tanh(q[:, None, :] + pre[None, :, :])  # [Nt, Tt, H]
+        out = jax.lax.dot_general(
+            y, w_ref[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[..., 0]  # [Nt, Tt]
+        out_ref[:] = out + b_ref[0, 0]
+
+    @pl.when(flag == 0)
+    def _zero():
+        # masked columns are -inf'd by the caller's masked_softmax; any
+        # finite fill is correct
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _attention_scores_pallas_masked(pre_att, att_h, w, b, tile_any,
+                                    interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, H = pre_att.shape
+    N = att_h.shape[0]
+    gN, gT = N // _TILE_N, T // _TILE_T
+    return pl.pallas_call(
+        _kernel_skip,
+        out_shape=jax.ShapeDtypeStruct((N, T), jnp.float32),
+        grid=(gN, gT),
+        in_specs=[
+            pl.BlockSpec((_TILE_T, H), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_N, H), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((gN, gT), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_TILE_N, _TILE_T), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(pre_att, att_h, w, b, tile_any)
+
+
+def tile_any_mask(mask: Array) -> Array:
+    """Per-[TILE_N, TILE_T]-tile any-unmasked flags [N/Nt, T/Tt] int32 for
+    the tile-skipping kernel, computed in-graph from the [N, T] window
+    mask (fuses into the surrounding jit; ~a few KB)."""
+    N, T = mask.shape
+    g = mask.reshape(N // _TILE_N, _TILE_N, T // _TILE_T, _TILE_T)
+    return (jnp.max(g, axis=(1, 3)) > 0).astype(jnp.int32)
+
+
+def attention_scores_masked(pre_att: Array, att_h: Array, alpha_params,
+                            mask: Array) -> Array:
+    """scores [N, T] with fully-masked tiles skipped (zero-filled).  Equal
+    to attention_scores wherever mask==1; masked positions may differ but
+    are never consumed (masked_softmax).  The caller sorts proposals by
+    window start to cluster tiles (engine paths do; unsorted inputs are
+    still exact, just less skippable)."""
+    w = alpha_params["w"].astype(jnp.float32)  # [H, 1]
+    b = jnp.reshape(alpha_params["b"].astype(jnp.float32), (1, 1))
+    interpret = jax.default_backend() != "tpu"
+    return _attention_scores_pallas_masked(
+        pre_att.astype(jnp.float32), att_h.astype(jnp.float32), w, b,
+        tile_any_mask(mask), interpret=interpret,
     )
 
 

@@ -142,3 +142,37 @@ def test_while_under_vmap(setup):
     s_single, _, _ = _run(cfg, cg, tap_feats, feats, lda, fm, props)
     for i in range(B):
         assert np.array_equal(np.asarray(s[i]), s_single)
+
+
+def test_sorted_decode_is_bit_exact(setup):
+    """runtime.sort_decode_props (the tile-skip kernel's window clustering)
+    must be invisible: every decoder op is row-independent in N, so sorting
+    ctxs rows + unsorting outputs reproduces the unsorted decode exactly.
+    use_pallas=True routes through attention_scores_masked (interpret mode
+    on CPU) when the bucket supports it, jnp otherwise — exact either way."""
+    cfg, cg, *rest = setup
+    base = cfg.replace_in("runtime", use_pallas=True)
+    s1, l1, a1 = _run(base.replace_in("runtime", sort_decode_props=False),
+                      cg, *rest)
+    s2, l2, a2 = _run(base, cg, *rest)
+    assert np.array_equal(s1, s2)
+    np.testing.assert_allclose(l1, l2, atol=0, rtol=0)
+    assert np.array_equal(a1, a2)
+
+
+def test_sorted_decode_batched_bit_exact(setup):
+    """Same under vmap (the batched serving pipeline)."""
+    cfg, cg, tap_feats, feats, lda, fm, props = setup
+    from echr_tpu.engine.steps import decode_step_batched
+
+    B = 2
+    tile = lambda x: jnp.asarray(np.stack([np.asarray(x)] * B))
+    args = (tile(tap_feats), tile(feats), tile(lda), tile(fm),
+            ProposalBatch(tile(props.ind_select), tile(props.soi),
+                          tile(props.prop_mask)))
+    base = cfg.replace_in("runtime", use_pallas=True)
+    s1, l1, a1 = decode_step_batched(
+        cg, base.replace_in("runtime", sort_decode_props=False), *args)
+    s2, l2, a2 = decode_step_batched(cg, base, *args)
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=0, rtol=0)

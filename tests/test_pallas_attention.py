@@ -168,3 +168,52 @@ def test_attention_fused_matches_unfused():
     got = pallas_attention.attention_fused(pre, q, p["alpha_net"], mask, feats)
     assert bool((np.asarray(got)[3] == 0).all())
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-3)
+
+
+def test_masked_kernel_matches_on_unmasked_positions():
+    """attention_scores_masked == attention_scores wherever mask==1;
+    fully-masked tiles are zero-filled and never consumed (masked_softmax)."""
+    rng = jax.random.PRNGKey(3)
+    T, H, N, D = 256, 128, 16, 96
+    p = additive_attention_init(rng, D, H, H)
+    pre_att = jax.random.normal(jax.random.fold_in(rng, 1), (T, H))
+    att_h = jax.random.normal(jax.random.fold_in(rng, 2), (N, H))
+    # start-sorted short windows: clusters fully-masked tiles
+    mask = np.zeros((N, T), np.float32)
+    r = np.random.RandomState(0)
+    starts = np.sort(r.randint(0, T - 8, size=N))
+    lens = r.randint(2, 40, size=N)
+    for n in range(N):
+        mask[n, starts[n]:min(starts[n] + lens[n], T)] = 1.0
+    mask = jnp.asarray(mask)
+    full = pallas_attention.attention_scores(pre_att, att_h, p["alpha_net"])
+    skip = pallas_attention.attention_scores_masked(
+        pre_att, att_h, p["alpha_net"], mask)
+    m = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(skip)[m], np.asarray(full)[m],
+                               atol=1e-6)
+    # at least one tile must actually be skipped by this geometry
+    ta = np.asarray(pallas_attention.tile_any_mask(mask))
+    assert (ta == 0).any()
+    # skipped tiles are zero-filled
+    tile = np.kron(ta, np.ones((pallas_attention._TILE_N,
+                                pallas_attention._TILE_T))) > 0
+    assert np.all(np.asarray(skip)[~tile] == 0.0)
+
+
+def test_masked_kernel_under_vmap():
+    """The batched decode path vmaps the kernel over videos."""
+    rng = jax.random.PRNGKey(4)
+    B, T, H, N, D = 3, 128, 128, 16, 96
+    p = additive_attention_init(rng, D, H, H)
+    pre_att = jax.random.normal(jax.random.fold_in(rng, 1), (B, T, H))
+    att_h = jax.random.normal(jax.random.fold_in(rng, 2), (B, N, H))
+    mask = (jax.random.uniform(jax.random.fold_in(rng, 5), (B, N, T)) > 0.5
+            ).astype(jnp.float32)
+    got = jax.vmap(lambda pa, q, m: pallas_attention.attention_scores_masked(
+        pa, q, p["alpha_net"], m))(pre_att, att_h, mask)
+    ref = jax.vmap(lambda pa, q: pallas_attention.attention_scores(
+        pa, q, p["alpha_net"]))(pre_att, att_h)
+    m = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(got)[m], np.asarray(ref)[m],
+                               atol=1e-6)

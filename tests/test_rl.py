@@ -58,15 +58,16 @@ def test_rl_rollout_replay_and_update(tmp_path):
     )
     assert reward.shape == np.asarray(gen_seq).shape
 
+    # snapshot BEFORE the update: rl_update_step donates its state buffers
+    a = np.asarray(jax.tree.leaves(state.cg_params)[0])
     new_state, metrics = rl_update_step(
         state, batch, cfg, "tap_cg", step_rng, gen_seq, jnp.asarray(reward)
     )
     assert np.isfinite(float(metrics["loss"]))
     # params actually moved when reward is nonzero somewhere
     if np.abs(reward).sum() > 0:
-        a = jax.tree.leaves(state.cg_params)[0]
         b = jax.tree.leaves(new_state.cg_params)[0]
-        assert not np.array_equal(np.asarray(a), np.asarray(b))
+        assert not np.array_equal(a, np.asarray(b))
 
 
 def test_self_critical_in_train_loop(tmp_path):
@@ -227,3 +228,50 @@ def test_self_critical_shard_map_mode(tmp_path):
     res = subprocess.run([sys.executable, "-c", script], env=env,
                          capture_output=True, text=True, timeout=420)
     assert "RL_SM_OK 2" in res.stdout, res.stdout + res.stderr
+
+
+def test_reward_pool_matches_serial():
+    """RewardPool.score == in-process _score_rows — the SCST host-reward
+    parallelization (engine/rl.RewardPool) must be a pure speedup."""
+    from echr_tpu.engine.rl import RewardPool, _score_rows
+
+    rows = [
+        (0, "a man is running", "a man runs", "the man is running fast"),
+        (1, "a dog barks", "a cat sits", "a dog is barking loudly"),
+        (2, "", "something", "a person speaks"),
+        (3, "cooking in a kitchen", "cooking", "a woman cooks in a kitchen"),
+        (4, "a man plays guitar", "a man plays", "someone plays a guitar"),
+    ]
+    serial = dict(_score_rows(rows, 1.0))
+    pool = RewardPool(workers=2)
+    try:
+        pooled = dict(pool.score(rows, 1.0, chunks=2))
+    finally:
+        pool.shutdown()
+    assert set(pooled) == set(serial)
+    for i in serial:
+        np.testing.assert_allclose(pooled[i], serial[i], rtol=0, atol=0)
+
+
+def test_reward_batched_matches_per_video():
+    """self_critical_reward_batched == per-video self_critical_reward."""
+    from echr_tpu.engine.rl import (
+        self_critical_reward,
+        self_critical_reward_batched,
+    )
+
+    vocab = {str(i): w for i, w in enumerate(
+        ["<pad>", "a", "man", "runs", "dog", "barks", "fast"], start=0)}
+    r = np.random.RandomState(0)
+    B, N, L = 3, 4, 5
+    gen = r.randint(0, 7, size=(B, N, L))
+    greedy = r.randint(0, 7, size=(B, N, L))
+    gts = {b: [f"a man runs {b} {i}" for i in range(N)] for b in range(B)}
+    masks = {b: (r.rand(N) > 0.3).astype(np.float32) for b in range(B)}
+    batched = self_critical_reward_batched(
+        {b: gen[b] for b in range(B)}, {b: greedy[b] for b in range(B)},
+        gts, vocab, masks, B, meteor_weight=0.7)
+    for b in range(B):
+        single = self_critical_reward(gen[b], greedy[b], gts[b], vocab,
+                                      masks[b], meteor_weight=0.7)
+        np.testing.assert_allclose(batched[b], single, atol=0)
