@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbose", action="store_true",
                    help="score all metrics (Bleu/METEOR/ROUGE/CIDEr), not METEOR-only")
     p.add_argument("-o", "--onlyRecall", type=int, default=0)
+    p.add_argument("--meteor_synonyms", type=str, default="",
+                   help="METEOR synonym data (jar-style; metrics/matchers.py)")
+    p.add_argument("--meteor_paraphrases", type=str, default="",
+                   help="METEOR paraphrase table (jar-style)")
     return p
 
 
@@ -60,6 +64,8 @@ def main(argv=None) -> dict:
         max_proposals_type=ns.max_proposals_per_video_type,
         verbose=ns.verbose,
         only_recall=bool(ns.onlyRecall),
+        meteor_synonyms=ns.meteor_synonyms or None,
+        meteor_paraphrases=ns.meteor_paraphrases or None,
     )
     scores = ev.evaluate()
     scores["tiou"] = list(ns.tious)

@@ -288,6 +288,8 @@ def eval_split(
             topN=topN,
             references=references,
             gt_from_loader=loader,
+            meteor_synonyms=cfg.eval.meteor_synonyms,
+            meteor_paraphrases=cfg.eval.meteor_paraphrases,
         )
         for k, v in sample_score.items():
             score[k] = np.array(v)
@@ -605,6 +607,8 @@ def eval_split_batched(
             json_path, only_recall=(flag_eval_what == "tap"),
             verbose=bool(val_all_metrics), topN=topN, references=references,
             gt_from_loader=loader,
+            meteor_synonyms=cfg.eval.meteor_synonyms,
+            meteor_paraphrases=cfg.eval.meteor_paraphrases,
         )
         for k, v in sample_score.items():
             score[k] = np.array(v)

@@ -50,21 +50,27 @@ class ANETCaptions:
         max_proposals_type: str = "proposal_score",
         verbose: bool = False,
         only_recall: bool = False,
+        meteor_synonyms: Optional[str] = None,
+        meteor_paraphrases: Optional[str] = None,
     ):
         self.tious = list(tious)
         self.verbose = verbose
         self.only_recall = only_recall
         self.ground_truths = ground_truths
         self.prediction = self._cap_predictions(prediction, max_proposals, max_proposals_type)
+        # matcher data assets route METEOR through the jar's full module
+        # stack (exact>stem>synonym>paraphrase); None/"" = exact+stem only
+        meteor = scorers.Meteor(synonyms=meteor_synonyms or None,
+                                paraphrases=meteor_paraphrases or None)
         if verbose:
             self.scorers = [
                 (scorers.Bleu(4), ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"]),
-                (scorers.Meteor(), "METEOR"),
+                (meteor, "METEOR"),
                 (scorers.Rouge(), "ROUGE_L"),
                 (scorers.Cider(), "CIDEr"),
             ]
         else:
-            self.scorers = [(scorers.Meteor(), "METEOR")]
+            self.scorers = [(meteor, "METEOR")]
         self.scores: Dict[str, List[float]] = {}
 
     @staticmethod
@@ -204,6 +210,8 @@ def eval_score(
     references: Optional[Sequence[str]] = None,
     gt_from_loader=None,
     tious: Sequence[float] = (0.3, 0.5, 0.7, 0.9),
+    meteor_synonyms: Optional[str] = None,
+    meteor_paraphrases: Optional[str] = None,
 ) -> Dict[str, List[float]]:
     """Entry point (reference: evaluate.py:303-321)."""
     with open(json_path) as f:
@@ -223,6 +231,8 @@ def eval_score(
         max_proposals=topN,
         verbose=verbose,
         only_recall=only_recall,
+        meteor_synonyms=meteor_synonyms,
+        meteor_paraphrases=meteor_paraphrases,
     )
     scores = ev.evaluate()
     scores["tiou"] = list(tious)

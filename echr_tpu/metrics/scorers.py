@@ -24,12 +24,16 @@ implementations pinned to the official algorithms:
            resolution order); content/function-word delta weighting;
            corpus score computed from SUMMED alignment statistics (the
            jar's aggregate), not a mean of segment scores.  The WordNet
-           synonym (w=0.8) and paraphrase-table (w=0.6) matchers require
-           external data assets absent here and are intentionally omitted,
-           and the function-word list is a standard closed-class list
-           rather than the jar's frequency-derived one; absolute METEOR
+           synonym (w=0.8) and paraphrase-table (w=0.6) matcher STAGES are
+           implemented and pluggable — Meteor(synonyms=..., paraphrases=...)
+           with metrics.matchers loaders for the jar-style data formats —
+           but the jar's data assets are absent here, so the DEFAULT
+           configuration runs exact+stem only, and the function-word list
+           is a standard closed-class list rather than the jar's
+           frequency-derived one; absolute METEOR in the default config
            therefore differs from the Java jar by a system-consistent
-           offset (see tests/test_metric_parity_official.py and
+           offset (see tests/test_metric_parity_official.py,
+           tests/test_meteor_matchers.py's ready-to-run offset fixture, and
            BASELINE.md "metric parity" note).
 
 Interface matches pycocoevalcap: scorer.compute_score(gts, res) ->
@@ -272,7 +276,24 @@ class _AlignState:
 class Meteor:
     ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
     W_EXACT, W_STEM = 1.0, 0.6
+    W_SYN, W_PARA = 0.8, 0.6  # jar module weights (METEOR 1.5 en ranking)
     BEAM = 40  # the jar's default aligner beam size
+
+    def __init__(self, synonyms=None, paraphrases=None):
+        """Default (both None): exact+stem matchers via the oracle-pinned
+        word-level aligner — byte-identical to the historical behavior.
+        With matcher data (metrics.matchers.SynonymTable / ParaphraseTable,
+        or paths for their from_file loaders), alignment routes through the
+        span-capable aligner with the jar's full module stack
+        (reference: external_tool/densevid_eval/evaluate.py:16,61)."""
+        from echr_tpu.metrics import matchers as M
+
+        if isinstance(synonyms, str):
+            synonyms = M.SynonymTable.from_file(synonyms)
+        if isinstance(paraphrases, str):
+            paraphrases = M.ParaphraseTable.from_file(paraphrases)
+        self.synonyms = synonyms
+        self.paraphrases = paraphrases
 
     def method(self) -> str:
         return "METEOR"
@@ -337,9 +358,14 @@ class Meteor:
     def _word_weight(cls, w: str) -> float:
         return (1.0 - cls.DELTA) if w in _FUNCTION_WORDS else cls.DELTA
 
-    @classmethod
-    def _stats(cls, hyp: List[str], ref: List[str]):
-        """(p_num, p_den, r_num, r_den, chunks, matches_avg) for one pair."""
+    def _stats(self, hyp: List[str], ref: List[str]):
+        """(p_num, p_den, r_num, r_den, chunks, matches_avg) for one pair.
+        Without matcher data this is the historical exact+stem word-level
+        path, byte-identical; with synonyms/paraphrases it routes through
+        the span-capable aligner (metrics.matchers)."""
+        cls = type(self)
+        if self.synonyms is not None or self.paraphrases is not None:
+            return self._stats_spans(hyp, ref)
         p_den = sum(cls._word_weight(w) for w in hyp)
         r_den = sum(cls._word_weight(w) for w in ref)
         pairs = cls._align(hyp, ref) if hyp and ref else ()
@@ -352,6 +378,37 @@ class Meteor:
                 chunks += 1
             last = (i, j)
         m_avg = float(len(pairs))  # 1-1 word matches: |hyp side| == |ref side|
+        return p_num, p_den, r_num, r_den, chunks, m_avg
+
+    def _stats_spans(self, hyp: List[str], ref: List[str]):
+        """Full-matcher-stack statistics: span matches contribute every
+        covered word at the module weight; m = (hyp covered + ref covered)/2
+        (the jar's average-matches fragmentation denominator, which equals
+        len(pairs) in the 1-1 word case)."""
+        from echr_tpu.metrics import matchers as M
+
+        cls = type(self)
+        p_den = sum(cls._word_weight(w) for w in hyp)
+        r_den = sum(cls._word_weight(w) for w in ref)
+        pairs = ()
+        if hyp and ref:
+            cands = M.span_candidates(
+                hyp, ref, _STEM, cls.W_EXACT, cls.W_STEM, cls.W_SYN,
+                cls.W_PARA, self.synonyms, self.paraphrases)
+            pairs = M.align_spans(hyp, ref, cands, cls.BEAM)
+        p_num = r_num = 0.0
+        hyp_cov = ref_cov = 0
+        chunks = 0
+        last_end = None
+        for (i0, il, j0, jl, w, _prio) in pairs:
+            p_num += w * sum(cls._word_weight(hyp[i]) for i in range(i0, i0 + il))
+            r_num += w * sum(cls._word_weight(ref[j]) for j in range(j0, j0 + jl))
+            hyp_cov += il
+            ref_cov += jl
+            if last_end != (i0, j0):
+                chunks += 1
+            last_end = (i0 + il, j0 + jl)
+        m_avg = 0.5 * (hyp_cov + ref_cov)
         return p_num, p_den, r_num, r_den, chunks, m_avg
 
     @classmethod

@@ -1,0 +1,250 @@
+"""METEOR synonym/paraphrase matcher stages (metrics/matchers.py).
+
+The reference's metric gate is the Java METEOR 1.5 jar (reference:
+external_tool/densevid_eval/evaluate.py:16,61) whose full module stack is
+exact(1.0) > stem(0.6) > synonym(0.8) > paraphrase(0.6).  The data assets
+are absent in this environment, so the default Meteor() stays exact+stem
+(oracle-pinned); these tests cover the PLUGGABLE stages with synthetic
+tables, the jar-style file-format loaders, the span aligner's agreement
+with the word aligner when no matcher fires, ranking preservation when
+matchers turn on, and a ready-to-run offset fixture that pins the measured
+exact+stem-only offset the day the real assets appear
+(ECHR_METEOR_SYNONYMS / ECHR_METEOR_PARAPHRASES env vars).
+"""
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from echr_tpu.metrics import matchers, scorers
+
+# fixture families reused for ranking preservation — same vocabulary domain
+# as the parity gates (tests/test_metric_parity_official.py)
+GTS = {
+    0: ["a man is running in the park"],
+    1: ["the dog jumps over a red ball"],
+    2: ["a woman eats at the table"],
+}
+GOOD = {
+    0: ["a man is running in a park"],
+    1: ["the dog jumps over the ball"],
+    2: ["a woman eats at a table"],
+}
+BAD = {
+    0: ["ball red the"],
+    1: ["park running man"],
+    2: ["jumps dog a"],
+}
+
+
+def _syn_table():
+    return matchers.SynonymTable.from_groups([
+        ["man", "gentleman", "guy"],
+        ["dog", "canine", "hound"],
+        ["woman", "lady"],
+        ["park", "playground"],
+    ])
+
+
+def _para_table():
+    return matchers.ParaphraseTable([
+        (("jumps", "over"), ("leaps", "across")),
+        (("is", "running"), ("runs",)),
+        (("eats",), ("has", "a", "meal")),
+    ])
+
+
+# --- loaders ---------------------------------------------------------------
+
+
+def test_synonym_loader_synsets_format(tmp_path):
+    p = tmp_path / "english.synsets"
+    p.write_text("cat 10 11\nfeline 11\ndog 20\n")
+    t = matchers.SynonymTable.from_file(str(p))
+    assert t.match("cat", "feline")          # share synset 11
+    assert not t.match("cat", "dog")
+    assert not t.match("cat", "unknown")
+
+
+def test_synonym_loader_group_format_and_gzip(tmp_path):
+    p = tmp_path / "syn.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("# comment\ncar automobile auto\nbig large\n")
+    t = matchers.SynonymTable.from_file(str(p))
+    assert t.match("car", "auto") and t.match("automobile", "car")
+    assert t.match("big", "large")
+    assert not t.match("car", "big")
+
+
+def test_paraphrase_loader_formats(tmp_path):
+    p = tmp_path / "para.txt"
+    p.write_text(
+        "get on ||| mount\n"            # plain pair
+        "0.73 ||| sofa ||| couch\n"     # prob-prefixed (prob ignored)
+        "photo\tpicture\n"              # tab-separated
+    )
+    t = matchers.ParaphraseTable.from_file(str(p))
+    assert t.match(("get", "on"), ("mount",))
+    assert t.match(("mount",), ("get", "on"))  # symmetric
+    assert t.match(("sofa",), ("couch",))
+    assert t.match(("photo",), ("picture",))
+    assert not t.match(("get",), ("mount",))
+
+
+def test_meteor_accepts_paths(tmp_path):
+    syn = tmp_path / "s.txt"
+    syn.write_text("cat feline\n")
+    para = tmp_path / "p.txt"
+    para.write_text("get on ||| mount\n")
+    m = scorers.Meteor(synonyms=str(syn), paraphrases=str(para))
+    assert m.synonyms.match("cat", "feline")
+    assert m.paraphrases.match(("get", "on"), ("mount",))
+
+
+# --- matcher semantics -----------------------------------------------------
+
+
+def test_synonym_stage_scores_synonym_match():
+    base = scorers.Meteor()
+    syn = scorers.Meteor(synonyms=_syn_table())
+    hyp = "a guy is running in the park".split()
+    ref = "a man is running in the park".split()
+    s0, s1 = base._pair_score(hyp, ref), syn._pair_score(hyp, ref)
+    assert s1 > s0  # guy~man now matches (w=0.8)
+    # and below a full exact match of the same sentence
+    assert s1 < syn._pair_score(ref, ref)
+
+
+def test_paraphrase_stage_scores_phrase_match():
+    base = scorers.Meteor()
+    para = scorers.Meteor(paraphrases=_para_table())
+    hyp = "the dog leaps across a red ball".split()
+    ref = "the dog jumps over a red ball".split()
+    s0, s1 = base._pair_score(hyp, ref), para._pair_score(hyp, ref)
+    assert s1 > s0  # "leaps across" ~ "jumps over" (w=0.6)
+
+
+def test_unequal_length_paraphrase_spans():
+    para = scorers.Meteor(paraphrases=_para_table())
+    hyp = "a woman has a meal at the table".split()
+    ref = "a woman eats at the table".split()
+    base = scorers.Meteor()
+    assert para._pair_score(hyp, ref) > base._pair_score(hyp, ref)
+
+
+def test_module_priority_exact_beats_synonym():
+    # when a word matches BOTH exactly and via synonym, exact (prio 0,
+    # w=1.0) must win — the jar's module resolution order
+    syn = matchers.SynonymTable.from_groups([["man", "man"]])  # degenerate
+    m = scorers.Meteor(synonyms=syn)
+    base = scorers.Meteor()
+    hyp = "a man walks".split()
+    ref = "a man walks".split()
+    np.testing.assert_allclose(m._pair_score(hyp, ref),
+                               base._pair_score(hyp, ref), atol=1e-12)
+
+
+# --- span aligner agreement with the word aligner ---------------------------
+
+
+def test_span_aligner_matches_word_aligner_when_no_matcher_fires():
+    """With matcher tables whose entries never occur in the text, the
+    span-capable aligner sees exactly the word aligner's exact+stem
+    candidates and must reproduce its scores."""
+    dead_syn = matchers.SynonymTable.from_groups([["zzqx", "qvwt"]])
+    dead_para = matchers.ParaphraseTable([(("zzqx",), ("qvwt", "qq"))])
+    base = scorers.Meteor()
+    spans = scorers.Meteor(synonyms=dead_syn, paraphrases=dead_para)
+    cases = [
+        ("a man is running in a park", "a man is running in the park"),
+        ("the dog jumps over the ball", "the dog jumps over a red ball"),
+        ("ball red the", "the dog jumps over a red ball"),
+        ("running runs ran", "runs running ran"),
+        ("a a a b", "b a a"),
+        ("", "a man walks"),
+        ("a man walks", ""),
+    ]
+    for hyp_s, ref_s in cases:
+        s0 = base._pair_score(hyp_s.split(), ref_s.split())
+        s1 = spans._pair_score(hyp_s.split(), ref_s.split())
+        np.testing.assert_allclose(s1, s0, atol=1e-12, err_msg=hyp_s)
+
+
+def test_corpus_interface_with_matchers():
+    m = scorers.Meteor(synonyms=_syn_table(), paraphrases=_para_table())
+    score, segs = m.compute_score(GTS, GOOD)
+    assert 0.0 < score <= 1.0 and len(segs) == len(GTS)
+
+
+# --- ranking preservation (the gating argument) ------------------------------
+
+
+def test_ranking_preserved_when_matchers_enabled():
+    """The parity gates rest on ranking preservation: enabling the matcher
+    stages (which the jar has and our default lacks) must not flip the
+    better-vs-worse system ordering on the gating fixture families."""
+    m = scorers.Meteor(synonyms=_syn_table(), paraphrases=_para_table())
+    sg, _ = m.compute_score(GTS, GOOD)
+    sb, _ = m.compute_score(GTS, BAD)
+    assert sg > sb
+    base = scorers.Meteor()
+    bg, _ = base.compute_score(GTS, GOOD)
+    bb, _ = base.compute_score(GTS, BAD)
+    assert bg > bb  # same ordering both configs
+
+
+def test_matchers_never_lower_perfect_or_zero_anchors():
+    """Anchors of the offset story: a perfect hypothesis stays at its
+    exact-only score (matchers can't beat exact matches), and a
+    no-overlap hypothesis stays 0 when no matcher entry applies."""
+    m = scorers.Meteor(synonyms=_syn_table(), paraphrases=_para_table())
+    base = scorers.Meteor()
+    ref = "a man is running in the park".split()
+    np.testing.assert_allclose(m._pair_score(ref, ref),
+                               base._pair_score(ref, ref), atol=1e-12)
+    assert m._pair_score("xyzzy quux".split(), ref) == 0.0
+
+
+# --- the ready-to-run offset fixture -----------------------------------------
+
+
+def _offset(meteor_full):
+    """Mean (full-stack − exact+stem) METEOR over the gating fixtures."""
+    base = scorers.Meteor()
+    deltas = []
+    for preds in (GOOD, BAD):
+        s_full, _ = meteor_full.compute_score(GTS, preds)
+        s_base, _ = base.compute_score(GTS, preds)
+        deltas.append(s_full - s_base)
+    return float(np.mean(deltas)), deltas
+
+
+def test_offset_fixture_synthetic():
+    """The offset machinery itself, on synthetic tables: full stack >=
+    exact+stem on these fixtures (extra candidates only add coverage
+    here), and the delta is finite and reported."""
+    off, deltas = _offset(scorers.Meteor(synonyms=_syn_table(),
+                                         paraphrases=_para_table()))
+    assert all(np.isfinite(d) for d in deltas)
+    assert off >= 0.0
+
+
+@pytest.mark.skipif(
+    not (os.environ.get("ECHR_METEOR_SYNONYMS")
+         and os.environ.get("ECHR_METEOR_PARAPHRASES")),
+    reason="real METEOR 1.5 data assets not present (set "
+           "ECHR_METEOR_SYNONYMS / ECHR_METEOR_PARAPHRASES to pin the "
+           "offset — see BASELINE.md metric-parity note)",
+)
+def test_offset_fixture_real_assets():
+    """THE offset pin: run the gating fixtures through the jar's real
+    synonym/paraphrase data and record the measured exact+stem-only
+    offset.  Keeps BASELINE.md's 'documented-as-downward offset' claim
+    falsifiable the day the assets appear (VERDICT r3 missing-1)."""
+    m = scorers.Meteor(synonyms=os.environ["ECHR_METEOR_SYNONYMS"],
+                       paraphrases=os.environ["ECHR_METEOR_PARAPHRASES"])
+    off, deltas = _offset(m)
+    print(f"\nmeasured METEOR matcher offset on gating fixtures: "
+          f"{off:+.6f} (per-family {deltas})")
+    assert off >= 0.0  # matchers add match candidates on these fixtures
