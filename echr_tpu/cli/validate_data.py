@@ -61,6 +61,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--w1_json", required=True)
     p.add_argument("--input_c3d_dir2", required=True)
     p.add_argument("--input_lda_path", default=None)
+    p.add_argument("--input_twostream_dir", default=None)
     p.add_argument("--SOTA_json", default=None)
     p.add_argument("--K", type=int, default=256)
     p.add_argument("--video_dim", type=int, default=500)
@@ -89,6 +90,13 @@ def _check_label_h5(rep: Report, path: str, name: str, vocab_size: int):
         return None
     if not (end >= start).all():
         rep.add(ERR, f"{name}: label_end_ix < label_start_ix somewhere")
+    if start.size and (int(start.min()) < 0 or int(end.max()) > labels.shape[0]):
+        # an out-of-bounds labels[start:end] slice is an hour-0 crash (or a
+        # silently empty caption set) in the reference's get_data
+        # (reference: dataloader.py:193-214)
+        rep.add(ERR, f"{name}: label ix out of bounds — start min "
+                     f"{int(start.min())}, end max {int(end.max())}, "
+                     f"label rows {labels.shape[0]}")
     if not (start[1:] >= end[:-1]).all():
         rep.add(WARN, f"{name}: caption rows not contiguous/monotone across videos")
     if len(end) and int(end[-1]) != labels.shape[0]:
@@ -100,6 +108,89 @@ def _check_label_h5(rep: Report, path: str, name: str, vocab_size: int):
     rep.add(OK, f"{name}: {start.shape[0]} videos, {labels.shape[0]} captions, "
                 f"seq_length {labels.shape[1]}")
     return labels, start, end
+
+
+def _check_twostream(rep: Report, root: str, vids, sample_n: int) -> None:
+    """Two-stream CSV tree (reference: dataloader.py:55-69): per video,
+    spatial/csv_action/<vid>.csv and OF/csv_action/<vid>.csv, read with
+    pd.read_csv and concatenated after truncating to the shorter stream.
+    Hour-0 failure modes checked: unparseable/truncated CSV (ragged rows,
+    non-numeric cells), non-finite values, stream width drift across
+    videos (the concat feeds a fixed other_dim1 input layer)."""
+    import pandas as pd
+
+    if not os.path.isdir(root):
+        rep.add(ERR, f"input_twostream_dir: not a directory: {root}")
+        return
+    widths = {"spatial": set(), "OF": set()}
+    n_present, n_fallback, n_bad = 0, 0, 0
+    for v in vids[:sample_n]:
+        vid = v["video_id"]
+        frames = {}
+        for stream in ("spatial", "OF"):
+            path = os.path.join(root, stream, "csv_action", vid + ".csv")
+            if not os.path.exists(path):
+                continue  # per-video absence = zeros fallback, not an error
+            try:
+                df = pd.read_csv(path)
+            except Exception as e:
+                rep.add(ERR, f"twostream {stream}/{vid}.csv: unparseable "
+                             f"(truncated or corrupt): {e}")
+                n_bad += 1
+                continue
+            arr = df.to_numpy()
+            if arr.ndim != 2 or arr.shape[1] < 2:
+                rep.add(ERR, f"twostream {stream}/{vid}.csv: shape "
+                             f"{arr.shape}, expected [T, stream_dim]")
+                n_bad += 1
+                continue
+            if arr.dtype == object or not np.issubdtype(arr.dtype, np.number):
+                rep.add(ERR, f"twostream {stream}/{vid}.csv: non-numeric "
+                             f"cells (truncated mid-row?)")
+                n_bad += 1
+                continue
+            if not np.isfinite(arr).all():
+                rep.add(ERR, f"twostream {stream}/{vid}.csv: non-finite values")
+                n_bad += 1
+                continue
+            widths[stream].add(arr.shape[1])
+            frames[stream] = arr.shape[0]
+        if len(frames) == 2:
+            n_present += 1
+            if frames["spatial"] != frames["OF"]:
+                # the reference truncates to the shorter stream — legal,
+                # but a large gap usually means a truncated file
+                ratio = min(frames.values()) / max(frames.values())
+                lvl = WARN if ratio >= 0.9 else ERR
+                rep.add(lvl, f"twostream {vid}: spatial {frames['spatial']} "
+                             f"vs OF {frames['OF']} rows "
+                             f"({'reference truncates' if lvl == WARN else 'likely truncated file'})")
+        elif len(frames) == 1:
+            only = next(iter(frames))
+            if only == "spatial":
+                # the loader's existence check only tests the SPATIAL path;
+                # with spatial present, read_csv(OF) crashes at hour 0
+                # (reference: dataloader.py:56-62)
+                rep.add(ERR, f"twostream {vid}: spatial present but OF "
+                             f"missing — the reference's fallback only "
+                             f"checks spatial, so read_csv(OF) crashes")
+                n_bad += 1
+            else:
+                # OF alone: the spatial existence check routes to the zeros
+                # fallback, silently ignoring the OF data
+                rep.add(WARN, f"twostream {vid}: OF present but spatial "
+                              f"missing — data silently unused (zeros "
+                              f"fallback)")
+        else:
+            n_fallback += 1
+    for stream, ws in widths.items():
+        if len(ws) > 1:
+            rep.add(ERR, f"twostream {stream}: column width drifts across "
+                         f"videos: {sorted(ws)} (concat feeds a fixed-dim "
+                         f"input layer)")
+    if not n_bad:
+        rep.add(OK, f"input_twostream_dir: {n_present} sampled videos with "
+                    f"both streams, {n_fallback} on the zeros fallback")
 
 
 def main(argv=None) -> int:
@@ -231,6 +322,12 @@ def main(argv=None) -> int:
                 rep.add(OK, f"input_lda_path: all videos keyed, dims {dims}")
         except Exception as e:
             rep.add(ERR, f"input_lda_path: cannot read ({e})")
+
+    # two-stream CSVs (optional tree; a missing per-video CSV is the
+    # reference's zeros fallback, dataloader.py:55-58 — never an error)
+    if ns.input_twostream_dir:
+        _check_twostream(rep, ns.input_twostream_dir, vids,
+                         ns.sample_videos or len(vids))
 
     # SOTA proposals
     if ns.SOTA_json:
