@@ -185,17 +185,23 @@ def bench_beam_latency(cfg, tap_params, cg_params, feats, lda, frame_mask, ind, 
     fd, ld, fmd = jnp.asarray(feats), jnp.asarray(lda), jnp.asarray(frame_mask)
     tap_feats, _ = encode(tap_params, fd)
 
+    out = {}
     for beam in (4,):
         seq, lp = beam_decode_step(cg_params, cfg, tap_feats, fd, ld, fmd, props, beam)
         _ = np.asarray(seq)  # compile + barrier
         samples = []
-        for _ in range(10):
+        for _ in range(20):
             t0 = _t.time()
             seq, lp = beam_decode_step(cg_params, cfg, tap_feats, fd, ld, fmd, props, beam)
             _ = np.asarray(seq)
             samples.append(_t.time() - t0)
         p50 = float(np.percentile(samples, 50))
-        log(f"beam-{beam} p50 latency: {1000*p50:.1f} ms/video ({N_PROPS} proposals)")
+        p99 = float(np.percentile(samples, 99))
+        log(f"beam-{beam} p50 latency: {1000*p50:.1f} ms/video, "
+            f"p99 {1000*p99:.1f} ms ({N_PROPS} proposals)")
+        out = {"beam_size": beam, "p50_ms": round(1000 * p50, 2),
+               "p99_ms": round(1000 * p99, 2), "n_props": N_PROPS}
+    return out
 
 
 def bench_train(cfg, tap_params, cg_params):
@@ -622,9 +628,10 @@ def main():
         cps_batched = 0.0
     cps = max(cps_single, cps_batched)
     try:
-        bench_beam_latency(cfg, tap_params, cg_params, *inputs)
+        beam_stats = bench_beam_latency(cfg, tap_params, cg_params, *inputs)
     except Exception as e:
         log(f"beam latency bench failed: {e}")
+        beam_stats = None
     try:
         base = bench_torch(cfg, tap_params, cg_params, *inputs)
     except Exception as e:  # torch baseline is best-effort
@@ -662,6 +669,17 @@ def main():
         "value": round(cps, 2),
         "unit": "captions/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        # provenance: vs_baseline measures the reference architecture via
+        # stock torch on THIS HOST'S CPU (the only baseline runnable here —
+        # the reference's PyTorch-0.4 GPU numbers are unpublished,
+        # BASELINE.md).  BASELINE.md's >=5x gate names a single-GPU torch
+        # baseline; a V100-class GPU runs this recurrent per-step workload
+        # O(10-100)x faster than CPU torch (generous upper bound), so the
+        # GPU-equivalent estimate is vs_baseline/100 — documented in
+        # docs/BENCH_NOTES.md "Baseline provenance".
+        "baseline_kind": "torch-cpu",
+        "vs_gpu_baseline_est": round(vs / 100.0, 2) if vs else None,
+        "beam": beam_stats,
         "train_throughput": train_stats,
         "e2e_eval": e2e_stats,
         "rl": rl_stats,

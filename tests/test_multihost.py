@@ -56,23 +56,32 @@ def _launch_worker_pair():
     return procs, outs
 
 
-def test_two_process_data_parallel_step():
-    for attempt in range(2):
-        procs, outs = _launch_worker_pair()
+def _retry_gloo_flake(launch, attempts=3):
+    """Run `launch() -> (procs, outs)`, retrying on the Gloo-deadline flake.
+
+    XLA:CPU's Gloo communicator init has a HARDCODED 30 s rendezvous
+    deadline (no jax/XLA knob), and every executable makes its own
+    communicator — under full-suite host contention one worker's compile
+    can lag the other past the deadline (cold compile cache: ~15 min/worker
+    with multi-minute skew).  That is a test-environment flake, not a
+    semantics failure: retry, but only for this exact signature.
+    """
+    for attempt in range(attempts):
+        procs, outs = launch()
         if all(p.returncode == 0 for p in procs):
             break
-        # XLA:CPU's Gloo communicator init has a HARDCODED 30 s rendezvous
-        # deadline (no jax/XLA knob), and every executable makes its own
-        # communicator — under full-suite host contention one worker's
-        # compile can lag the other past the deadline.  That is a test-
-        # environment flake, not a semantics failure: retry once, and only
-        # for this exact signature.
-        gloo_flake = attempt == 0 and any(
-            "Gloo context initialization failed" in out and "DEADLINE_EXCEEDED" in out
+        gloo_flake = attempt < attempts - 1 and any(
+            "Gloo context initialization failed" in out
+            and "DEADLINE_EXCEEDED" in out
             for out in outs
         )
         if not gloo_flake:
             break
+    return procs, outs
+
+
+def test_two_process_data_parallel_step():
+    procs, outs = _retry_gloo_flake(_launch_worker_pair)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
 
@@ -238,31 +247,43 @@ def test_cli_multihost_env_init(tmp_path):
                          losses_log_every=1)
     cfg = cfg.replace(run_id="CLIMH").validate()
 
-    port = _free_port()
-    procs = []
-    for pid in range(2):
-        env = dict(os.environ)
-        env.update({
-            "JAX_PLATFORMS": "cpu",
-            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
-            "ECHR_COORDINATOR": f"127.0.0.1:{port}",
-            "ECHR_NUM_PROCESSES": "2",
-            "ECHR_PROCESS_ID": str(pid),
-            "PYTHONPATH": os.path.dirname(os.path.dirname(__file__)),
-        })
-        cdir = tmp_path / f"p{pid}"
-        cfg_p = cfg.replace_in("save", checkpoint_path=str(cdir))
-        cfg_path = tmp_path / f"cli_mh_{pid}.json"
-        cfg_path.write_text(cfg_p.to_json())
-        procs.append(subprocess.Popen(
-            [sys.executable, "-m", "echr_tpu.cli.train",
-             "--config_json", str(cfg_path)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
-        ))
-    outs = [p.communicate(timeout=1500)[0] for p in procs]
+    run_dirs = []
+
+    def _launch():
+        # fresh artifact dirs per attempt so a retried run's single-writer
+        # assertions are not polluted by the aborted attempt's files
+        adir = tmp_path / f"attempt{len(run_dirs)}"
+        run_dirs.append(adir)
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env.update({
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+                "ECHR_COORDINATOR": f"127.0.0.1:{port}",
+                "ECHR_NUM_PROCESSES": "2",
+                "ECHR_PROCESS_ID": str(pid),
+                "PYTHONPATH": os.path.dirname(os.path.dirname(__file__)),
+            })
+            cdir = adir / f"p{pid}"
+            cfg_p = cfg.replace_in("save", checkpoint_path=str(cdir))
+            cfg_path = adir / f"cli_mh_{pid}.json"
+            cfg_path.parent.mkdir(parents=True, exist_ok=True)
+            cfg_path.write_text(cfg_p.to_json())
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "echr_tpu.cli.train",
+                 "--config_json", str(cfg_path)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+            ))
+        outs = [p.communicate(timeout=1500)[0] for p in procs]
+        return procs, outs
+
+    procs, outs = _retry_gloo_flake(_launch)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"cli worker {pid} failed:\n{out[-4000:]}"
     # single-writer artifacts: config.json/train.log under process 0 only
-    assert (tmp_path / "p0" / "CLIMH" / "config.json").exists()
-    assert not (tmp_path / "p1" / "CLIMH" / "config.json").exists()
+    adir = run_dirs[-1]
+    assert (adir / "p0" / "CLIMH" / "config.json").exists()
+    assert not (adir / "p1" / "CLIMH" / "config.json").exists()
