@@ -263,6 +263,14 @@ class RuntimeConfig:
     # (experiments/probe_attention_T.py reproduces the sweep).  The
     # differentiable TRAINING kernel has no ceiling (wins at every bucket).
     pallas_decode_t_max: int = 384
+    # Separate (higher) ceiling when the caller sorted proposals by window
+    # start: the mask-aware tile-skipping kernel skips enough tanh tiles on
+    # clustered windows to win at T=512 where the unsorted/dense kernel
+    # loses (measured: 1.69-1.82 vs 2.10-2.17 ms/step dense at T=512
+    # sorted; 2.7 unsorted — experiments/probe_tile_skip.py, round 4).
+    # decoder_sample swaps this in for pallas_decode_t_max when its
+    # window sort fires.  T=1024 still loses sorted; keep below that.
+    pallas_decode_t_max_sorted: int = 512
     # Greedy decode sorts proposals by window start inside decoder_sample
     # (bit-exact: every decoder op is row-independent in N, outputs are
     # unsorted back) so the mask-aware Pallas score kernel sees clustered

@@ -800,6 +800,11 @@ def decoder_sample(
             clip_mask=ctxs.clip_mask[order],
             prop_mask=ctxs.prop_mask[order],
         )
+        # sorted windows move the tile-skipping kernel's win/lose crossover
+        # up (it skips most tiles): raise the decode T ceiling accordingly
+        cfg = cfg.replace_in(
+            "runtime",
+            pallas_decode_t_max=cfg.runtime.pallas_decode_t_max_sorted)
 
     pre_att = precompute_attention(params, cfg, ctxs)
     state = init_state(params, cfg, ctxs, N)

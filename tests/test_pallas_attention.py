@@ -59,6 +59,17 @@ def test_supported_gate_is_path_specific():
     assert PA.supported(pre_small, q, differentiable=True)
     assert not PA.supported(pre_big, q)  # decode: past the crossover
     assert PA.supported(pre_big, q, differentiable=True)  # train: no ceiling
+    # sorted-window callers (decoder_sample's window sort) swap in the
+    # higher runtime.pallas_decode_t_max_sorted ceiling: tile-skipping on
+    # clustered windows moves the measured crossover past T=512
+    from echr_tpu.config import flagship_config
+
+    cfg = flagship_config()
+    assert cfg.runtime.pallas_decode_t_max_sorted == 512
+    assert PA.supported(pre_big, q, t_max=cfg.runtime.pallas_decode_t_max_sorted)
+    pre_huge = jnp.zeros((1024, 128), jnp.float32)
+    assert not PA.supported(pre_huge, q,
+                            t_max=cfg.runtime.pallas_decode_t_max_sorted)
 
 
 def test_pallas_scores_diff_grads_match_jnp():
