@@ -177,6 +177,17 @@ class EvalConfig:
     # the 0/1 fallback; net-new vs the reference's one-video eval loop,
     # eval_utils.py:38)
     batch_videos: int = 8
+    # Device-side top-N proposal selection (steps.select_topk_batched) for
+    # the tap/tap_cg no-NMS paths: fetches [nb] indices instead of the
+    # [T, K] score grid.  Selection-identical to the host path ('tap'
+    # falls back to the host grid per video when the threshold-tie count
+    # overflows the device slot cap, so its unbounded output is preserved).
+    # False = always host selection (parity testing / non-TPU platforms).
+    device_select: bool = True
+    # Dispatched-but-uncollected device batches the batched eval pipeline
+    # keeps in flight (hides decode round trips behind host work; raise on
+    # high-latency links like the axon relay).
+    eval_inflight: int = 3
     # Paths to METEOR 1.5 matcher data assets (jar-style formats, see
     # metrics/matchers.py).  Empty = exact+stem only (the oracle-pinned
     # default; the jar's WordNet/paraphrase assets are absent in this

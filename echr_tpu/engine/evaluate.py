@@ -180,14 +180,58 @@ def eval_split(
 
         feats = jnp.asarray(batch.feats)
         tap_feats, pred_props = encode_step(tap_params, batch, cfg)
-        pp = np.asarray(pred_props)[: meta.n_frames]
-        masks = np.asarray(batch.tap_masks)[: meta.n_frames]
 
-        sel = select_proposals(
-            flag_eval_what, batch, meta, pp, masks, cfg,
-            nms_threshold=nms_threshold, val_score_thres=val_score_thres,
-            topN=topN,
-        )
+        # device-side top-N selection for the tap/tap_cg no-NMS modes:
+        # fetch [nb] indices + count + confidences instead of the [T, K]
+        # score grid (VERDICT r3 next-5; selection-identical to
+        # P.top_proposals — see steps.select_topk_batched).  'tap' output
+        # is unbounded on the host path, so a threshold-tie storm whose
+        # count overflows the device slots falls back to the grid fetch.
+        sel = None
+        use_dev_sel = (
+            bool(kw.get("device_select", cfg.eval.device_select))
+            and flag_eval_what in ("tap", "tap_cg") and not nms_threshold)
+        if use_dev_sel:
+            from echr_tpu.engine.steps import (
+                select_topk_batched,
+                unpack_topk_selection,
+            )
+
+            nb_sel = PROP_BUCKETS[-1]
+            idx_b, cnt_b, conf_b = select_topk_batched(
+                pred_props[None], jnp.asarray([meta.n_frames], jnp.int32),
+                topN=topN, nb=nb_sel, val_score_thres=val_score_thres)
+            cnt = int(np.asarray(cnt_b)[0])
+            if flag_eval_what == "tap" and cnt > nb_sel:
+                use_dev_sel = False  # tie storm: exactness needs the grid
+            else:
+                ind, soi, ts, tp = unpack_topk_selection(
+                    np.asarray(idx_b)[0], cnt, nb_sel, cfg.tap.K,
+                    meta.n_frames, meta.duration, featstamp_to_time,
+                    np.asarray(conf_b)[0])
+                # cg_select from the host-side label grid at the selected
+                # anchors, like P.top_proposals's cg_gts[n_idx, k_idx]
+                gi = getattr(meta, "gts_index", None)
+                iou = getattr(meta, "iou_scores", None)
+                if gi is not None and np.size(gi) and iou is not None:
+                    cg_gts = np.asarray(gi) * (
+                        np.asarray(iou)
+                        >= cfg.tap.iou_threshold_for_good_proposal)
+                    flat = np.asarray(idx_b)[0][: min(cnt, nb_sel)].astype(np.int64)
+                    cg_sel_np = cg_gts[flat // cfg.tap.K, flat % cfg.tap.K]
+                    cg_sel = cg_sel_np.astype(np.int64).tolist()
+                else:
+                    cg_sel = []
+                sel = (ind, soi, cg_sel, ts, tp)
+        if sel is None:
+            need_grid = flag_eval_what in ("tap", "tap_cg")
+            pp = np.asarray(pred_props)[: meta.n_frames] if need_grid else None
+            masks = np.asarray(batch.tap_masks)[: meta.n_frames] if need_grid else None
+            sel = select_proposals(
+                flag_eval_what, batch, meta, pp, masks, cfg,
+                nms_threshold=nms_threshold, val_score_thres=val_score_thres,
+                topN=topN,
+            )
         if sel is None:  # SOTA_TEP video without external proposals
             log.info("bad video for SOTA_TEP, vid:%s", meta.vid)
             bad_vid_num += 1
@@ -384,13 +428,29 @@ def eval_split_batched(
 
     groups: Dict[int, List] = {}
     done = False
-    pending = []  # dispatched-but-uncollected groups (two in flight)
+    encoded = []  # stage-A output: encode/select dispatched, fetch pending
+    pending = []  # stage-B output: decode dispatched, fetch pending
+    inflight = max(int(kw.get("eval_inflight", cfg.eval.eval_inflight)), 1)
+    device_select = bool(kw.get("device_select", cfg.eval.device_select))
+    import time as _clk
 
-    def dispatch(bucket: int):
-        """Encode + select + dispatch decode for one group; defer fetches."""
+    # wall-time breakdown (VERDICT r3 next-2): written to the log at the
+    # end and into eval_kwargs["timing_out"] when the caller passes a dict
+    tm = {"loader": 0.0, "host_prep": 0.0, "select_fetch": 0.0,
+          "host_select": 0.0, "loss_fetch": 0.0, "decode_dispatch": 0.0,
+          "decode_fetch": 0.0, "groups": 0, "grid_fallbacks": 0}
+
+    def shard(x):
+        return jax.device_put(x, _dp) if mesh is not None else x
+
+    def stage_a(bucket: int):
+        """Encode + device top-N + val-loss DISPATCH for one group — no
+        blocking device fetches here: they block in stage_b, by which time
+        the NEXT group's device work is already queued behind this one."""
         items = groups.pop(bucket, [])
         if not items:
             return None
+        t0 = _clk.time()
         B = len(items)
         # pad every group to the STATIC batch_videos rows (and a data-axis
         # multiple under a mesh) so each time bucket compiles exactly ONE
@@ -404,9 +464,6 @@ def eval_split_batched(
             pad_to = ((batch_videos + dp - 1) // dp) * dp
         items_p = items + [items[-1]] * (pad_to - B)
 
-        def shard(x):
-            return jax.device_put(x, _dp) if mesh is not None else x
-
         feats_np = np.stack([b.feats for b, _ in items_p])
         if cfg.runtime.transfer_dtype == "bfloat16":
             # halve the dominant host->device payload; upcast on device so
@@ -416,40 +473,85 @@ def eval_split_batched(
         else:
             feats_b = shard(jnp.asarray(feats_np))
         tap_feats_b, pred_props_b = ES.encode(tap_params, feats_b, cfg)
-        # tap_cg without NMS: top-N selection runs ON DEVICE
+        a = {"items": items, "items_p": items_p, "B": B, "feats_b": feats_b,
+             "tap_feats_b": tap_feats_b, "pred_props_b": pred_props_b}
+        # tap/tap_cg without NMS: top-N selection runs ON DEVICE
         # (selection-identical to P.top_proposals, see select_topk_batched)
         # — fetches [B, nb] indices instead of the [B, T, K] score grid.
-        # 'tap' mode stays on the host path: its output is unbounded (no
-        # proposal-bucket truncation), but the device selection caps at
-        # PROP_BUCKETS[-1] and would silently drop proposals in
-        # threshold-tie storms (>1024 tied anchors), changing tap recall.
-        device_sel = flag_eval_what == "tap_cg" and not nms_threshold
-        if device_sel:
+        # 'tap' output is unbounded on the host path (no proposal-bucket
+        # truncation), so a video whose threshold-tie count overflows the
+        # nb slots falls back to fetching ITS grid row in stage_b.
+        a["device_sel"] = (device_select and not nms_threshold
+                           and flag_eval_what in ("tap", "tap_cg"))
+        if a["device_sel"]:
             # bucket CEILING, not bucket(topN): threshold ties can exceed
             # topN and the host path truncates at bucket(max_n) <= ceiling
-            nb_sel = PROP_BUCKETS[-1]
+            a["nb_sel"] = PROP_BUCKETS[-1]
             nfr = shard(jnp.asarray([m.n_frames for _, m in items_p], jnp.int32))
-            idx_b, cnt_b, conf_b = ES.select_topk(
-                pred_props_b, nfr, topN=topN, nb=nb_sel,
+            a["sel_dev"] = ES.select_topk(
+                pred_props_b, nfr, topN=topN, nb=a["nb_sel"],
                 val_score_thres=val_score_thres,
             )
-            idx_np = np.asarray(idx_b)
-            cnt_np = np.asarray(cnt_b)
-            conf_np = np.asarray(conf_b)
-        else:
-            pp_b = np.asarray(pred_props_b)
+        if get_eval_loss and split != "test":
+            # dispatched unconditionally (the compute is selection-
+            # independent); stage_b adds it gated like eval_split's
+            # `len(cg_sel)` check: a video whose selection is empty
+            # contributes no loss but DOES count in the /iter denominator
+            # (reference: eval_utils.py:227)
+            stacked = jax.tree.map(
+                lambda *xs: shard(jnp.stack([jnp.asarray(x) for x in xs])),
+                *[b for b, _ in items_p],
+            )
+            a["loss_m"] = ES.val_loss(
+                tap_params, cg_params, stacked, cfg,
+                phase=("tap" if flag_eval_what == "tap" else "tap_cg"),
+            )
+        tm["host_prep"] += _clk.time() - t0
+        tm["groups"] += 1
+        return a
 
-        # host-side proposal selection per video
+    def stage_b(a):
+        """Blocking selection/loss fetches + host-side per-video selection
+        + decode DISPATCH.  Returns a pending decode entry, or None when
+        the mode decodes nothing ('tap')."""
+        if a is None:
+            return None
+        items, items_p, B = a["items"], a["items_p"], a["B"]
+        K = cfg.tap.K
+
+        t0 = _clk.time()
+        if a["device_sel"]:
+            idx_np = np.asarray(a["sel_dev"][0])
+            cnt_np = np.asarray(a["sel_dev"][1])
+            conf_np = np.asarray(a["sel_dev"][2])
+            pp_b = None
+        else:
+            pp_b = np.asarray(a["pred_props_b"])
+        tm["select_fetch"] += _clk.time() - t0
+
+        t0 = _clk.time()
         sel = []
         max_n = 1
-        K = cfg.tap.K
         for i, (batch, meta) in enumerate(items):
-            if device_sel:
-                from echr_tpu.engine.steps import unpack_topk_selection
+            if a["device_sel"]:
+                nb_sel = a["nb_sel"]
+                if flag_eval_what == "tap" and int(cnt_np[i]) > nb_sel:
+                    # threshold-tie storm (>nb tied anchors): 'tap' emits
+                    # the unbounded selection, so fetch this video's grid
+                    tm["grid_fallbacks"] += 1
+                    pp = np.asarray(a["pred_props_b"][i])[: meta.n_frames]
+                    masks = np.asarray(batch.tap_masks)[: meta.n_frames]
+                    ind, soi, _, ts, tp = select_proposals(
+                        flag_eval_what, batch, meta, pp, masks, cfg,
+                        nms_threshold=nms_threshold,
+                        val_score_thres=val_score_thres, topN=topN,
+                    )
+                else:
+                    from echr_tpu.engine.steps import unpack_topk_selection
 
-                ind, soi, ts, tp = unpack_topk_selection(
-                    idx_np[i], cnt_np[i], nb_sel, K, meta.n_frames,
-                    meta.duration, featstamp_to_time, conf_np[i])
+                    ind, soi, ts, tp = unpack_topk_selection(
+                        idx_np[i], cnt_np[i], nb_sel, K, meta.n_frames,
+                        meta.duration, featstamp_to_time, conf_np[i])
                 sel.append((ind, soi, ts, tp))
                 max_n = max(max_n, len(ind))
                 continue
@@ -464,24 +566,17 @@ def eval_split_batched(
             )
             sel.append((ind, soi, ts, tp))
             max_n = max(max_n, len(ind))
+        tm["host_select"] += _clk.time() - t0
 
-        if get_eval_loss and split != "test" and any(len(s[0]) for s in sel):
-            # per-video losses, gated like eval_split's `len(cg_sel)` check:
-            # a video whose selection is empty contributes no loss but DOES
-            # count in the /iter denominator (reference: eval_utils.py:227)
-            stacked = jax.tree.map(
-                lambda *xs: shard(jnp.stack([jnp.asarray(x) for x in xs])),
-                *[b for b, _ in items_p],
-            )
-            m = ES.val_loss(
-                tap_params, cg_params, stacked, cfg,
-                phase=("tap" if flag_eval_what == "tap" else "tap_cg"),
-            )
+        if "loss_m" in a and any(len(s[0]) for s in sel):
+            t0 = _clk.time()
+            m = a["loss_m"]
             has_sel = np.array([len(s[0]) > 0 for s in sel], bool)
             loss_sum[0] += float(np.asarray(m["tap_loss"])[:B][has_sel].sum())
             if flag_eval_what != "tap":
                 loss_sum[1] += float(np.asarray(m["cg_loss"])[:B][has_sel].sum())
                 loss_sum[2] += float(np.asarray(m["total_loss"])[:B][has_sel].sum())
+            tm["loss_fetch"] += _clk.time() - t0
 
         if flag_eval_what == "tap":
             for (batch, meta), (ind, soi, ts, tp) in zip(items, sel):
@@ -495,6 +590,7 @@ def eval_split_batched(
                     predictions[meta.vid] = vid_info
             return None
 
+        t0 = _clk.time()
         nb = _prop_bucket(max_n)
         sel_p = sel + [sel[-1]] * (len(items_p) - B)
         props = jax.tree.map(
@@ -503,6 +599,7 @@ def eval_split_batched(
         )
         lda_b = shard(jnp.asarray(np.stack([b.lda for b, _ in items_p])))
         fm_b = shard(jnp.asarray(np.stack([b.frame_mask for b, _ in items_p])))
+        feats_b, tap_feats_b = a["feats_b"], a["tap_feats_b"]
         if beam_size > 1:
             seq_b, logprob_b = ES.beam(
                 cg_params, cfg, tap_feats_b, feats_b, lda_b, fm_b, props,
@@ -510,6 +607,7 @@ def eval_split_batched(
                 length_alpha=float(kw.get("beam_length_alpha",
                                           cfg.eval.beam_length_alpha)),
             )
+            tm["decode_dispatch"] += _clk.time() - t0
             return (items, sel, nb, seq_b, logprob_b, None)
         r_dec = None
         if not greedy:
@@ -519,15 +617,18 @@ def eval_split_batched(
             cg_params, cfg, tap_feats_b, feats_b, lda_b, fm_b, props,
             greedy=greedy, temperature=temperature, rng=r_dec,
         )
+        tm["decode_dispatch"] += _clk.time() - t0
         return (items, sel, nb, seq_b, logps_b, active_b)
 
     def collect(entry):
         if entry is None:
             return
+        t0 = _clk.time()
         items, sel, nb, seq_b, logps_b, active_b = entry
         is_beam = active_b is None  # beam entries carry [B, N] total logprobs
         seq_np, logps_np = np.asarray(seq_b), np.asarray(logps_b)
         active_np = None if is_beam else np.asarray(active_b)
+        tm["decode_fetch"] += _clk.time() - t0
         for i, ((batch, meta), (ind, soi, ts, tp)) in enumerate(zip(items, sel)):
             n_real = min(len(ind), nb)
             if n_real == 0 or (not is_beam and not bool(active_np[i][0])):
@@ -550,10 +651,24 @@ def eval_split_batched(
                 vid_info = P.rerank_top10(vid_info)
             predictions[meta.vid] = vid_info
 
+    def drain(a_keep: int, b_keep: int):
+        """Advance the pipeline so at most a_keep stage-A and b_keep
+        stage-B entries stay in flight.  Stage-A depth 1 means group k's
+        blocking selection fetch (stage_b) happens only after group k+1's
+        encode is already queued on the device."""
+        while len(encoded) > a_keep:
+            entry = stage_b(encoded.pop(0))
+            if entry is not None:
+                pending.append(entry)
+        while len(pending) > b_keep:
+            collect(pending.pop(0))
+
     import jax
 
+    t_load = _clk.time()
     while not done:
         batch, meta = loader.get_batch(split)
+        tm["loader"] += _clk.time() - t_load
         usable = meta.proposal_num > 0 and meta.n_frames > 1
         if flag_eval_what == "SOTA_TEP" and meta.SOTA_scores is None:
             usable = False  # reference: bad video for SOTA_TEP (eval_utils.py:77-80)
@@ -565,19 +680,27 @@ def eval_split_batched(
         if usable:
             groups.setdefault(meta.t_bucket, []).append((batch, meta))
             if len(groups[meta.t_bucket]) >= batch_videos:
-                entry = dispatch(meta.t_bucket)
-                if entry is not None:
-                    pending.append(entry)
-                # keep two device batches in flight (hides fetch round trips)
-                while len(pending) > 2:
-                    collect(pending.pop(0))
+                a = stage_a(meta.t_bucket)
+                if a is not None:
+                    encoded.append(a)
+                drain(1, inflight)
+        t_load = _clk.time()
     for bucket in list(groups):
-        entry = dispatch(bucket)
-        if entry is not None:
-            pending.append(entry)
-    for entry in pending:
-        collect(entry)
+        a = stage_a(bucket)
+        if a is not None:
+            encoded.append(a)
+    drain(0, 0)
     loader.set_labels(labels_before, split)
+    if tm["groups"]:
+        log.info(
+            "eval pipeline breakdown (%d groups): loader %.2fs, host_prep "
+            "%.2fs, select_fetch %.2fs, host_select %.2fs, loss_fetch %.2fs, "
+            "decode_dispatch %.2fs, decode_fetch %.2fs, grid_fallbacks %d",
+            tm["groups"], tm["loader"], tm["host_prep"], tm["select_fetch"],
+            tm["host_select"], tm["loss_fetch"], tm["decode_dispatch"],
+            tm["decode_fetch"], tm["grid_fallbacks"])
+    if isinstance(kw.get("timing_out"), dict):
+        kw["timing_out"].update(tm)
 
     if multihost and jax.process_count() > 1:
         from echr_tpu.parallel.distributed import allgather_object, gather_predictions

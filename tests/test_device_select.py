@@ -106,3 +106,76 @@ def test_device_select_matches_batcher_masks():
         dev = _device_sel(pp, np.array([meta.n_frames]), cfg.tap.K, 10, 0.0, 64)
         h = _host_sel(pp[0], meta.n_frames, cfg.tap.K, 10, 0.0, 64)
         assert dev[0][0] == h[0] and dev[0][1] == h[1]
+
+
+def test_tap_mode_device_selection_matches_host(tmp_path):
+    """'tap' evals no longer fetch the [T, K] grids (VERDICT r3 next-5):
+    device selection must produce identical predictions in BOTH eval loops,
+    for 'tap' (proposal-only output) and per-video 'tap_cg'."""
+    import jax
+
+    from test_train_e2e import tiny_cfg
+
+    from echr_tpu.data.dataset import build_dataset
+    from echr_tpu.data.loader import Loader
+    from echr_tpu.engine.evaluate import eval_split, eval_split_batched
+    from echr_tpu.engine.steps import init_train_state
+    from echr_tpu.models.registry import init_captioner, init_tap
+
+    cfg = tiny_cfg(tmp_path)
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=dataset.vocab_size,
+                         CG_seq_length=dataset.seq_length)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(cfg, init_tap(rng, cfg), init_captioner(rng, cfg))
+
+    def run(mode, batched, dev, tag):
+        kw = {"num_vids_eval": 2, "val_all_metrics": False, "topN": 15,
+              "language_eval": False, "get_eval_loss": False,
+              "device_select": dev, "timing_out": {}}
+        fn = eval_split_batched if batched else eval_split
+        extra = {"batch_videos": 4} if batched else {}
+        preds, _, _ = fn(state.tap_params, state.cg_params, loader, cfg,
+                         str(tmp_path / f"{tag}.json"), kw,
+                         flag_eval_what=mode, **extra)
+        return preds, kw["timing_out"]
+
+    for mode in ("tap", "tap_cg"):
+        for batched in (False, True):
+            on, tm_on = run(mode, batched, True, f"{mode}_{batched}_on")
+            off, _ = run(mode, batched, False, f"{mode}_{batched}_off")
+            assert set(on) == set(off) and on, (mode, batched)
+            for vid in on:
+                assert len(on[vid]) == len(off[vid]), (mode, batched, vid)
+                for pa, pb in zip(on[vid], off[vid]):
+                    assert pa["sentence"] == pb["sentence"]
+                    np.testing.assert_allclose(pa["timestamp"], pb["timestamp"],
+                                               rtol=0, atol=0)
+                    np.testing.assert_allclose(
+                        pa["proposal_score"], pb["proposal_score"], rtol=1e-6)
+            if batched:
+                # the breakdown instrumentation populates timing_out
+                assert tm_on["groups"] >= 1
+                assert tm_on["grid_fallbacks"] == 0  # no tie storm here
+
+
+def test_tap_overflow_count_is_visible():
+    """The 'tap' tie-storm fallback trigger: when every valid anchor ties,
+    the device count reports the FULL selection size even past nb, and the
+    host unbounded selection has exactly that many rows — so callers can
+    detect the overflow and fall back to the grid."""
+    T, K, nb = 96, 64, 1024
+    pp = np.full((1, T, K), 0.5, np.float32)
+    idx_b, cnt_b, conf_b = select_topk_batched(
+        jnp.asarray(pp), jnp.asarray([T], jnp.int32), topN=10, nb=nb,
+        val_score_thres=0.0,
+    )
+    cnt = int(np.asarray(cnt_b)[0])
+    masks = anchor_mask(T, K)
+    h_ind, _, _, _, _ = P.top_proposals(
+        pp[0], masks, None, 30.0, featstamp_to_time,
+        val_score_thres=0.0, topN=10,
+    )
+    assert cnt == len(h_ind)
+    assert cnt > nb  # this geometry overflows the device slots
