@@ -115,6 +115,15 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     warm = ckpt.load_params_only(path, "tap")
     assert "tap_params" in warm and "cg_params" not in warm
+    # v2 format invariants (VERDICT r3 next-7): versioned, class-free pickle
+    # (no repo class paths inside -> survives refactors), embedded config,
+    # and the optimizer state resumes value-exact (count/moments/LR)
+    raw = open(path, "rb").read()
+    assert b"echr_tpu" not in raw
+    assert payload["format_version"] == 2
+    for a, b in zip(jax.tree.leaves(state.tap_opt),
+                    jax.tree.leaves(payload["state"].tap_opt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_train_loop_batched_videos(tmp_path):
