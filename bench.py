@@ -350,7 +350,14 @@ def bench_e2e_eval(cfg, tap_params, cg_params, num_videos=384):
         "data", synthetic=True, synthetic_num_videos=num_videos,
         synthetic_vocab_size=VOCAB, synthetic_seq_length=SEQ_LEN, shuffle=False,
     )
+    # production serving settings: bf16 feature transfer (halves the
+    # host->device payload; the cast runs in the prefetch workers via
+    # loader.set_feats_dtype — fidelity-parity tests gate the f32 path)
+    cfg_e = cfg_e.replace_in("runtime", transfer_dtype="bfloat16")
     ds = SyntheticDataset(cfg_e, num_videos=num_videos, seed=11)
+    # deep prefetch: the producer (~4-5 ms/video host-side) runs ahead
+    # during device waits instead of stalling each 32-video group drain
+    cfg_e = cfg_e.replace_in("data", prefetch=3 * BATCH_VIDEOS)
     loader = Loader(ds, cfg_e, seed=0, process_index=0, process_count=1)
     n_val = loader.split_size("val")
     with tempfile.TemporaryDirectory() as td:

@@ -132,9 +132,6 @@ def main(argv=None) -> None:
         cfg = cfg.replace_in("runtime", spmd_mode=ns.spmd_mode)
     dataset = build_dataset(cfg)
     if multihost:
-        # per-host shard of the eval split; eval_split_batched(multihost=
-        # True) all-gathers predictions so every host scores the full split
-        loader = Loader(dataset, cfg, seed=0, shard_splits=(ns.split,))
         if ns.batch_videos is None:
             ns.batch_videos = 8  # the multihost sweep is the batched path
             log.info("multihost eval: defaulting --batch_videos 8")
@@ -144,10 +141,19 @@ def main(argv=None) -> None:
             raise ValueError(
                 "multihost eval runs the batched pipeline only; "
                 "--batch_videos must be > 1 (or omitted for the default 8)")
+    elif ns.batch_videos is None:
+        ns.batch_videos = 1
+    # batched eval drains batch_videos items per group in one burst — keep
+    # the prefetch queue deep enough that the producer runs ahead during
+    # device waits instead of stalling the consumer at every group boundary
+    if ns.batch_videos > 1 and cfg.data.prefetch < 2 * ns.batch_videos:
+        cfg = cfg.replace_in("data", prefetch=2 * ns.batch_videos)
+    if multihost:
+        # per-host shard of the eval split; eval_split_batched(multihost=
+        # True) all-gathers predictions so every host scores the full split
+        loader = Loader(dataset, cfg, seed=0, shard_splits=(ns.split,))
     else:
         loader = Loader(dataset, cfg, seed=0)
-    if ns.batch_videos is None:
-        ns.batch_videos = 1
     state = payload["state"]
 
     stamp = f"{ns.flag_eval_what}_top{ns.topN}_thr{ns.val_score_thres}_nms{ns.nms_threshold}"

@@ -40,6 +40,12 @@ class DataConfig:
     lda_dim: int = 200
     shuffle: bool = True
     nthreads: int = 4
+    # Prefetch-queue depth per split fetcher (reference BlobFetcher keeps a
+    # small implicit buffer, dataloader.py:711-718).  Batched eval drains
+    # batch_videos items per group in one burst, so pipelines that group
+    # should run with depth >= 2*batch_videos or the consumer stalls on the
+    # producer every group (see cli/eval and bench.py's e2e section).
+    prefetch: int = 4
     dropsent_mode: str = "nodrop"  # nodrop | insert | truncate
     train_only: int = 0
     # --- TPU-native additions: static-shape bucketing ---

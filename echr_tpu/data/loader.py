@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Dict, List, Tuple
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 
@@ -55,7 +55,7 @@ class Loader:
         self,
         dataset: BaseDataset,
         cfg: Config,
-        prefetch: int = 4,
+        prefetch: int = None,
         seed: int = 0,
         process_index: int = None,
         process_count: int = None,
@@ -63,6 +63,8 @@ class Loader:
     ):
         self.dataset = dataset
         self.cfg = cfg
+        if prefetch is None:  # default from config (cfg.data.prefetch)
+            prefetch = int(getattr(cfg.data, "prefetch", 4))
         self.prefetch = max(1, prefetch)
         self.base_seed = int(seed)  # per-item seeds derive from this
         self.rng = np.random.RandomState(seed)  # direct _make() fallback only
@@ -83,6 +85,7 @@ class Loader:
         # already running keeps producing full batches for a short overlap,
         # which is a harmless superset).
         self._labels: Dict[str, bool] = {}
+        self._feats_dtype: Dict[str, Any] = {}  # split -> np dtype or None
         # producer-side state
         self.iterators: Dict[str, int] = {s: 0 for s in dataset.split_ix}
         self.split_order: Dict[str, List[int]] = {
@@ -185,6 +188,18 @@ class Loader:
         (see make_batch labels=False)."""
         self._labels[split] = bool(labels)
 
+    def set_feats_dtype(self, dtype, split: str) -> None:
+        """Emit batch.feats in `dtype` (e.g. ml_dtypes.bfloat16) for ONE
+        split: moves the transfer-dtype cast into the prefetch workers,
+        off the consumer thread (None restores float32).  Like set_labels,
+        in-flight items keep the previous dtype for a short overlap —
+        consumers must accept either (the batched eval pipeline casts
+        only when the dtype still differs)."""
+        self._feats_dtype[split] = dtype
+
+    def feats_dtype_for(self, split: str):
+        return self._feats_dtype.get(split)
+
     def labels_for(self, split: str) -> bool:
         return self._labels.get(split, True)
 
@@ -279,6 +294,10 @@ class _Prefetcher:
                 return
             seq, pos, order, ix, wrapped, seed, resume = self._next_position()
             batch, meta = ld._make(ix, seed, labels=ld.labels_for(self.split))
+            fdt = ld.feats_dtype_for(self.split)
+            if fdt is not None and batch.feats.dtype != fdt:
+                # transfer-dtype cast in the worker (off the consumer thread)
+                batch = batch._replace(feats=batch.feats.astype(fdt))
             meta.wrapped = wrapped
             with self._buf_cv:
                 self._buf[seq] = (batch, meta, resume)
@@ -302,11 +321,17 @@ class _Prefetcher:
     def get(self):
         while True:
             try:
-                return self.q.get(timeout=0.25)
+                item = self.q.get(timeout=0.25)
             except queue.Empty:
                 if self._stop.is_set():
                     raise
                 continue
+            # wake producers immediately: they sleep on _buf_cv with a
+            # 0.25s poll, and a batched consumer draining a whole group in
+            # one burst would otherwise pay that wakeup latency per group
+            with self._buf_cv:
+                self._buf_cv.notify_all()
+            return item
 
     def stop(self) -> None:
         """Stop AND JOIN the workers: callers mutate loader producer state

@@ -16,9 +16,12 @@ video through a Python step loop).
 """
 from __future__ import annotations
 
+import gc as _gc
 import json
 import logging
 import os
+import queue as _pyq
+import threading
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -36,7 +39,7 @@ log = logging.getLogger("echr_tpu.eval")
 PROP_BUCKETS = (64, 128, 256, 512, 1024)
 
 
-def _pad_props(ind, soi, n_bucket):
+def _pad_props(ind, soi, n_bucket, device=True):
     import jax.numpy as jnp
 
     n = len(ind)
@@ -47,6 +50,8 @@ def _pad_props(ind, soi, n_bucket):
         pi[:n] = np.asarray(ind)[:n]
         ps[:n] = np.asarray(soi)[:n].reshape(n, 2)
         pm[:n] = 1.0
+    if not device:  # batched callers stack on host, then ONE device_put
+        return ProposalBatch(pi, ps, pm)
     return ProposalBatch(jnp.asarray(pi), jnp.asarray(ps), jnp.asarray(pm))
 
 
@@ -132,6 +137,7 @@ def eval_split(
     flag_eval_what: str = "tap_cg",
 ) -> Tuple[Dict, Dict, np.ndarray]:
     """Returns (predictions, score dict, mean val losses) like the reference."""
+    import jax
     import jax.numpy as jnp
 
     kw = dict(eval_kwargs or {})
@@ -198,17 +204,19 @@ def eval_split(
             )
 
             nb_sel = PROP_BUCKETS[-1]
-            idx_b, cnt_b, conf_b = select_topk_batched(
+            # ONE host round trip for all three arrays (device_get batches
+            # the transfers; 3x sequential np.asarray pays 3x the relay RTT)
+            idx_np, cnt_np, conf_np = jax.device_get(select_topk_batched(
                 pred_props[None], jnp.asarray([meta.n_frames], jnp.int32),
-                topN=topN, nb=nb_sel, val_score_thres=val_score_thres)
-            cnt = int(np.asarray(cnt_b)[0])
+                topN=topN, nb=nb_sel, val_score_thres=val_score_thres))
+            cnt = int(cnt_np[0])
             if flag_eval_what == "tap" and cnt > nb_sel:
                 use_dev_sel = False  # tie storm: exactness needs the grid
             else:
                 ind, soi, ts, tp = unpack_topk_selection(
-                    np.asarray(idx_b)[0], cnt, nb_sel, cfg.tap.K,
+                    idx_np[0], cnt, nb_sel, cfg.tap.K,
                     meta.n_frames, meta.duration, featstamp_to_time,
-                    np.asarray(conf_b)[0])
+                    conf_np[0])
                 # cg_select from the host-side label grid at the selected
                 # anchors, like P.top_proposals's cg_gts[n_idx, k_idx]
                 gi = getattr(meta, "gts_index", None)
@@ -217,7 +225,7 @@ def eval_split(
                     cg_gts = np.asarray(gi) * (
                         np.asarray(iou)
                         >= cfg.tap.iou_threshold_for_good_proposal)
-                    flat = np.asarray(idx_b)[0][: min(cnt, nb_sel)].astype(np.int64)
+                    flat = idx_np[0][: min(cnt, nb_sel)].astype(np.int64)
                     cg_sel_np = cg_gts[flat // cfg.tap.K, flat % cfg.tap.K]
                     cg_sel = cg_sel_np.astype(np.int64).tolist()
                 else:
@@ -419,6 +427,13 @@ def eval_split_batched(
         "tap", "tap_cg", "SOTA_TEP")
     labels_before = loader.labels_for(split)
     loader.set_labels(not decode_only, split)
+    feats_dtype_before = loader.feats_dtype_for(split)
+    if cfg.runtime.transfer_dtype == "bfloat16" and decode_only:
+        # cast feats in the prefetch workers instead of the consumer
+        # thread.  decode_only guard: the val-loss path consumes the
+        # stacked batch tree directly, and its feats must stay float32
+        # (the transfer cast is an encode-input optimization only)
+        loader.set_feats_dtype(np.dtype(jnp.bfloat16), split)
     loader.reset_iterator(split)
     vocab = loader.dataset.ix_to_word
     predictions: Dict[str, List[dict]] = {}
@@ -436,9 +451,11 @@ def eval_split_batched(
 
     # wall-time breakdown (VERDICT r3 next-2): written to the log at the
     # end and into eval_kwargs["timing_out"] when the caller passes a dict
-    tm = {"loader": 0.0, "host_prep": 0.0, "select_fetch": 0.0,
+    tm = {"loader": 0.0, "host_prep": 0.0, "prep_stack": 0.0,
+          "prep_put": 0.0, "prep_encode": 0.0, "select_fetch": 0.0,
           "host_select": 0.0, "loss_fetch": 0.0, "decode_dispatch": 0.0,
-          "decode_fetch": 0.0, "groups": 0, "grid_fallbacks": 0}
+          "decode_fetch": 0.0, "assemble": 0.0, "groups": 0,
+          "grid_fallbacks": 0}
 
     def shard(x):
         return jax.device_put(x, _dp) if mesh is not None else x
@@ -464,15 +481,25 @@ def eval_split_batched(
             pad_to = ((batch_videos + dp - 1) // dp) * dp
         items_p = items + [items[-1]] * (pad_to - B)
 
+        t_s = _clk.time()
         feats_np = np.stack([b.feats for b, _ in items_p])
+        tm["prep_stack"] += _clk.time() - t_s
+        t_s = _clk.time()
         if cfg.runtime.transfer_dtype == "bfloat16":
             # halve the dominant host->device payload; upcast on device so
-            # downstream dtypes are unchanged (see RuntimeConfig.transfer_dtype)
-            feats_b = shard(jnp.asarray(
-                feats_np.astype(jnp.bfloat16)).astype(jnp.float32))
+            # downstream dtypes are unchanged (see RuntimeConfig.transfer_dtype).
+            # The cast usually already happened in the prefetch workers
+            # (loader.set_feats_dtype) — only in-flight overlap items or
+            # non-prefetched paths still arrive float32 here.
+            if feats_np.dtype != np.dtype(jnp.bfloat16):
+                feats_np = feats_np.astype(jnp.bfloat16)
+            feats_b = shard(jnp.asarray(feats_np).astype(jnp.float32))
         else:
             feats_b = shard(jnp.asarray(feats_np))
+        tm["prep_put"] += _clk.time() - t_s
+        t_s = _clk.time()
         tap_feats_b, pred_props_b = ES.encode(tap_params, feats_b, cfg)
+        tm["prep_encode"] += _clk.time() - t_s
         a = {"items": items, "items_p": items_p, "B": B, "feats_b": feats_b,
              "tap_feats_b": tap_feats_b, "pred_props_b": pred_props_b}
         # tap/tap_cg without NMS: top-N selection runs ON DEVICE
@@ -498,10 +525,15 @@ def eval_split_batched(
             # `len(cg_sel)` check: a video whose selection is empty
             # contributes no loss but DOES count in the /iter denominator
             # (reference: eval_utils.py:227)
-            stacked = jax.tree.map(
-                lambda *xs: shard(jnp.stack([jnp.asarray(x) for x in xs])),
+            # stack on host, then ONE batched device transfer for the whole
+            # VideoBatch tree (per-leaf jnp.stack+shard pays the relay RTT
+            # per field)
+            stacked_np = jax.tree.map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
                 *[b for b, _ in items_p],
             )
+            stacked = (jax.device_put(stacked_np, _dp) if mesh is not None
+                       else jax.device_put(stacked_np))
             a["loss_m"] = ES.val_loss(
                 tap_params, cg_params, stacked, cfg,
                 phase=("tap" if flag_eval_what == "tap" else "tap_cg"),
@@ -521,9 +553,9 @@ def eval_split_batched(
 
         t0 = _clk.time()
         if a["device_sel"]:
-            idx_np = np.asarray(a["sel_dev"][0])
-            cnt_np = np.asarray(a["sel_dev"][1])
-            conf_np = np.asarray(a["sel_dev"][2])
+            # ONE host round trip for all three arrays (device_get batches
+            # the transfers; sequential np.asarray pays the relay RTT each)
+            idx_np, cnt_np, conf_np = jax.device_get(a["sel_dev"])
             pp_b = None
         else:
             pp_b = np.asarray(a["pred_props_b"])
@@ -570,12 +602,12 @@ def eval_split_batched(
 
         if "loss_m" in a and any(len(s[0]) for s in sel):
             t0 = _clk.time()
-            m = a["loss_m"]
+            m = jax.device_get(a["loss_m"])  # one batched transfer
             has_sel = np.array([len(s[0]) > 0 for s in sel], bool)
-            loss_sum[0] += float(np.asarray(m["tap_loss"])[:B][has_sel].sum())
+            loss_sum[0] += float(m["tap_loss"][:B][has_sel].sum())
             if flag_eval_what != "tap":
-                loss_sum[1] += float(np.asarray(m["cg_loss"])[:B][has_sel].sum())
-                loss_sum[2] += float(np.asarray(m["total_loss"])[:B][has_sel].sum())
+                loss_sum[1] += float(m["cg_loss"][:B][has_sel].sum())
+                loss_sum[2] += float(m["total_loss"][:B][has_sel].sum())
             tm["loss_fetch"] += _clk.time() - t0
 
         if flag_eval_what == "tap":
@@ -593,12 +625,21 @@ def eval_split_batched(
         t0 = _clk.time()
         nb = _prop_bucket(max_n)
         sel_p = sel + [sel[-1]] * (len(items_p) - B)
-        props = jax.tree.map(
-            lambda *xs: shard(jnp.stack(xs)),
-            *[_pad_props(ind[:nb], soi[:nb], nb) for (ind, soi, _, _) in sel_p],
+        # ONE batched host->device transfer for props+lda+frame_mask
+        # (device_put on a pytree issues the copies together; per-array
+        # jnp.asarray pays the relay RTT each)
+        props_np = jax.tree.map(
+            lambda *xs: np.stack(xs),
+            *[_pad_props(ind[:nb], soi[:nb], nb, device=False)
+              for (ind, soi, _, _) in sel_p],
         )
-        lda_b = shard(jnp.asarray(np.stack([b.lda for b, _ in items_p])))
-        fm_b = shard(jnp.asarray(np.stack([b.frame_mask for b, _ in items_p])))
+        lda_np = np.stack([b.lda for b, _ in items_p])
+        fm_np = np.stack([b.frame_mask for b, _ in items_p])
+        if mesh is not None:
+            props, lda_b, fm_b = jax.device_put((props_np, lda_np, fm_np),
+                                                _dp)
+        else:
+            props, lda_b, fm_b = jax.device_put((props_np, lda_np, fm_np))
         feats_b, tap_feats_b = a["feats_b"], a["tap_feats_b"]
         if beam_size > 1:
             seq_b, logprob_b = ES.beam(
@@ -620,15 +661,24 @@ def eval_split_batched(
         tm["decode_dispatch"] += _clk.time() - t0
         return (items, sel, nb, seq_b, logps_b, active_b)
 
-    def collect(entry):
-        if entry is None:
-            return
+    def _collect_entry(entry):
+        """Blocking decode fetch + caption assembly for one group.  Runs on
+        the ASSEMBLER THREAD (async_assemble, the default): the fetch wait
+        releases the GIL and the Python assembly overlaps the main thread's
+        device dispatches, so neither shows up in the pipeline's critical
+        path.  predictions is written only from this thread (or only from
+        the main thread when async_assemble=False) — never both."""
         t0 = _clk.time()
         items, sel, nb, seq_b, logps_b, active_b = entry
         is_beam = active_b is None  # beam entries carry [B, N] total logprobs
-        seq_np, logps_np = np.asarray(seq_b), np.asarray(logps_b)
-        active_np = None if is_beam else np.asarray(active_b)
+        if is_beam:
+            seq_np, logps_np = jax.device_get((seq_b, logps_b))
+            active_np = None
+        else:  # one batched transfer for the whole entry (single relay RTT)
+            seq_np, logps_np, active_np = jax.device_get(
+                (seq_b, logps_b, active_b))
         tm["decode_fetch"] += _clk.time() - t0
+        t0 = _clk.time()
         for i, ((batch, meta), (ind, soi, ts, tp)) in enumerate(zip(items, sel)):
             n_real = min(len(ind), nb)
             if n_real == 0 or (not is_beam and not bool(active_np[i][0])):
@@ -636,20 +686,67 @@ def eval_split_batched(
             sents = decode_sequence(vocab, seq_np[i][:n_real])
             cg_score = (logps_np[i][:n_real] if is_beam
                         else logps_np[i][:n_real].sum(axis=1))
+            # bulk-convert once (per-item float()/list() boxing of numpy
+            # scalars is ~4x slower across a 12k-caption pass)
+            cg_l = cg_score.astype(float).tolist()
+            tp_l = np.asarray(tp[:n_real], dtype=float).tolist()
+            ts_l = np.asarray(ts[:n_real], dtype=float).tolist()
+            n = len(sents)
             vid_info = [
                 {
                     "sentence": s,
-                    "timestamp": list(ts[j]),
-                    "sentence_confidence": float(cg_score[j]),
-                    "proposal_score": float(tp[j]),
-                    "re_score": 10 * float(tp[j]) + float(cg_score[j]),
-                    "num": [j, len(sents)],
+                    "timestamp": ts_l[j],
+                    "sentence_confidence": cg_l[j],
+                    "proposal_score": tp_l[j],
+                    "re_score": 10 * tp_l[j] + cg_l[j],
+                    "num": [j, n],
                 }
                 for j, s in enumerate(sents)
             ]
             if is_reranking:
                 vid_info = P.rerank_top10(vid_info)
             predictions[meta.vid] = vid_info
+        tm["assemble"] += _clk.time() - t0
+
+    # --- assembler thread (VERDICT r3 next-2): decode fetches + caption
+    # assembly off the main thread.  Bounded queue = the in-flight decode
+    # cap (backpressure: collect() blocks when the assembler falls behind).
+    asm_q: "_pyq.Queue" = _pyq.Queue(maxsize=inflight)
+    asm_exc: List[BaseException] = []
+
+    def _asm_run():
+        while True:
+            entry = asm_q.get()
+            if entry is None:
+                return
+            if asm_exc:
+                continue  # keep draining so collect() never deadlocks
+            try:
+                _collect_entry(entry)
+            except BaseException as e:  # re-raised at join
+                asm_exc.append(e)
+
+    async_assemble = bool(kw.get("async_assemble", True))
+    asm_thread = None
+    if async_assemble:
+        asm_thread = threading.Thread(
+            target=_asm_run, name="eval-assembler", daemon=True)
+        asm_thread.start()
+
+    def collect(entry):
+        if entry is None:
+            return
+        if asm_thread is not None:
+            asm_q.put(entry)
+        else:
+            _collect_entry(entry)
+
+    def finish_assembly():
+        if asm_thread is not None:
+            asm_q.put(None)
+            asm_thread.join()
+            if asm_exc:
+                raise asm_exc[0]
 
     def drain(a_keep: int, b_keep: int):
         """Advance the pipeline so at most a_keep stage-A and b_keep
@@ -665,40 +762,57 @@ def eval_split_batched(
 
     import jax
 
-    t_load = _clk.time()
-    while not done:
-        batch, meta = loader.get_batch(split)
-        tm["loader"] += _clk.time() - t_load
-        usable = meta.proposal_num > 0 and meta.n_frames > 1
-        if flag_eval_what == "SOTA_TEP" and meta.SOTA_scores is None:
-            usable = False  # reference: bad video for SOTA_TEP (eval_utils.py:77-80)
-        if usable:
-            it_vids += 1
-        # bad videos do NOT count toward num_vids_eval, matching eval_split
-        # and the reference (eval_utils.py:44 `continue`s before iter+=1)
-        done = meta.wrapped or it_vids >= num_vids_eval
-        if usable:
-            groups.setdefault(meta.t_bucket, []).append((batch, meta))
-            if len(groups[meta.t_bucket]) >= batch_videos:
-                a = stage_a(meta.t_bucket)
-                if a is not None:
-                    encoded.append(a)
-                drain(1, inflight)
+    # Pause cyclic GC for the pass: the predictions dict accumulates
+    # millions of small dicts/strings on full-split evals and every gen-2
+    # collection rescans them — measured 190s -> ~140s on the 4,917-video
+    # fullscale sweep (docs/BENCH_NOTES.md).  Refcounting still frees all
+    # the per-group numpy buffers; a collect runs at restore.
+    gc_was_enabled = _gc.isenabled()
+    if gc_was_enabled and bool(kw.get("gc_pause", True)):
+        _gc.disable()
+    try:
         t_load = _clk.time()
-    for bucket in list(groups):
-        a = stage_a(bucket)
-        if a is not None:
-            encoded.append(a)
-    drain(0, 0)
+        while not done:
+            batch, meta = loader.get_batch(split)
+            tm["loader"] += _clk.time() - t_load
+            usable = meta.proposal_num > 0 and meta.n_frames > 1
+            if flag_eval_what == "SOTA_TEP" and meta.SOTA_scores is None:
+                usable = False  # reference: bad video for SOTA_TEP (eval_utils.py:77-80)
+            if usable:
+                it_vids += 1
+            # bad videos do NOT count toward num_vids_eval, matching
+            # eval_split and the reference (eval_utils.py:44 `continue`s
+            # before iter+=1)
+            done = meta.wrapped or it_vids >= num_vids_eval
+            if usable:
+                groups.setdefault(meta.t_bucket, []).append((batch, meta))
+                if len(groups[meta.t_bucket]) >= batch_videos:
+                    a = stage_a(meta.t_bucket)
+                    if a is not None:
+                        encoded.append(a)
+                    drain(1, inflight)
+            t_load = _clk.time()
+        for bucket in list(groups):
+            a = stage_a(bucket)
+            if a is not None:
+                encoded.append(a)
+        drain(0, 0)
+        finish_assembly()
+    finally:
+        if gc_was_enabled and not _gc.isenabled():
+            _gc.enable()
+            _gc.collect()
     loader.set_labels(labels_before, split)
+    loader.set_feats_dtype(feats_dtype_before, split)
     if tm["groups"]:
         log.info(
             "eval pipeline breakdown (%d groups): loader %.2fs, host_prep "
             "%.2fs, select_fetch %.2fs, host_select %.2fs, loss_fetch %.2fs, "
-            "decode_dispatch %.2fs, decode_fetch %.2fs, grid_fallbacks %d",
+            "decode_dispatch %.2fs, decode_fetch %.2fs, assemble %.2fs, "
+            "grid_fallbacks %d",
             tm["groups"], tm["loader"], tm["host_prep"], tm["select_fetch"],
             tm["host_select"], tm["loss_fetch"], tm["decode_dispatch"],
-            tm["decode_fetch"], tm["grid_fallbacks"])
+            tm["decode_fetch"], tm["assemble"], tm["grid_fallbacks"])
     if isinstance(kw.get("timing_out"), dict):
         kw["timing_out"].update(tm)
 
