@@ -105,9 +105,11 @@ class CaptionService:
         pending = None  # previous chunk's dispatched-but-uncollected decode
 
         def collect(entry):
+            import jax
+
             chunk, sels, nb, seq_d, score_d, is_beam = entry
-            seq_np = np.asarray(seq_d)
-            score_np = np.asarray(score_d)
+            # one batched transfer (sequential np.asarray pays the RTT each)
+            seq_np, score_np = jax.device_get((seq_d, score_d))
             if not is_beam:
                 score_np = score_np.sum(axis=2)
             for i, (r, (ind, soi, ts, tp)) in enumerate(zip(chunk, sels)):
@@ -178,11 +180,12 @@ class CaptionService:
                     nb_sel = PROP_BUCKETS[-1]
                     nfr = np.array([int(fmask[i].sum()) for i in range(Bp)],
                                    np.int32)
-                    idx_b, cnt_b, conf_b = self._steps.select_topk(
-                        pred_props, shard(jnp.asarray(nfr)),
-                        topN=self.topN, nb=nb_sel)
-                    idx_np, cnt_np, conf_np = (
-                        np.asarray(idx_b), np.asarray(cnt_b), np.asarray(conf_b))
+                    import jax
+
+                    idx_np, cnt_np, conf_np = jax.device_get(
+                        self._steps.select_topk(
+                            pred_props, shard(jnp.asarray(nfr)),
+                            topN=self.topN, nb=nb_sel))
                     for i, r in enumerate(chunk):
                         ind, soi, ts, tp = unpack_topk_selection(
                             idx_np[i], cnt_np[i], nb_sel, K, int(nfr[i]),
@@ -214,9 +217,16 @@ class CaptionService:
                     pi[i, :n] = np.asarray(ind)[:n]
                     ps[i, :n] = np.asarray(soi)[:n]
                     pm[i, :n] = 1.0
-                props = ProposalBatch(shard(jnp.asarray(pi)), shard(jnp.asarray(ps)),
-                                      shard(jnp.asarray(pm)))
-                lda_d, fm_d = shard(jnp.asarray(lda)), shard(jnp.asarray(fmask))
+                # one batched host->device transfer for props+lda+frame_mask
+                import jax
+
+                if self.mesh is not None:
+                    pi_d, ps_d, pm_d, lda_d, fm_d = jax.device_put(
+                        (pi, ps, pm, lda, fmask), self._dp_sharding)
+                else:
+                    pi_d, ps_d, pm_d, lda_d, fm_d = jax.device_put(
+                        (pi, ps, pm, lda, fmask))
+                props = ProposalBatch(pi_d, ps_d, pm_d)
 
                 if self.beam_size > 1:
                     seq, logp = self._steps.beam(
