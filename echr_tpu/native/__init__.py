@@ -67,6 +67,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.nms_external.argtypes = [f64p, f64p, f64p, ctypes.c_int,
                                      ctypes.c_double, ctypes.c_int, i32p]
         lib.nms_external.restype = ctypes.c_int
+        lib.render_captions.argtypes = [
+            ctypes.c_char_p, i32p, ctypes.c_int, i32p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
+        lib.render_captions.restype = ctypes.c_int64
         # smoke-run a tiny grid: catches a loadable-but-broken binary (e.g.
         # built with -march=native on a different CPU and copied over)
         # before any production call site dispatches to it
@@ -111,6 +116,31 @@ def nms_temporal(props: np.ndarray, scores: np.ndarray, overlap: float,
     n = lib.nms_temporal(props, scores, len(scores), float(overlap),
                          len(pick), float(pad), pick)
     return pick[:n]
+
+
+def render_captions(words_packed: bytes, offsets: np.ndarray,
+                    seq: np.ndarray) -> list:
+    """ids -> sentences via the native joiner (GIL-free during the C call).
+
+    words_packed/offsets come from utils.text's packed-vocab cache; seq is
+    [N, L] int32 (id 0 ends a row; out-of-range ids render as nothing).
+    Returns a list of N python strings."""
+    lib = _load()
+    assert lib is not None
+    seq = np.ascontiguousarray(seq, dtype=np.int32)
+    N, L = seq.shape
+    V = len(offsets) - 1
+    # worst case: every token is the longest word + a separator
+    max_word = int(np.max(np.diff(offsets))) if V > 0 else 0
+    cap = N * L * (max_word + 1) + 1
+    out = ctypes.create_string_buffer(cap)
+    out_off = np.empty((N + 1,), np.int64)
+    w = lib.render_captions(words_packed, offsets, V, seq, N, L, out,
+                            cap, out_off)
+    assert w >= 0, "render_captions capacity underestimated"
+    raw = out.raw
+    return [raw[out_off[i]:out_off[i + 1]].decode("utf-8")
+            for i in range(N)]
 
 
 def nms_external(props: np.ndarray, prop_scores: np.ndarray, sent_scores: np.ndarray,

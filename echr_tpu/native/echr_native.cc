@@ -146,4 +146,42 @@ int nms_external(const double* props, const double* prop_scores,
   return n_pick;
 }
 
+// render_captions — ids -> space-joined sentences, the eval pipelines' host
+// assembly hot loop (echr_tpu/utils/text.decode_sequence; the reference
+// does this per token in Python, misc/utils.py:24-38).  Runs GIL-free via
+// ctypes so caption assembly overlaps the prefetch workers.
+//
+// words:   packed UTF-8 bytes of all vocabulary words, concatenated
+// offsets: [V + 1] int32 — word i is words[offsets[i] : offsets[i+1]];
+//          id 0 (END) and any id >= V render as "" (id 0 stops the row)
+// seq:     [N, L] int32 token ids
+// out:     caller buffer of capacity `cap` bytes
+// out_off: [N + 1] int64 — sentence i is out[out_off[i] : out_off[i+1]]
+// returns total bytes written, or -1 if `cap` is insufficient (caller
+// retries with a bigger buffer).
+int64_t render_captions(const char* words, const int32_t* offsets, int V,
+                        const int32_t* seq, int N, int L,
+                        char* out, int64_t cap, int64_t* out_off) {
+  int64_t w = 0;
+  for (int i = 0; i < N; ++i) {
+    out_off[i] = w;
+    const int32_t* row = seq + static_cast<int64_t>(i) * L;
+    bool first = true;
+    for (int t = 0; t < L; ++t) {
+      const int32_t ix = row[t];
+      if (ix <= 0) break;  // END stops the row
+      if (ix >= V) continue;  // out-of-vocab guard: render as nothing
+      const int32_t a = offsets[ix], b = offsets[ix + 1];
+      const int32_t len = b - a;
+      if (w + len + 1 > cap) return -1;
+      if (!first) out[w++] = ' ';
+      std::copy(words + a, words + b, out + w);
+      w += len;
+      first = false;
+    }
+  }
+  out_off[N] = w;
+  return w;
+}
+
 }  // extern "C"

@@ -5,25 +5,33 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
-# vocab-dict -> object-array lookup table, cached by identity (the vocab is
-# loaded once per run; rendering ~370k tokens/pass through per-token dict
-# lookups was a measurable slice of the e2e eval pipeline)
-_TABLE_CACHE: Dict[int, Tuple[Dict[str, str], np.ndarray]] = {}
+# vocab-dict -> rendering tables, cached by identity (the vocab is loaded
+# once per run; rendering ~370k tokens/pass through per-token dict lookups
+# was a measurable slice of the e2e eval pipeline).  Two forms per vocab:
+# an object array for the numpy path, and a (packed utf-8 bytes, [V+1]
+# offsets) pair for the native GIL-free joiner.
+_TABLE_CACHE: Dict[int, Tuple[Dict[str, str], np.ndarray, bytes, np.ndarray]] = {}
 
 
-def _lookup_table(ix_to_word: Dict[str, str]) -> np.ndarray:
+def _tables(ix_to_word: Dict[str, str]):
     key = id(ix_to_word)
     hit = _TABLE_CACHE.get(key)
     if hit is not None and hit[0] is ix_to_word:
-        return hit[1]
+        return hit
     size = max((int(k) for k in ix_to_word), default=0) + 1
     table = np.empty(size, dtype=object)
     table[:] = ""
     for k, w in ix_to_word.items():
         table[int(k)] = w
+    packed = bytearray()
+    offsets = np.zeros((size + 1,), np.int32)
+    for i in range(size):
+        packed.extend(table[i].encode("utf-8"))
+        offsets[i + 1] = len(packed)
+    entry = (ix_to_word, table, bytes(packed), offsets)
     # keep the dict reference alive so the id() key cannot be reused
-    _TABLE_CACHE[key] = (ix_to_word, table)
-    return table
+    _TABLE_CACHE[key] = entry
+    return entry
 
 
 def decode_sequence(ix_to_word: Dict[str, str], seq: np.ndarray) -> List[str]:
@@ -31,7 +39,15 @@ def decode_sequence(ix_to_word: Dict[str, str], seq: np.ndarray) -> List[str]:
     seq = np.asarray(seq)
     if seq.ndim == 1:
         seq = seq[None]
-    table = _lookup_table(ix_to_word)
-    # a row stops at its first id <= 0 (END) — tokens after it are dropped
+    _, table, packed, offsets = _tables(ix_to_word)
+
+    from echr_tpu import native
+
+    if native.available():
+        # C++ joiner: releases the GIL, so caption assembly overlaps the
+        # prefetch workers instead of contending with them
+        return native.render_captions(packed, offsets, seq)
+
+    # numpy fallback: a row stops at its first id <= 0 (END)
     keep = np.logical_and.accumulate(seq > 0, axis=-1)
     return [" ".join(table[row[k]]) for row, k in zip(seq, keep)]

@@ -107,3 +107,38 @@ def test_native_grid_used_by_labels_api():
     iou, gts, mask = labels.iou_grid([(0, 5), (3, 9)], 30, 16)
     iou2, gts2 = _numpy_grid([(0, 5), (3, 9)], 30, 16)
     np.testing.assert_allclose(iou, iou2, atol=2e-7)
+
+
+def test_native_render_captions_matches_python():
+    """The native GIL-free caption joiner (utils/text.decode_sequence's
+    dispatch target) vs the pure-python reference semantics
+    (reference: misc/utils.py:24-38): token-for-token sentence equality,
+    including END-stop, 1-D rows, and empty rows."""
+    from echr_tpu.utils.text import decode_sequence
+
+    if not native.available():  # toolchain-less environments: numpy path
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    vocab = {str(i): f"w{i}" for i in range(1, 257)}
+
+    def oracle(ix_to_word, seq):
+        out = []
+        for row in np.atleast_2d(np.asarray(seq)):
+            words = []
+            for ix in row:
+                if ix <= 0:
+                    break
+                words.append(ix_to_word[str(int(ix))])
+            out.append(" ".join(words))
+        return out
+
+    rng = np.random.RandomState(7)
+    for _ in range(200):
+        seq = rng.randint(0, 257, size=(rng.randint(1, 9),
+                                        rng.randint(1, 13))).astype(np.int32)
+        assert decode_sequence(vocab, seq) == oracle(vocab, seq)
+    # all-END and 1-D inputs
+    assert decode_sequence(vocab, np.zeros((3, 5), np.int32)) == ["", "", ""]
+    assert decode_sequence(vocab, np.array([1, 2, 0, 3], np.int32)) == ["w1 w2"]
