@@ -66,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "'shard_map' runs each batched step as an explicit "
                         "per-device program (Pallas kernels fire at local "
                         "shapes); default keeps the checkpoint's setting")
+    p.add_argument("--eval_inflight", type=int, default=None,
+                   help="dispatched-but-uncollected device batches the "
+                        "batched pipeline keeps in flight (default "
+                        "cfg.eval.eval_inflight; raise on high-RTT links)")
+    p.add_argument("--device_select", type=int, default=None,
+                   help="0 forces host-side top-N proposal selection "
+                        "(default cfg.eval.device_select=1: the tap/tap_cg "
+                        "no-NMS paths select on device)")
     p.add_argument("--split", type=str, default="val", choices=["val", "test"])
     # reference eval.py flag-surface compatibility (accepted no-ops):
     # --dataset is informational (eval.py:105, always ActivityNet here),
@@ -207,6 +215,10 @@ def main(argv=None) -> None:
             # reference standalone eval passes crits=None => no val losses
             # (eval.py:87-88); also engages the decode-only batcher fast path
             "get_eval_loss": False,
+            **({"eval_inflight": ns.eval_inflight}
+               if ns.eval_inflight is not None else {}),
+            **({"device_select": bool(ns.device_select)}
+               if ns.device_select is not None else {}),
         },
         flag_eval_what=ns.flag_eval_what,
     )
