@@ -174,150 +174,161 @@ def eval_split(
     bad_vid_num = 0
 
     progress_every = max(num_vids_eval // 100, 1)
-    while True:
-        batch, meta = loader.get_batch(split)
-        if it % progress_every == 0 and it:
-            # reference: eval_utils.py:41-42 progress print
-            log.info("generating result.json: %.1f%%", 100.0 * it / num_vids_eval)
-        if meta.proposal_num <= 0 or meta.n_frames <= 1:
-            if meta.wrapped or it >= num_vids_eval:
-                break
-            continue
+    # pause cyclic GC for the pass (same rationale + numbers as
+    # eval_split_batched: gen-2 rescans of the accumulated predictions
+    # grow quadratically on full-split evals)
+    gc_was_enabled = _gc.isenabled()
+    if gc_was_enabled and bool(kw.get("gc_pause", True)):
+        _gc.disable()
+    try:
+        while True:
+            batch, meta = loader.get_batch(split)
+            if it % progress_every == 0 and it:
+                # reference: eval_utils.py:41-42 progress print
+                log.info("generating result.json: %.1f%%", 100.0 * it / num_vids_eval)
+            if meta.proposal_num <= 0 or meta.n_frames <= 1:
+                if meta.wrapped or it >= num_vids_eval:
+                    break
+                continue
 
-        feats = jnp.asarray(batch.feats)
-        tap_feats, pred_props = encode_step(tap_params, batch, cfg)
+            feats = jnp.asarray(batch.feats)
+            tap_feats, pred_props = encode_step(tap_params, batch, cfg)
 
-        # device-side top-N selection for the tap/tap_cg no-NMS modes:
-        # fetch [nb] indices + count + confidences instead of the [T, K]
-        # score grid (VERDICT r3 next-5; selection-identical to
-        # P.top_proposals — see steps.select_topk_batched).  'tap' output
-        # is unbounded on the host path, so a threshold-tie storm whose
-        # count overflows the device slots falls back to the grid fetch.
-        sel = None
-        use_dev_sel = (
-            bool(kw.get("device_select", cfg.eval.device_select))
-            and flag_eval_what in ("tap", "tap_cg") and not nms_threshold)
-        if use_dev_sel:
-            from echr_tpu.engine.steps import (
-                select_topk_batched,
-                unpack_topk_selection,
-            )
-
-            nb_sel = PROP_BUCKETS[-1]
-            # ONE host round trip for all three arrays (device_get batches
-            # the transfers; 3x sequential np.asarray pays 3x the relay RTT)
-            idx_np, cnt_np, conf_np = jax.device_get(select_topk_batched(
-                pred_props[None], jnp.asarray([meta.n_frames], jnp.int32),
-                topN=topN, nb=nb_sel, val_score_thres=val_score_thres))
-            cnt = int(cnt_np[0])
-            if flag_eval_what == "tap" and cnt > nb_sel:
-                use_dev_sel = False  # tie storm: exactness needs the grid
-            else:
-                ind, soi, ts, tp = unpack_topk_selection(
-                    idx_np[0], cnt, nb_sel, cfg.tap.K,
-                    meta.n_frames, meta.duration, featstamp_to_time,
-                    conf_np[0])
-                # cg_select from the host-side label grid at the selected
-                # anchors, like P.top_proposals's cg_gts[n_idx, k_idx]
-                gi = getattr(meta, "gts_index", None)
-                iou = getattr(meta, "iou_scores", None)
-                if gi is not None and np.size(gi) and iou is not None:
-                    cg_gts = np.asarray(gi) * (
-                        np.asarray(iou)
-                        >= cfg.tap.iou_threshold_for_good_proposal)
-                    flat = idx_np[0][: min(cnt, nb_sel)].astype(np.int64)
-                    cg_sel_np = cg_gts[flat // cfg.tap.K, flat % cfg.tap.K]
-                    cg_sel = cg_sel_np.astype(np.int64).tolist()
-                else:
-                    cg_sel = []
-                sel = (ind, soi, cg_sel, ts, tp)
-        if sel is None:
-            need_grid = flag_eval_what in ("tap", "tap_cg")
-            pp = np.asarray(pred_props)[: meta.n_frames] if need_grid else None
-            masks = np.asarray(batch.tap_masks)[: meta.n_frames] if need_grid else None
-            sel = select_proposals(
-                flag_eval_what, batch, meta, pp, masks, cfg,
-                nms_threshold=nms_threshold, val_score_thres=val_score_thres,
-                topN=topN,
-            )
-        if sel is None:  # SOTA_TEP video without external proposals
-            log.info("bad video for SOTA_TEP, vid:%s", meta.vid)
-            bad_vid_num += 1
-            if meta.wrapped or it >= num_vids_eval:
-                break
-            continue
-        ind, soi, cg_sel, timestamps, tap_prob = sel
-
-        beam_size = int(kw.get("beam_size", cfg.eval.beam_size) or 1)
-        if len(ind) == 0:
-            sents: List[str] = []
-        elif flag_eval_what == "tap":
-            sents = ["" for _ in ind]
-            cg_score = [0.0] * len(ind)
-        else:
-            nb = _prop_bucket(len(ind))
-            props = _pad_props(ind[:nb], soi[:nb], nb)
-            n_real = min(len(ind), nb)
-            if beam_size > 1:
-                from echr_tpu.engine.steps import beam_decode_step
-
-                seq, logprob = beam_decode_step(
-                    cg_params, cfg, tap_feats, feats, jnp.asarray(batch.lda),
-                    jnp.asarray(batch.frame_mask), props, beam_size,
-                    length_alpha=float(kw.get("beam_length_alpha",
-                                              cfg.eval.beam_length_alpha)),
+            # device-side top-N selection for the tap/tap_cg no-NMS modes:
+            # fetch [nb] indices + count + confidences instead of the [T, K]
+            # score grid (VERDICT r3 next-5; selection-identical to
+            # P.top_proposals — see steps.select_topk_batched).  'tap' output
+            # is unbounded on the host path, so a threshold-tie storm whose
+            # count overflows the device slots falls back to the grid fetch.
+            sel = None
+            use_dev_sel = (
+                bool(kw.get("device_select", cfg.eval.device_select))
+                and flag_eval_what in ("tap", "tap_cg") and not nms_threshold)
+            if use_dev_sel:
+                from echr_tpu.engine.steps import (
+                    select_topk_batched,
+                    unpack_topk_selection,
                 )
-                seq_np = np.asarray(seq)[:n_real]
-                cg_score = np.asarray(logprob)[:n_real].astype(float).tolist()
-                sents = decode_sequence(vocab, seq_np)
-            else:
-                r_dec = None
-                if not greedy:
-                    import jax
 
-                    r_dec = jax.random.fold_in(
-                        jax.random.PRNGKey(int(kw.get("sample_seed", 0))), it)
-                seq, logps, active = decode_step(
-                    cg_params, cfg, tap_feats, feats, jnp.asarray(batch.lda),
-                    jnp.asarray(batch.frame_mask), props,
-                    greedy=greedy, temperature=temperature, rng=r_dec,
-                )
-                seq_np = np.asarray(seq)[:n_real]
-                if not bool(np.asarray(active)[0]):
-                    sents = []  # reference: sample() returned [] (all ended at t=1)
+                nb_sel = PROP_BUCKETS[-1]
+                # ONE host round trip for all three arrays (device_get batches
+                # the transfers; 3x sequential np.asarray pays 3x the relay RTT)
+                idx_np, cnt_np, conf_np = jax.device_get(select_topk_batched(
+                    pred_props[None], jnp.asarray([meta.n_frames], jnp.int32),
+                    topN=topN, nb=nb_sel, val_score_thres=val_score_thres))
+                cnt = int(cnt_np[0])
+                if flag_eval_what == "tap" and cnt > nb_sel:
+                    use_dev_sel = False  # tie storm: exactness needs the grid
                 else:
-                    cg_score = np.asarray(logps)[:n_real].sum(axis=1).astype(float).tolist()
+                    ind, soi, ts, tp = unpack_topk_selection(
+                        idx_np[0], cnt, nb_sel, cfg.tap.K,
+                        meta.n_frames, meta.duration, featstamp_to_time,
+                        conf_np[0])
+                    # cg_select from the host-side label grid at the selected
+                    # anchors, like P.top_proposals's cg_gts[n_idx, k_idx]
+                    gi = getattr(meta, "gts_index", None)
+                    iou = getattr(meta, "iou_scores", None)
+                    if gi is not None and np.size(gi) and iou is not None:
+                        cg_gts = np.asarray(gi) * (
+                            np.asarray(iou)
+                            >= cfg.tap.iou_threshold_for_good_proposal)
+                        flat = idx_np[0][: min(cnt, nb_sel)].astype(np.int64)
+                        cg_sel_np = cg_gts[flat // cfg.tap.K, flat % cfg.tap.K]
+                        cg_sel = cg_sel_np.astype(np.int64).tolist()
+                    else:
+                        cg_sel = []
+                    sel = (ind, soi, cg_sel, ts, tp)
+            if sel is None:
+                need_grid = flag_eval_what in ("tap", "tap_cg")
+                pp = np.asarray(pred_props)[: meta.n_frames] if need_grid else None
+                masks = np.asarray(batch.tap_masks)[: meta.n_frames] if need_grid else None
+                sel = select_proposals(
+                    flag_eval_what, batch, meta, pp, masks, cfg,
+                    nms_threshold=nms_threshold, val_score_thres=val_score_thres,
+                    topN=topN,
+                )
+            if sel is None:  # SOTA_TEP video without external proposals
+                log.info("bad video for SOTA_TEP, vid:%s", meta.vid)
+                bad_vid_num += 1
+                if meta.wrapped or it >= num_vids_eval:
+                    break
+                continue
+            ind, soi, cg_sel, timestamps, tap_prob = sel
+
+            beam_size = int(kw.get("beam_size", cfg.eval.beam_size) or 1)
+            if len(ind) == 0:
+                sents: List[str] = []
+            elif flag_eval_what == "tap":
+                sents = ["" for _ in ind]
+                cg_score = [0.0] * len(ind)
+            else:
+                nb = _prop_bucket(len(ind))
+                props = _pad_props(ind[:nb], soi[:nb], nb)
+                n_real = min(len(ind), nb)
+                if beam_size > 1:
+                    from echr_tpu.engine.steps import beam_decode_step
+
+                    seq, logprob = beam_decode_step(
+                        cg_params, cfg, tap_feats, feats, jnp.asarray(batch.lda),
+                        jnp.asarray(batch.frame_mask), props, beam_size,
+                        length_alpha=float(kw.get("beam_length_alpha",
+                                                  cfg.eval.beam_length_alpha)),
+                    )
+                    seq_np = np.asarray(seq)[:n_real]
+                    cg_score = np.asarray(logprob)[:n_real].astype(float).tolist()
                     sents = decode_sequence(vocab, seq_np)
+                else:
+                    r_dec = None
+                    if not greedy:
+                        import jax
 
-        if get_eval_loss and split != "test" and len(cg_sel):
-            m = val_loss_step(tap_params, cg_params, batch, cfg,
-                              phase=("tap" if flag_eval_what == "tap" else "tap_cg"))
-            loss_sum[0] += float(m["tap_loss"])
-            if flag_eval_what != "tap":
-                loss_sum[1] += float(m["cg_loss"])
-                loss_sum[2] += float(m["total_loss"])
+                        r_dec = jax.random.fold_in(
+                            jax.random.PRNGKey(int(kw.get("sample_seed", 0))), it)
+                    seq, logps, active = decode_step(
+                        cg_params, cfg, tap_feats, feats, jnp.asarray(batch.lda),
+                        jnp.asarray(batch.frame_mask), props,
+                        greedy=greedy, temperature=temperature, rng=r_dec,
+                    )
+                    seq_np = np.asarray(seq)[:n_real]
+                    if not bool(np.asarray(active)[0]):
+                        sents = []  # reference: sample() returned [] (all ended at t=1)
+                    else:
+                        cg_score = np.asarray(logps)[:n_real].sum(axis=1).astype(float).tolist()
+                        sents = decode_sequence(vocab, seq_np)
 
-        vid_info = []
-        for i, sent in enumerate(sents):
-            vid_info.append(
-                {
-                    "sentence": sent,
-                    "timestamp": list(timestamps[i]),
-                    "sentence_confidence": (cg_score[i] if sents else 0.0),
-                    "proposal_score": float(tap_prob[i]),
-                    "re_score": 10 * float(tap_prob[i]) + float(cg_score[i]),
-                    "num": [i, len(sents)],
-                }
-            )
-        if vid_info:
-            if is_reranking:
-                vid_info = P.rerank_top10(vid_info)
-            predictions[meta.vid] = vid_info
+            if get_eval_loss and split != "test" and len(cg_sel):
+                m = val_loss_step(tap_params, cg_params, batch, cfg,
+                                  phase=("tap" if flag_eval_what == "tap" else "tap_cg"))
+                loss_sum[0] += float(m["tap_loss"])
+                if flag_eval_what != "tap":
+                    loss_sum[1] += float(m["cg_loss"])
+                    loss_sum[2] += float(m["total_loss"])
 
-        it += 1
-        if meta.wrapped or it >= num_vids_eval:
-            break
+            vid_info = []
+            for i, sent in enumerate(sents):
+                vid_info.append(
+                    {
+                        "sentence": sent,
+                        "timestamp": list(timestamps[i]),
+                        "sentence_confidence": (cg_score[i] if sents else 0.0),
+                        "proposal_score": float(tap_prob[i]),
+                        "re_score": 10 * float(tap_prob[i]) + float(cg_score[i]),
+                        "num": [i, len(sents)],
+                    }
+                )
+            if vid_info:
+                if is_reranking:
+                    vid_info = P.rerank_top10(vid_info)
+                predictions[meta.vid] = vid_info
 
+            it += 1
+            if meta.wrapped or it >= num_vids_eval:
+                break
+
+    finally:
+        if gc_was_enabled and not _gc.isenabled():
+            _gc.enable()
+            _gc.collect()
     loader.set_labels(labels_before, split)
     pred2json = {
         "results": predictions,
