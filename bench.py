@@ -304,11 +304,27 @@ def bench_rl(cfg, tap_params, cg_params, B: int = 8):
                           jax.tree.map(jnp.array, cg_params))
     rng = jax.random.PRNGKey(5)
 
-    def one(st):
-        tap_l, gen, greedy = rl_rollout_step_batched(
-            st.tap_params, st.cg_params, batch, cfg, "tap_cg", rng)
-        reward = jnp.full(gen.shape, 0.1, jnp.float32)
-        return rl_update_step_batched(st, batch, cfg, "tap_cg", rng, gen, reward)
+    if cfg.runtime.scst_resident_vjp:
+        # resident-vjp SCST: the production single-process route — the
+        # rollout exports its sampled-pass VJP residuals and the update
+        # skips the forced re-decode forward (engine/steps.py)
+        from echr_tpu.engine.steps import (
+            rl_pullback_update_step_batched,
+            rl_rollout_vjp_step_batched,
+        )
+
+        def one(st):
+            tap_l, logps, gen, greedy, res = rl_rollout_vjp_step_batched(
+                st.tap_params, st.cg_params, batch, cfg, "tap_cg", rng)
+            reward = jnp.full(gen.shape, 0.1, jnp.float32)
+            return rl_pullback_update_step_batched(
+                st, batch, cfg, "tap_cg", rng, gen, reward, tap_l, logps, res)
+    else:
+        def one(st):
+            tap_l, gen, greedy = rl_rollout_step_batched(
+                st.tap_params, st.cg_params, batch, cfg, "tap_cg", rng)
+            reward = jnp.full(gen.shape, 0.1, jnp.float32)
+            return rl_update_step_batched(st, batch, cfg, "tap_cg", rng, gen, reward)
 
     t0 = time.time()
     st, m = one(st)

@@ -309,6 +309,22 @@ class RuntimeConfig:
     # losses.language_model_loss over decoder_forward.  Auto-disabled when
     # scheduled sampling is active (the scan then needs per-step logprobs).
     fused_loss_head: bool = True
+    # Batched SCST keeps the sampled rollout's VJP residuals DEVICE-RESIDENT
+    # across the host METEOR-reward boundary (jax.vjp over the sampling scan
+    # + closure_convert residual export), so the policy-gradient update is
+    # pullback + Adam only — it skips the forced re-decode forward the
+    # two-program structure otherwise forces (engine/steps.
+    # rl_rollout_vjp_step_batched / rl_pullback_update_step_batched).
+    # Exact: the sampled pass and the forced replay share one jaxpr modulo
+    # where the token indices come from, so gradients match the two-program
+    # path (tests/test_rl_vjp.py).  DEFAULT OFF — measured NET LOSS on the
+    # axon TPU (117 vs 136 videos/s at B=8): the export materializes 2.2 GB
+    # / 207 residual arrays per step, whose HBM write+read (~5.4 ms) plus
+    # the 200+-array program interface costs more than the ~12 ms forward
+    # it saves (EIGHTH negative result, docs/BENCH_NOTES.md).  May win on a
+    # directly-attached TPU where dispatch is cheap; flip to re-measure.
+    # Single-process only: under a mesh train() uses the two-program steps.
+    scst_resident_vjp: bool = False
 
 
 # ---------------------------------------------------------------------------

@@ -623,7 +623,9 @@ def _self_critical_step_batched(state, stacked, metas, cfg, phase, step_rng,
         self_critical_reward_batched,
     )
     from echr_tpu.engine.steps import (
+        rl_pullback_update_step_batched,
         rl_rollout_step_batched,
+        rl_rollout_vjp_step_batched,
         rl_update_step_batched,
     )
 
@@ -633,9 +635,19 @@ def _self_critical_step_batched(state, stacked, metas, cfg, phase, step_rng,
     prop_mask = np.asarray(stacked.prop_mask)
     if mesh is not None:
         stacked = _shard_batch(stacked, mesh, multihost)
-    tap_l, gen_seq, greedy_seq = rl_rollout_step_batched(
-        state.tap_params, state.cg_params, stacked, cfg, phase, step_rng
-    )
+    # resident-vjp SCST: the rollout exports its sampled-pass VJP residuals
+    # as device arrays, so the update skips the forced re-decode forward
+    # (engine/steps.py "Resident-VJP SCST").  Single-process only — under a
+    # mesh the residual export would pin GSPMD layouts we haven't validated.
+    use_vjp = bool(cfg.runtime.scst_resident_vjp) and mesh is None
+    if use_vjp:
+        tap_l, logps, gen_seq, greedy_seq, res = rl_rollout_vjp_step_batched(
+            state.tap_params, state.cg_params, stacked, cfg, phase, step_rng
+        )
+    else:
+        tap_l, gen_seq, greedy_seq = rl_rollout_step_batched(
+            state.tap_params, state.cg_params, stacked, cfg, phase, step_rng
+        )
 
     def rows_of(arr):
         """{global row index: [N, L] numpy} for rows this host can read."""
@@ -680,6 +692,11 @@ def _self_critical_step_batched(state, stacked, metas, cfg, phase, step_rng,
             reward = jax.device_put(jnp.asarray(rewards), s)
     else:
         reward = jnp.asarray(rewards)
+    if use_vjp:
+        return rl_pullback_update_step_batched(
+            state, stacked, cfg, phase, step_rng, gen_seq, reward,
+            tap_l, logps, res,
+        )
     return rl_update_step_batched(
         state, stacked, cfg, phase, step_rng, gen_seq, reward,
     )
