@@ -26,15 +26,65 @@ behavior on caption text:
 - drop the punctuation token list coco-caption filters after tokenizing
   (parentheses never surface: the jar emits them as -LRB-/-RRB-/-LCB-/
   -RCB-, all in the filter list, so silently dropping ( ) { } here is
-  equivalent).
+  equivalent);
+- Unicode typography is normalized the way the lexer's ptb3Escaping does:
+  curly/prime single quotes -> ' (so a curly-apostrophe "man's" still
+  clitic-splits to `man 's`), curly/guillemet double quotes -> " (the jar
+  emits ``/'' which coco filters; bare " is dropped here — equivalent),
+  en/em/horizontal-bar dashes and minus -> -- (filtered), horizontal
+  ellipsis -> ... (filtered), fraction slash -> /, the Unicode space
+  family -> ' ', and soft hyphens / zero-width marks are deleted (CoreNLP
+  strips them).  Accented and non-Latin letters are word characters like
+  the jar's ("café" stays one token, not "caf").
 
 Known residual gap vs the jar (documented, unmeasurable here without a
-JVM): rare Unicode normalizations and mid-token typography.
+JVM): locale-specific CoreNLP options we do not emulate (americanize
+spelling rewrites, Latin-ligature expansion) — rare in caption text and
+bijective across candidates/references when they do appear.
 """
 from __future__ import annotations
 
 import re
 from typing import Dict, List
+
+# ---------------------------------------------------------------------------
+# ptb3Escaping-style typography normalization, applied before lexing
+# (Stanford PTBLexer quote/dash/ellipsis handling; CoreNLP strips
+# control/invisible marks).  Multi-char targets need str.replace; single
+# chars ride one str.translate table.
+# ---------------------------------------------------------------------------
+_TYPO_MULTI = [
+    ("…", "..."),                       # horizontal ellipsis
+    ("–", "--"), ("—", "--"),      # en / em dash
+    ("―", "--"), ("−", "--"),      # horizontal bar / minus sign
+]
+_TYPO_TABLE = str.maketrans({
+    # single-quote family -> ' (keeps clitic/possessive splitting live)
+    "‘": "'", "’": "'", "‚": "'", "‛": "'",
+    "′": "'", "ʼ": "'", "´": "'",
+    # double-quote family -> " (the jar's ``/'' are both coco-filtered; a
+    # bare " is dropped by the lexer regex below — same net output)
+    "“": '"', "”": '"', "„": '"', "‟": '"',
+    "″": '"', "«": '"', "»": '"',
+    # fraction slash joins digits exactly like an ASCII slash ("1/2")
+    "⁄": "/",
+    # Unicode space family -> plain space
+    **{chr(c): " " for c in (
+        [0x00A0, 0x1680, 0x202F, 0x205F, 0x3000]
+        + list(range(0x2000, 0x200B))        # en/em/thin/hair/... spaces
+    )},
+    # soft hyphen and zero-width marks: deleted, not split points
+    "­": None, "​": None, "‌": None, "‍": None,
+    "﻿": None,
+})
+
+
+def _normalize_typography(s: str) -> str:
+    for src, dst in _TYPO_MULTI:
+        if src in s:
+            s = s.replace(src, dst)
+    return s.translate(_TYPO_TABLE)
+
 
 # coco-caption PTBTokenizer removes exactly these tokens after tokenizing
 PUNCTUATIONS = {
@@ -58,9 +108,10 @@ _APOSTROPHE_WHOLE = {"o'clock", "y'all", "ma'am"}
 # word chars may be joined by - . , ' / when flanked by alphanumerics
 # (twenty-one, 3.5, 1,000, it's, and/or); symbol tokens the jar keeps
 # ($ % & + = # @ * and a lone /) are emitted standalone; everything else
-# splits
+# splits.  [^\W_] = Unicode alphanumerics minus underscore, so accented
+# words ("café") stay whole like the jar's.
 _WORD_RE = re.compile(
-    r"[a-z0-9]+(?:[-.,'/][a-z0-9]+)*|\.\.\.|--|[$%&+=#@*/]|[.,?!:;`\-]|''|``|'"
+    r"[^\W_]+(?:[-.,'/][^\W_]+)*|\.\.\.|--|[$%&+=#@*/]|[.,?!:;`\-]|''|``|'"
 )
 
 # clitics peeled off the END of a word token, innermost last ("he'd've"
@@ -85,7 +136,7 @@ def _split_word(w: str) -> List[str]:
 
 
 def tokenize_caption(s: str) -> str:
-    s = s.lower().replace("\n", " ")
+    s = _normalize_typography(s).lower().replace("\n", " ")
     toks: List[str] = []
     for raw in _WORD_RE.findall(s):
         toks.extend(_split_word(raw) if raw[0].isalnum() or "'" in raw else [raw])

@@ -60,6 +60,33 @@ def test_tokenizer_keeps_symbol_tokens():
         assert tokenize_caption(inp) == want, inp
 
 
+def test_tokenizer_unicode_typography():
+    """ptb3Escaping-style Unicode normalization (VERDICT r3 missing-3):
+    the jar maps curly quotes/dashes/ellipsis to ASCII and treats accented
+    letters as word chars; dropping them (the old ASCII-only regex) lost
+    clitic splits and whole tokens."""
+    cases = [
+        # curly apostrophe still clitic-splits
+        ("The man’s dog", "the man 's dog"),
+        ("don’t won‘t", "do n't wo n't"),
+        # curly double quotes / em dash / ellipsis all normalize then filter
+        ("“Hello,” she said — loudly… twice",
+         "hello she said loudly twice"),
+        ("«quoted» words", "quoted words"),
+        # en dash -> -- (filtered), like the jar
+        ("pages 3–5", "pages 3 5"),
+        # accented letters are word characters ("café", not "caf")
+        ("café and naïve dogs", "café and naïve dogs"),
+        # NBSP is a space; soft hyphen and zero-width marks are deleted
+        ("A man runs", "a man runs"),
+        ("co­operate zero​width", "cooperate zerowidth"),
+        # fraction slash joins digits exactly like ASCII /
+        ("1⁄2 cup", "1/2 cup"),
+    ]
+    for inp, want in cases:
+        assert tokenize_caption(inp) == want, inp
+
+
 def test_bleu_identical_is_one():
     gts = {0: ["a man is running fast"], 1: ["the dog jumps over a log"]}
     res = {0: ["a man is running fast"], 1: ["the dog jumps over a log"]}
