@@ -288,6 +288,16 @@ class RuntimeConfig:
     # decoder_sample swaps this in for pallas_decode_t_max when its
     # window sort fires.  T=1024 still loses sorted; keep below that.
     pallas_decode_t_max_sorted: int = 512
+    # Multi-process preemption: iterations between the COLLECTIVE
+    # SIGTERM-flag allgathers (the stop decision must be collective —
+    # partial signal delivery would otherwise wedge peers in the next
+    # gradient psum, ADVICE r3).  Checking every iteration put a blocking
+    # cross-host rendezvous in the hot loop (review r4); preemption is a
+    # once-per-run event, so amortize: a signalled process keeps training
+    # for at most N-1 extra iterations before everyone stops at the same
+    # boundary.  Single-process runs check their local flag every
+    # iteration regardless (no collective involved).
+    preempt_check_every: int = 16
     # Greedy decode sorts proposals by window start inside decoder_sample
     # (bit-exact: every decoder op is row-independent in N, outputs are
     # unsorted back) so the mask-aware Pallas score kernel sees clustered

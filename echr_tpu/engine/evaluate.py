@@ -120,6 +120,50 @@ def select_proposals(flag_eval_what, batch, meta, pp, masks, cfg, *,
     raise ValueError(f"flag_eval_what {flag_eval_what!r} not supported")
 
 
+def device_selection_row(flag_eval_what, idx_row, cnt, conf_row, nb_sel,
+                         batch, meta, cfg, *, nms_threshold, val_score_thres,
+                         topN, grid_fetch, want_cg_sel=False):
+    """One video's selection from a device top-N fetch — the ONE home of
+    the two-pass contract (steps.select_topk_batched; review r4): trust
+    the device selection when count <= nb, and for 'tap' (whose host
+    selection is UNBOUNDED — no proposal-bucket truncation) fall back to
+    the full host path over the lazily fetched [*, K] score grid when the
+    count overflows the slots (threshold-tie storm).  Shared by
+    eval_split, eval_split_batched.stage_b, and any future caller.
+
+    grid_fetch() -> the video's proposal-score grid (device or host array;
+    rows past n_frames are sliced off here).  want_cg_sel additionally
+    derives cg_sel from the meta label grids at the selected anchors, like
+    P.top_proposals's cg_gts[n_idx, k_idx] (the batched loop computes its
+    val losses on device and skips this).
+
+    Returns ((ind, soi, cg_sel, timestamps, tap_prob), fell_back)."""
+    from echr_tpu.engine.steps import unpack_topk_selection
+
+    if flag_eval_what == "tap" and int(cnt) > nb_sel:
+        pp = np.asarray(grid_fetch())[: meta.n_frames]
+        masks = np.asarray(batch.tap_masks)[: meta.n_frames]
+        return select_proposals(
+            flag_eval_what, batch, meta, pp, masks, cfg,
+            nms_threshold=nms_threshold, val_score_thres=val_score_thres,
+            topN=topN,
+        ), True
+    ind, soi, ts, tp = unpack_topk_selection(
+        idx_row, cnt, nb_sel, cfg.tap.K, meta.n_frames, meta.duration,
+        featstamp_to_time, conf_row)
+    cg_sel: List[int] = []
+    if want_cg_sel:
+        gi = getattr(meta, "gts_index", None)
+        iou = getattr(meta, "iou_scores", None)
+        if gi is not None and np.size(gi) and iou is not None:
+            cg_gts = np.asarray(gi) * (
+                np.asarray(iou) >= cfg.tap.iou_threshold_for_good_proposal)
+            flat = np.asarray(idx_row)[: min(int(cnt), nb_sel)].astype(np.int64)
+            cg_sel = cg_gts[flat // cfg.tap.K,
+                            flat % cfg.tap.K].astype(np.int64).tolist()
+    return (ind, soi, cg_sel, ts, tp), False
+
+
 def _prop_bucket(n: int) -> int:
     for b in PROP_BUCKETS:
         if n <= b:
@@ -205,10 +249,7 @@ def eval_split(
                 bool(kw.get("device_select", cfg.eval.device_select))
                 and flag_eval_what in ("tap", "tap_cg") and not nms_threshold)
             if use_dev_sel:
-                from echr_tpu.engine.steps import (
-                    select_topk_batched,
-                    unpack_topk_selection,
-                )
+                from echr_tpu.engine.steps import select_topk_batched
 
                 nb_sel = PROP_BUCKETS[-1]
                 # ONE host round trip for all three arrays (device_get batches
@@ -216,28 +257,11 @@ def eval_split(
                 idx_np, cnt_np, conf_np = jax.device_get(select_topk_batched(
                     pred_props[None], jnp.asarray([meta.n_frames], jnp.int32),
                     topN=topN, nb=nb_sel, val_score_thres=val_score_thres))
-                cnt = int(cnt_np[0])
-                if flag_eval_what == "tap" and cnt > nb_sel:
-                    use_dev_sel = False  # tie storm: exactness needs the grid
-                else:
-                    ind, soi, ts, tp = unpack_topk_selection(
-                        idx_np[0], cnt, nb_sel, cfg.tap.K,
-                        meta.n_frames, meta.duration, featstamp_to_time,
-                        conf_np[0])
-                    # cg_select from the host-side label grid at the selected
-                    # anchors, like P.top_proposals's cg_gts[n_idx, k_idx]
-                    gi = getattr(meta, "gts_index", None)
-                    iou = getattr(meta, "iou_scores", None)
-                    if gi is not None and np.size(gi) and iou is not None:
-                        cg_gts = np.asarray(gi) * (
-                            np.asarray(iou)
-                            >= cfg.tap.iou_threshold_for_good_proposal)
-                        flat = idx_np[0][: min(cnt, nb_sel)].astype(np.int64)
-                        cg_sel_np = cg_gts[flat // cfg.tap.K, flat % cfg.tap.K]
-                        cg_sel = cg_sel_np.astype(np.int64).tolist()
-                    else:
-                        cg_sel = []
-                    sel = (ind, soi, cg_sel, ts, tp)
+                sel, _fb = device_selection_row(
+                    flag_eval_what, idx_np[0], cnt_np[0], conf_np[0], nb_sel,
+                    batch, meta, cfg, nms_threshold=nms_threshold,
+                    val_score_thres=val_score_thres, topN=topN,
+                    grid_fetch=lambda: pred_props, want_cg_sel=True)
             if sel is None:
                 need_grid = flag_eval_what in ("tap", "tap_cg")
                 pp = np.asarray(pred_props)[: meta.n_frames] if need_grid else None
@@ -560,7 +584,6 @@ def eval_split_batched(
         if a is None:
             return None
         items, items_p, B = a["items"], a["items_p"], a["B"]
-        K = cfg.tap.K
 
         t0 = _clk.time()
         if a["device_sel"]:
@@ -577,24 +600,15 @@ def eval_split_batched(
         max_n = 1
         for i, (batch, meta) in enumerate(items):
             if a["device_sel"]:
-                nb_sel = a["nb_sel"]
-                if flag_eval_what == "tap" and int(cnt_np[i]) > nb_sel:
-                    # threshold-tie storm (>nb tied anchors): 'tap' emits
-                    # the unbounded selection, so fetch this video's grid
-                    tm["grid_fallbacks"] += 1
-                    pp = np.asarray(a["pred_props_b"][i])[: meta.n_frames]
-                    masks = np.asarray(batch.tap_masks)[: meta.n_frames]
-                    ind, soi, _, ts, tp = select_proposals(
-                        flag_eval_what, batch, meta, pp, masks, cfg,
-                        nms_threshold=nms_threshold,
-                        val_score_thres=val_score_thres, topN=topN,
-                    )
-                else:
-                    from echr_tpu.engine.steps import unpack_topk_selection
-
-                    ind, soi, ts, tp = unpack_topk_selection(
-                        idx_np[i], cnt_np[i], nb_sel, K, meta.n_frames,
-                        meta.duration, featstamp_to_time, conf_np[i])
+                # two-pass contract incl. the 'tap' tie-storm grid-row
+                # fallback: shared with eval_split (device_selection_row)
+                (ind, soi, _, ts, tp), fell_back = device_selection_row(
+                    flag_eval_what, idx_np[i], cnt_np[i], conf_np[i],
+                    a["nb_sel"], batch, meta, cfg,
+                    nms_threshold=nms_threshold,
+                    val_score_thres=val_score_thres, topN=topN,
+                    grid_fetch=lambda i=i: a["pred_props_b"][i])
+                tm["grid_fallbacks"] += int(fell_back)
                 sel.append((ind, soi, ts, tp))
                 max_n = max(max_n, len(ind))
                 continue
@@ -752,12 +766,19 @@ def eval_split_batched(
         else:
             _collect_entry(entry)
 
-    def finish_assembly():
+    def finish_assembly(reraise: bool = True):
+        """Stop + join the assembler (idempotent).  reraise=False is the
+        abort path: never mask the primary exception with the assembler's."""
+        nonlocal asm_thread
         if asm_thread is not None:
             asm_q.put(None)
             asm_thread.join()
+            asm_thread = None
             if asm_exc:
-                raise asm_exc[0]
+                if reraise:
+                    raise asm_exc[0]
+                log.warning("eval assembler raised during an aborted pass: %r",
+                            asm_exc[0])
 
     def drain(a_keep: int, b_keep: int):
         """Advance the pipeline so at most a_keep stage-A and b_keep
@@ -810,11 +831,17 @@ def eval_split_batched(
         drain(0, 0)
         finish_assembly()
     finally:
+        # abort-safe teardown: a mid-pass exception must not leak the
+        # split's bf16 transfer dtype into a later f32 fidelity eval, nor
+        # leave the daemon assembler blocked on asm_q.get() pinning queued
+        # decode buffers (review r4).  finish_assembly is idempotent — on
+        # the success path it already ran (and reraised) above.
+        finish_assembly(reraise=False)
+        loader.set_labels(labels_before, split)
+        loader.set_feats_dtype(feats_dtype_before, split)
         if gc_was_enabled and not _gc.isenabled():
             _gc.enable()
             _gc.collect()
-    loader.set_labels(labels_before, split)
-    loader.set_feats_dtype(feats_dtype_before, split)
     if tm["groups"]:
         log.info(
             "eval pipeline breakdown (%d groups): loader %.2fs, host_prep "

@@ -758,9 +758,14 @@ def select_topk_batched(
     not _prop_bucket(topN): threshold ties can push the count past topN,
     and the DECODE (tap_cg) host path truncates at _prop_bucket(max_n) <=
     ceiling — with nb = ceiling the device truncation is identical for
-    every decode path.  NOT so for flag_eval_what='tap': there the host
-    path emits the full unbounded selection (no bucket truncation), so a
-    >nb tie storm would lose proposals — callers keep 'tap' on host.
+    every decode path.  For flag_eval_what='tap' the host path emits the
+    full UNBOUNDED selection (no bucket truncation), so a >nb tie storm
+    would lose proposals; 'tap' callers therefore use the two-pass
+    contract (round 4): trust this selection when count <= nb and fall
+    back to fetching the [T, K] grid only when count overflows — see
+    eval_split_batched.stage_b and eval_split's device_select path in
+    engine/evaluate.py (equality vs the host path pinned in
+    tests/test_device_select.py).
     Returns (flat_idx [B, nb] into the [T, K] grid with T*K fill,
     count [B], confidence [B, nb]) — a ~256 KB fetch instead of the
     [B, T, K] score grid."""

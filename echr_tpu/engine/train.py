@@ -313,10 +313,21 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
         # everyone at the same iteration boundary
         hit = _preempt["hit"]
         if multihost:
-            from jax.experimental import multihost_utils
+            # amortized to every preempt_check_every iterations (review
+            # r4): the allgather is a blocking cross-host rendezvous, and
+            # `iteration` advances in lockstep on every process (bad-video
+            # skips are data-determined, identical across hosts), so the
+            # modulo schedule is itself collective.  Off-schedule local
+            # hits wait — breaking unilaterally is the partial-delivery
+            # wedge this collective exists to prevent.
+            every = max(int(cfg.runtime.preempt_check_every), 1)
+            if iteration % every == 0:
+                from jax.experimental import multihost_utils
 
-            hit = bool(multihost_utils.process_allgather(
-                np.asarray(_preempt["hit"])).any())
+                hit = bool(multihost_utils.process_allgather(
+                    np.asarray(_preempt["hit"])).any())
+            else:
+                hit = False
         if hit:
             log.warning("preemption: stopping before iter %d; "
                         "resume with --start_from", iteration + 1)

@@ -9,8 +9,13 @@ import numpy as np
 # once per run; rendering ~370k tokens/pass through per-token dict lookups
 # was a measurable slice of the e2e eval pipeline).  Two forms per vocab:
 # an object array for the numpy path, and a (packed utf-8 bytes, [V+1]
-# offsets) pair for the native GIL-free joiner.
+# offsets) pair for the native GIL-free joiner.  Bounded: a long-lived
+# process that loads many checkpoints/datasets must not pin every vocab
+# forever (review r4) — oldest entry evicted past the cap; the
+# `hit[0] is ix_to_word` identity check makes id() reuse after an
+# eviction harmless.
 _TABLE_CACHE: Dict[int, Tuple[Dict[str, str], np.ndarray, bytes, np.ndarray]] = {}
+_TABLE_CACHE_MAX = 8
 
 
 def _tables(ix_to_word: Dict[str, str]):
@@ -29,7 +34,11 @@ def _tables(ix_to_word: Dict[str, str]):
         packed.extend(table[i].encode("utf-8"))
         offsets[i + 1] = len(packed)
     entry = (ix_to_word, table, bytes(packed), offsets)
-    # keep the dict reference alive so the id() key cannot be reused
+    # the entry keeps the dict reference alive so the id() key cannot be
+    # reused WHILE CACHED; eviction drops the pin (identity check above
+    # covers the reuse case)
+    while len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+        _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
     _TABLE_CACHE[key] = entry
     return entry
 
@@ -48,6 +57,13 @@ def decode_sequence(ix_to_word: Dict[str, str], seq: np.ndarray) -> List[str]:
         # prefetch workers instead of contending with them
         return native.render_captions(packed, offsets, seq)
 
-    # numpy fallback: a row stops at its first id <= 0 (END)
+    # numpy fallback: a row stops at its first id <= 0 (END); ids >= V
+    # render as nothing, exactly like the native joiner's out-of-vocab
+    # guard (review r4 — previously this path raised IndexError where the
+    # native path skipped)
     keep = np.logical_and.accumulate(seq > 0, axis=-1)
-    return [" ".join(table[row[k]]) for row, k in zip(seq, keep)]
+    out = []
+    for row, k in zip(seq, keep):
+        ids = row[k]
+        out.append(" ".join(table[ids[ids < table.size]]))
+    return out

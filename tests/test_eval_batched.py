@@ -197,3 +197,47 @@ def test_grad_histograms_at_checkpoint(tmp_path):
     n_param_tags = sum(1 for t in tags if t.startswith("cg/"))
     n_leaves = len(jax.tree_util.tree_leaves(out["state"].cg_params))
     assert n_param_tags == n_leaves
+
+
+def test_batched_eval_abort_restores_loader_state(tmp_path, monkeypatch):
+    """A mid-pass exception must not leak eval-time loader mutations
+    (review r4): the bf16 transfer dtype set for decode-only passes would
+    silently quantize a later f32 fidelity eval's features, and the
+    assembler thread would block forever on its queue.  Force a failure in
+    the decode dispatch and check full restoration."""
+    import threading
+
+    from echr_tpu.engine import evaluate as E
+
+    cfg = tiny_cfg(tmp_path)
+    cfg = cfg.replace_in("runtime", transfer_dtype="bfloat16")
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=dataset.vocab_size,
+                         CG_seq_length=dataset.seq_length)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(cfg, init_tap(rng, cfg), init_captioner(rng, cfg))
+
+    labels_before = loader.labels_for("val")
+    dtype_before = loader.feats_dtype_for("val")
+    threads_before = {t.name for t in threading.enumerate()}
+
+    def boom(*a, **k):
+        raise RuntimeError("injected decode failure")
+
+    monkeypatch.setattr(E, "select_proposals", boom)
+    kw = {"num_vids_eval": 2, "val_all_metrics": False, "topN": 15,
+          "language_eval": False, "get_eval_loss": False,
+          "device_select": False}
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected decode failure"):
+        eval_split_batched(
+            state.tap_params, state.cg_params, loader, cfg,
+            str(tmp_path / "x.json"), kw, flag_eval_what="tap_cg",
+            batch_videos=4,
+        )
+    assert loader.labels_for("val") == labels_before
+    assert loader.feats_dtype_for("val") == dtype_before
+    leftover = {t.name for t in threading.enumerate()} - threads_before
+    assert not any("eval-assembler" in n for n in leftover), leftover

@@ -142,3 +142,23 @@ def test_native_render_captions_matches_python():
     # all-END and 1-D inputs
     assert decode_sequence(vocab, np.zeros((3, 5), np.int32)) == ["", "", ""]
     assert decode_sequence(vocab, np.array([1, 2, 0, 3], np.int32)) == ["w1 w2"]
+
+
+def test_render_fallback_matches_native_on_out_of_vocab(monkeypatch):
+    """The numpy fallback must share the native joiner's out-of-vocab
+    contract — ids >= V render as nothing instead of raising (review r4:
+    same corrupted-checkpoint input previously crashed on toolchain-less
+    hosts and silently rendered on native ones)."""
+    from echr_tpu.utils import text
+
+    vocab = {"1": "a", "2": "b", "3": "c"}
+    seq = np.array([[1, 999, 2, 0, 3],      # OOV mid-row: skipped, no sep
+                    [999, 0, 1, 1, 1],      # OOV leading
+                    [1, 2, 3, 999, 999]], np.int32)
+    want = ["a b", "", "a b c"]
+
+    native_out = text.decode_sequence(vocab, seq)  # native (or numpy) path
+    monkeypatch.setattr(native, "available", lambda: False)
+    numpy_out = text.decode_sequence(vocab, seq)   # forced numpy path
+    assert numpy_out == want
+    assert native_out == want
