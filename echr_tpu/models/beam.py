@@ -25,6 +25,7 @@ from echr_tpu.models.decoder import (
     DecoderState,
     init_state,
     precompute_attention,
+    sort_ctxs_by_window,
     step_logprobs,
 )
 
@@ -76,6 +77,13 @@ def beam_search(
     B = beam_size
     L = cfg.decoder.CG_seq_length
     V1 = cfg.decoder.CG_vocab_size + 1
+
+    # window-sort for the tile-skipping score kernel (round 4; greedy
+    # decode got this first): beam tiling already clusters the B copies of
+    # each proposal, sorting clusters across proposals too.  Beam search
+    # is deterministic and every op is per-proposal (reshape/top_k/gather
+    # on the n axis), so sort + un-permute below is bit-exact.
+    ctxs, cfg, inv_order = sort_ctxs_by_window(cfg, ctxs)
 
     bctx = _expand_ctxs(ctxs, B)
     pre_att = precompute_attention(params, cfg, bctx)
@@ -170,4 +178,6 @@ def beam_search(
     order = jnp.argsort(-ranked, axis=1)
     all_seqs = jnp.take_along_axis(tokens, order[..., None], axis=1)
     all_scores = jnp.take_along_axis(scores, order, axis=1)
+    if inv_order is not None:  # undo the window sort (bit-exact)
+        all_seqs, all_scores = all_seqs[inv_order], all_scores[inv_order]
     return BeamResult(all_seqs[:, 0], all_scores[:, 0], all_seqs, all_scores)

@@ -735,6 +735,44 @@ def teacher_forced_nll(
 # ---------------------------------------------------------------------------
 
 
+def sort_ctxs_by_window(cfg: Config, ctxs: Contexts):
+    """Permute proposal rows by window start so the mask-aware Pallas score
+    kernel (ops/pallas_attention.attention_scores_masked) sees clustered
+    windows and can skip fully-masked tanh tiles — measured -16%/-20%
+    attention-step time at T=256/512 (experiments/probe_tile_skip.py).
+
+    BIT-EXACT for any row-independent consumer: every decoder op is
+    independent in N (per-row LSTM dots, per-row attention/softmax,
+    per-row logits; beam_search's top_k/gathers are per-proposal), so
+    permuting ctxs rows and un-permuting the outputs with the returned
+    inverse reproduces the unsorted results exactly.  Callers whose rng
+    consumption is row-POSITIONAL (categorical draws, forced replays) must
+    not sort.
+
+    Returns (ctxs, cfg, inv_order); inv_order is None when the sort is
+    disabled (runtime flags, or no clip windows to cluster).  cfg comes
+    back with the decode T ceiling raised to pallas_decode_t_max_sorted —
+    sorted windows move the tile-skipping kernel's win/lose crossover up."""
+    if not (cfg.runtime.sort_decode_props and cfg.runtime.use_pallas
+            and ctxs.clip_mask is not None):
+        return ctxs, cfg, None
+    starts = jnp.min(
+        jnp.where(ctxs.clip_mask > 0,
+                  jnp.arange(ctxs.clip_mask.shape[1])[None, :],
+                  ctxs.clip_mask.shape[1]),
+        axis=1)
+    order = jnp.argsort(starts, stable=True)
+    inv_order = jnp.argsort(order, stable=True)
+    ctxs = ctxs._replace(
+        event=None if ctxs.event is None else ctxs.event[order],
+        clip_mask=ctxs.clip_mask[order],
+        prop_mask=ctxs.prop_mask[order],
+    )
+    cfg = cfg.replace_in(
+        "runtime", pallas_decode_t_max=cfg.runtime.pallas_decode_t_max_sorted)
+    return ctxs, cfg, inv_order
+
+
 def decoder_sample(
     params,
     cfg: Config,
@@ -777,34 +815,13 @@ def decoder_sample(
     L = cfg.decoder.CG_seq_length
 
     # Sort proposals by window start so the mask-aware Pallas score kernel
-    # sees clustered windows and can skip fully-masked tanh tiles
-    # (ops/pallas_attention.attention_scores_masked).  BIT-EXACT: every
-    # decoder op is row-independent in N (per-row LSTM dots, per-row
-    # attention/softmax, per-row logits), so permuting ctxs rows and
-    # un-permuting the outputs reproduces the unsorted results exactly.
-    # Greedy-only: categorical draws and forced replays consume rng by row
-    # POSITION, which a sort would change.
+    # sees clustered windows and can skip fully-masked tanh tiles.
+    # Greedy-only here: categorical draws and forced replays consume rng by
+    # row POSITION, which a sort would change (beam_search, deterministic,
+    # sorts through the same helper).
     inv_order = None
-    if (cfg.runtime.sort_decode_props and cfg.runtime.use_pallas
-            and greedy and forced_tokens is None and not train
-            and ctxs.clip_mask is not None):
-        starts = jnp.min(
-            jnp.where(ctxs.clip_mask > 0,
-                      jnp.arange(ctxs.clip_mask.shape[1])[None, :],
-                      ctxs.clip_mask.shape[1]),
-            axis=1)
-        order = jnp.argsort(starts, stable=True)
-        inv_order = jnp.argsort(order, stable=True)
-        ctxs = ctxs._replace(
-            event=None if ctxs.event is None else ctxs.event[order],
-            clip_mask=ctxs.clip_mask[order],
-            prop_mask=ctxs.prop_mask[order],
-        )
-        # sorted windows move the tile-skipping kernel's win/lose crossover
-        # up (it skips most tiles): raise the decode T ceiling accordingly
-        cfg = cfg.replace_in(
-            "runtime",
-            pallas_decode_t_max=cfg.runtime.pallas_decode_t_max_sorted)
+    if greedy and forced_tokens is None and not train:
+        ctxs, cfg, inv_order = sort_ctxs_by_window(cfg, ctxs)
 
     pre_att = precompute_attention(params, cfg, ctxs)
     state = init_state(params, cfg, ctxs, N)

@@ -123,3 +123,22 @@ def test_beam_batched_eval_path(tmp_path):
         for p in info:
             assert "sentence" in p
             assert np.isfinite(p["sentence_confidence"])
+
+
+def test_sorted_beam_is_bit_exact(tmp_path):
+    """runtime.sort_decode_props now covers beam search too (round 4):
+    window-sorting ctxs rows + un-permuting the outputs must be invisible
+    — beam search is deterministic and every op is per-proposal, so the
+    sorted run reproduces the unsorted one exactly (mirrors
+    test_sorted_decode_is_bit_exact for greedy)."""
+    cfg, state, ctxs, _ = _setup(tmp_path)
+    base = cfg.replace_in("runtime", use_pallas=True)
+    b_off = beam_search(state.cg_params["decoder"],
+                        base.replace_in("runtime", sort_decode_props=False),
+                        ctxs, beam_size=4)
+    b_on = beam_search(state.cg_params["decoder"], base, ctxs, beam_size=4)
+    np.testing.assert_array_equal(np.asarray(b_off.all_seqs),
+                                  np.asarray(b_on.all_seqs))
+    np.testing.assert_allclose(np.asarray(b_off.all_logprobs),
+                               np.asarray(b_on.all_logprobs), atol=0, rtol=0)
+    np.testing.assert_array_equal(np.asarray(b_off.seq), np.asarray(b_on.seq))
