@@ -241,3 +241,34 @@ def test_batched_eval_abort_restores_loader_state(tmp_path, monkeypatch):
     assert loader.feats_dtype_for("val") == dtype_before
     leftover = {t.name for t in threading.enumerate()} - threads_before
     assert not any("eval-assembler" in n for n in leftover), leftover
+    assert not any("eval-prep" in n for n in leftover), leftover
+
+
+def test_batched_eval_async_prep_matches_sync(tmp_path):
+    """The prep thread (round 4: stage_a's host stacking overlaps stage_b's
+    device-blocked fetches) must be a pure scheduling change: predictions
+    and losses bit-equal to the synchronous path."""
+    cfg = tiny_cfg(tmp_path)
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=dataset.vocab_size,
+                         CG_seq_length=dataset.seq_length)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(cfg, init_tap(rng, cfg), init_captioner(rng, cfg))
+
+    base = {"num_vids_eval": 4, "val_all_metrics": False, "topN": 15,
+            "language_eval": False, "get_eval_loss": True}
+    preds_s, _, loss_s = eval_split_batched(
+        state.tap_params, state.cg_params, loader, cfg,
+        str(tmp_path / "s.json"), dict(base, async_prep=False),
+        flag_eval_what="tap_cg", batch_videos=2,
+    )
+    preds_t, _, loss_t = eval_split_batched(
+        state.tap_params, state.cg_params, loader, cfg,
+        str(tmp_path / "t.json"), dict(base, async_prep=True),
+        flag_eval_what="tap_cg", batch_videos=2,
+    )
+    assert set(preds_s) == set(preds_t)
+    for vid in preds_s:
+        assert preds_s[vid] == preds_t[vid], vid
+    np.testing.assert_array_equal(loss_s, loss_t)
