@@ -118,6 +118,29 @@ def decompress_batch(batch: VideoBatch) -> VideoBatch:
     return jax.tree.map(up, batch)
 
 
+def _vmapped_decode_cfg(cfg: Config, T: int) -> Config:
+    """Window-sort policy for VMAPPED decode pipelines (round 4,
+    experiments/probe_decode_sort2.py, interleaved best-of-8 on TPU).
+
+    Per-VIDEO callers keep sort_ctxs_by_window's ceiling raise to
+    pallas_decode_t_max_sorted: the sorted tile-skipping kernel wins
+    clearly there (-7% wall at T=512 even under the relay RTT).  Under
+    vmap the picture inverts: the win shrinks to ~2% at T<=384 and FLIPS
+    to a ~5% LOSS at T=512 — XLA's batch-fused jnp scores path beats the
+    vmapped kernel past the unsorted crossover.  So batched callers
+    (1) never raise the decode T ceiling and (2) skip the sort's
+    argsort/gather cost entirely when the kernel can't fire anyway
+    (sort costs ~3% for nothing on the jnp path).  Bit-exactness is
+    unaffected — the sort is an output-invariant permutation either way."""
+    rt = cfg.runtime
+    return cfg.replace_in(
+        "runtime",
+        pallas_decode_t_max_sorted=rt.pallas_decode_t_max,
+        sort_decode_props=bool(
+            rt.sort_decode_props and T <= rt.pallas_decode_t_max),
+    )
+
+
 def _select_props(batch: VideoBatch, phase: str) -> Tuple[ProposalBatch, Array, Array]:
     """GT proposals for 'cg'/'gt_tap_cg', sampled good proposals otherwise —
     including 'LP_cg', which trains the captioner on sampled proposals
@@ -442,6 +465,9 @@ def rl_rollout_step_batched(tap_params, cg_params, batch: VideoBatch,
     from echr_tpu.models.decoder import decoder_sample
 
     batch = decompress_batch(batch)
+    # vmapped greedy baseline: batched window-sort policy (the sampled
+    # rollout never sorts — forced/categorical rng is row-positional)
+    cfg = _vmapped_decode_cfg(cfg, batch.frame_mask.shape[-1])
     B = batch.feats.shape[0]
     rngs = jax.random.split(rng, B)
     tap_c, cg_c = _cast(tap_params, cfg), _cast(cg_params, cfg)
@@ -633,6 +659,9 @@ def rl_rollout_vjp_step_batched(tap_params, cg_params, batch: VideoBatch,
     from echr_tpu.models.decoder import decoder_sample
 
     batch_d = decompress_batch(batch)
+    # vmapped greedy baseline: batched window-sort policy (the VJP'd
+    # sampled forward above never sorts, so residual layout is untouched)
+    cfg = _vmapped_decode_cfg(cfg, batch_d.frame_mask.shape[-1])
     tap_c, cg_c = _cast(tap_params, cfg), _cast(cg_params, cfg)
 
     def baseline(b):
@@ -839,6 +868,7 @@ def decode_step_batched(
     early_exit is forced off: under vmap the while_loop would run until the
     LAST unfinished caption of the whole batch, so it almost never fires on
     real data while costing ~12% vs scan (docs/BENCH_NOTES.md)."""
+    cfg = _vmapped_decode_cfg(cfg, frame_mask.shape[-1])
     cg_c = _cast(cg_params, cfg)
     B = tap_feats.shape[0]
     rngs = jax.random.split(rng, B) if rng is not None else None
@@ -870,6 +900,7 @@ def beam_decode_step_batched(
     from echr_tpu.models.beam import beam_search
     from echr_tpu.models.captioner import make_contexts
 
+    cfg = _vmapped_decode_cfg(cfg, frame_mask.shape[-1])
     cg_c = _cast(cg_params, cfg)
 
     def one(th, f, l, fm, pr):
@@ -1014,6 +1045,7 @@ def decode_step_batched_shard_map(
     so multinomial sampling is trajectory-identical across spmd modes."""
     from jax.sharding import PartitionSpec as P
 
+    cfg = _vmapped_decode_cfg(cfg, frame_mask.shape[-1])
     B = tap_feats.shape[0]
     rngs = jax.random.split(rng, B) if rng is not None else None
     prop_specs = jax.tree.map(lambda _: P("data"), props)
@@ -1061,6 +1093,7 @@ def beam_decode_step_batched_shard_map(
     from echr_tpu.models.beam import beam_search
     from echr_tpu.models.captioner import make_contexts
 
+    cfg = _vmapped_decode_cfg(cfg, frame_mask.shape[-1])
     prop_specs = jax.tree.map(lambda _: P("data"), props)
 
     def body(cp, th, f, l, fm, pr):
