@@ -58,6 +58,13 @@ class DataConfig:
     synthetic_vocab_size: int = 3000
     synthetic_seq_length: int = 30
     synthetic_learnable: bool = False  # pattern-derived captions (learnable)
+    # LRU cache of generated synthetic examples (entries; 0 disables).
+    # get_example(ix) is deterministic, so repeat epochs can reuse the
+    # ~2.5 ms/video feature synthesis — the synthetic analogue of the OS
+    # page cache a real dataset's .npy re-reads get.  ~0.5 MB/entry at
+    # flagship dims; hits return defensive copies (batcher paths may
+    # mutate caption lists in place, e.g. dropsent insert/truncate).
+    synthetic_cache_videos: int = 256
 
     @property
     def use_lda(self) -> bool:

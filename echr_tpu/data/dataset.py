@@ -217,6 +217,17 @@ class SyntheticDataset(BaseDataset):
             "test": [],
         }
         self._synthetic_sota = cfg.data.SOTA_json == "synthetic"
+        # LRU example cache (data.synthetic_cache_videos entries): repeat
+        # epochs skip the ~2.5 ms/video synthesis.  Guarded by a lock —
+        # the _Prefetcher workers call get_example concurrently.
+        import collections
+        import threading
+
+        self._cache: "collections.OrderedDict[int, VideoExample]" = (
+            collections.OrderedDict())
+        self._cache_cap = max(0, int(
+            getattr(cfg.data, "synthetic_cache_videos", 0)))
+        self._cache_lock = threading.Lock()
 
     def _geometry(self, ix: int):
         """The event-geometry prefix of get_example's rng stream: (rng, T,
@@ -259,6 +270,39 @@ class SyntheticDataset(BaseDataset):
         return self.num_videos
 
     def get_example(self, ix: int) -> VideoExample:
+        if self._cache_cap:
+            with self._cache_lock:
+                hit = self._cache.get(ix)
+                if hit is not None:
+                    self._cache.move_to_end(ix)
+            if hit is not None:
+                return self._clone_example(hit)
+        ex = self._generate_example(ix)
+        if self._cache_cap:
+            with self._cache_lock:
+                self._cache[ix] = ex
+                self._cache.move_to_end(ix)
+                while len(self._cache) > self._cache_cap:
+                    self._cache.popitem(last=False)
+            return self._clone_example(ex)
+        return ex
+
+    @staticmethod
+    def _clone_example(ex: VideoExample) -> VideoExample:
+        """Defensive copy of the mutable pieces: batcher paths mutate
+        caption lists (dropsent insert/truncate) and may scale features."""
+        import dataclasses
+
+        return dataclasses.replace(
+            ex,
+            feats=ex.feats.copy(),
+            lda=ex.lda.copy(),
+            cap_labels=ex.cap_labels.copy(),
+            timestamps=list(ex.timestamps),
+            sentences=list(ex.sentences),
+        )
+
+    def _generate_example(self, ix: int) -> VideoExample:
         cfg = self.cfg
         rng, T, duration, n_events, timestamps = self._geometry(ix)
         D = cfg.tap.video_dim

@@ -147,3 +147,29 @@ def test_multithreaded_prefetch_matches_single(tmp_path):
                           np.asarray(b.soi).tolist()))
         streams.append(items)
     assert streams[0] == streams[1]
+
+
+def test_synthetic_example_cache_invisible(tmp_path):
+    """The synthetic example LRU cache (round 4: repeat epochs skip the
+    ~2.5 ms/video synthesis) must be invisible: cached fetches equal
+    uncached ones bit-for-bit, hits survive consumer mutation (the
+    dropsent batcher paths mutate caption lists in place), and eviction
+    keeps the cache bounded."""
+    cfg = tiny_cfg(tmp_path)
+    ds_on = build_dataset(cfg.replace_in("data", synthetic_cache_videos=4))
+    ds_off = build_dataset(cfg.replace_in("data", synthetic_cache_videos=0))
+    ixs = ds_on.split_ix["train"][:6] + ds_on.split_ix["val"][:2]
+    for _pass in range(3):  # pass 2+ hits (and evicts: 8 ixs > cap 4)
+        for ix in ixs:
+            a, b = ds_on.get_example(ix), ds_off.get_example(ix)
+            np.testing.assert_array_equal(a.feats, b.feats)
+            np.testing.assert_array_equal(a.lda, b.lda)
+            np.testing.assert_array_equal(a.cap_labels, b.cap_labels)
+            assert a.timestamps == b.timestamps
+            assert a.sentences == b.sentences
+            assert (a.vid, a.duration, a.split) == (b.vid, b.duration, b.split)
+            # consumer mutation must not leak into later hits
+            a.feats[:] = -1.0
+            a.sentences.append("corrupted")
+            a.timestamps.append((0.0, 0.0))
+    assert len(ds_on._cache) <= 4
