@@ -365,6 +365,11 @@ def bench_e2e_eval(cfg, tap_params, cg_params, num_videos=384):
     cfg_e = cfg.replace_in(
         "data", synthetic=True, synthetic_num_videos=num_videos,
         synthetic_vocab_size=VOCAB, synthetic_seq_length=SEQ_LEN, shuffle=False,
+        # cache the whole val split (~0.5 MB/video, fullscale ~2.4 GB on a
+        # 125 GB host): warm passes then measure the pipeline, not the
+        # synthetic generator re-synthesizing deterministic examples —
+        # the page-cache state a real .npy dataset would be in anyway
+        synthetic_cache_videos=num_videos,
     )
     # production serving settings: bf16 feature transfer (halves the
     # host->device payload; the cast runs in the prefetch workers via
