@@ -863,8 +863,11 @@ def eval_split_batched(
         if prep_pool is not None:
             # join the prep thread before restoring loader state (stage_a
             # is short; wait=True also surfaces nothing — drain already
-            # re-raised any stage_a exception via Future.result)
-            prep_pool.shutdown(wait=True)
+            # re-raised any stage_a exception via Future.result).
+            # cancel_futures: on an abort the tail flush may have queued
+            # several stage_a's — don't run their multi-MB device_puts
+            # (possibly against a wedged relay) just to tear down (review)
+            prep_pool.shutdown(wait=True, cancel_futures=True)
         finish_assembly(reraise=False)
         loader.set_labels(labels_before, split)
         loader.set_feats_dtype(feats_dtype_before, split)

@@ -132,12 +132,18 @@ def _vmapped_decode_cfg(cfg: Config, T: int) -> Config:
     argsort/gather cost entirely when the kernel can't fire anyway
     (sort costs ~3% for nothing on the jnp path).  Bit-exactness is
     unaffected — the sort is an output-invariant permutation either way."""
+    from echr_tpu.ops.pallas_attention import _TILE_T
+
     rt = cfg.runtime
     return cfg.replace_in(
         "runtime",
         pallas_decode_t_max_sorted=rt.pallas_decode_t_max,
+        # kernel-can-fire gate: the ceiling AND the kernel's T tile rule
+        # (supported() also needs T % _TILE_T == 0 — buckets 64/192 would
+        # otherwise pay the sort while the jnp path runs, review r4)
         sort_decode_props=bool(
-            rt.sort_decode_props and T <= rt.pallas_decode_t_max),
+            rt.sort_decode_props and T <= rt.pallas_decode_t_max
+            and T % _TILE_T == 0),
     )
 
 

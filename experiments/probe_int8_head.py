@@ -12,9 +12,11 @@ Measures ms/step over a 31-step scan at real batched decode dims:
   XM  pure bf16 einsum                        [bf16 matmul floor]
   Q1  int8 dynamic-quant einsum + reductions  [candidate]
   QM  pure int8 einsum (incl. quantize cost)  [int8 matmul floor]
-and reports top-1 agreement + logit error Q1 vs X0 (random weights; the
-quality gate for real use is token agreement on a TRAINED checkpoint,
-tests/test_int8_head.py).
+and reports top-1 agreement + logit error Q1 vs X0 (random weights).
+NOT wired into the decode path — measured SLOWER than bf16 (ninth
+negative result, docs/BENCH_NOTES.md); if a future XLA lowers s8 dots
+to the int8 MXU path, re-measure here and only then build the real
+quality gate (token agreement on a TRAINED checkpoint).
 
 Usage: python experiments/probe_int8_head.py
 """
