@@ -272,3 +272,48 @@ def test_batched_eval_async_prep_matches_sync(tmp_path):
     for vid in preds_s:
         assert preds_s[vid] == preds_t[vid], vid
     np.testing.assert_array_equal(loss_s, loss_t)
+
+
+def test_batched_eval_prep_thread_exception_propagates(tmp_path, monkeypatch):
+    """A failure inside stage_a ON THE PREP THREAD (async_prep default)
+    must surface to the caller through Future.result (resolve_a in
+    drain), not die silently on the worker — and teardown must still
+    restore loader state and join both helper threads."""
+    import threading
+
+    import pytest
+
+    from echr_tpu.engine import steps as S
+
+    cfg = tiny_cfg(tmp_path)
+    cfg = cfg.replace_in("runtime", transfer_dtype="bfloat16")
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    cfg = cfg.replace_in("decoder", CG_vocab_size=dataset.vocab_size,
+                         CG_seq_length=dataset.seq_length)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(cfg, init_tap(rng, cfg), init_captioner(rng, cfg))
+
+    labels_before = loader.labels_for("val")
+    dtype_before = loader.feats_dtype_for("val")
+    threads_before = {t.name for t in threading.enumerate()}
+
+    def boom(*a, **k):
+        raise RuntimeError("injected encode failure")
+
+    # eval_steps_for binds steps-module globals at call time, so patching
+    # the module attribute routes stage_a's encode to boom on the worker
+    monkeypatch.setattr(S, "encode_step_batched", boom)
+    kw = {"num_vids_eval": 2, "val_all_metrics": False, "topN": 15,
+          "language_eval": False, "get_eval_loss": False}
+    with pytest.raises(RuntimeError, match="injected encode failure"):
+        eval_split_batched(
+            state.tap_params, state.cg_params, loader, cfg,
+            str(tmp_path / "x.json"), kw, flag_eval_what="tap_cg",
+            batch_videos=4,
+        )
+    assert loader.labels_for("val") == labels_before
+    assert loader.feats_dtype_for("val") == dtype_before
+    leftover = {t.name for t in threading.enumerate()} - threads_before
+    assert not any("eval-assembler" in n for n in leftover), leftover
+    assert not any("eval-prep" in n for n in leftover), leftover
