@@ -318,6 +318,15 @@ class RuntimeConfig:
     # whose captions end well before CG_seq_length.  Disabled automatically
     # on differentiable paths (while_loop has no reverse-mode rule).
     decode_early_exit: bool = True
+    # Batched (vmapped) pipelines historically forced the fixed scan: vmap
+    # lowers a per-video while_loop to run until the LAST unfinished row
+    # of the whole batch.  decoder_sample_batched_greedy inverts the
+    # nesting (lax.while_loop OUTSIDE, jax.vmap(step) INSIDE) so one loop
+    # serves the batch and exits when EVERY video is done — exact same
+    # outputs as the vmapped scan, real saved steps on trained models
+    # (captions typically end at 8-15 of L=30 tokens).  Greedy rng-free
+    # batched decode only; see decode_step_batched's routing.
+    decode_early_exit_batched: bool = True
     # Teacher-forced training computes the NLL with the logit head hoisted
     # OUT of the decode scan: the scan stores [N, L, core_width] outputs
     # instead of [N, L, V+1] logprobs (~8x smaller residual at flagship

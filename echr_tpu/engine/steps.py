@@ -871,12 +871,30 @@ def decode_step_batched(
 ):
     """Decode B videos' proposals in one program (vmapped captioner).
 
-    early_exit is forced off: under vmap the while_loop would run until the
-    LAST unfinished caption of the whole batch, so it almost never fires on
-    real data while costing ~12% vs scan (docs/BENCH_NOTES.md)."""
+    PER-VIDEO early exit is forced off: under vmap the while_loop would run
+    until the LAST unfinished caption of the whole batch, so it almost never
+    fires on real data while costing ~12% vs scan (docs/BENCH_NOTES.md).
+    Greedy rng-free calls (every eval/serving decode) instead route through
+    decoder_sample_batched_greedy — ONE batch-global while_loop (vmap inside
+    the loop body, not around it) whose exit condition is "every video in
+    the batch finished", the reference's break-when-all-finished
+    (OldModel_NEW.py:173-181) at batch scope.  Exact same outputs; gated by
+    runtime.decode_early_exit_batched."""
     cfg = _vmapped_decode_cfg(cfg, frame_mask.shape[-1])
     cg_c = _cast(cg_params, cfg)
     B = tap_feats.shape[0]
+
+    if greedy and rng is None and cfg.runtime.decode_early_exit_batched:
+        from echr_tpu.models.captioner import make_contexts
+        from echr_tpu.models.decoder import decoder_sample_batched_greedy
+
+        def mk(th, f, l, fm, pr):
+            return make_contexts(cg_c, cfg, th, f, l, pr, frame_mask=fm,
+                                 train=False)
+
+        ctxs_b = jax.vmap(mk)(tap_feats, feats, lda, frame_mask, props)
+        return decoder_sample_batched_greedy(cg_c["decoder"], cfg, ctxs_b)
+
     rngs = jax.random.split(rng, B) if rng is not None else None
 
     def one(th, f, l, fm, pr, r=None):
@@ -1058,6 +1076,21 @@ def decode_step_batched_shard_map(
 
     def body(cp, th, f, l, fm, pr, r=None):
         cg_c = _cast(cp, cfg)
+
+        if r is None and greedy and cfg.runtime.decode_early_exit_batched:
+            # Per-DEVICE batch-global early exit (see decode_step_batched):
+            # each device's while_loop exits when its own rows finish; no
+            # collectives inside these eval steps, so uneven local trip
+            # counts across devices are fine.
+            from echr_tpu.models.captioner import make_contexts
+            from echr_tpu.models.decoder import decoder_sample_batched_greedy
+
+            def mk(th1, f1, l1, fm1, pr1):
+                return make_contexts(cg_c, cfg, th1, f1, l1, pr1,
+                                     frame_mask=fm1, train=False)
+
+            ctxs_b = jax.vmap(mk)(th, f, l, fm, pr)
+            return decoder_sample_batched_greedy(cg_c["decoder"], cfg, ctxs_b)
 
         def one(th1, f1, l1, fm1, pr1, r1=None):
             return captioner_sample(

@@ -735,6 +735,14 @@ def teacher_forced_nll(
 # ---------------------------------------------------------------------------
 
 
+def sort_gate(cfg: Config, ctxs: Contexts) -> bool:
+    """Static gate for the window sort — shared by sort_ctxs_by_window and
+    callers that must make the same decision OUTSIDE a vmap (the batched
+    early-exit decode derives its loop-body cfg from it)."""
+    return bool(cfg.runtime.sort_decode_props and cfg.runtime.use_pallas
+                and ctxs.clip_mask is not None)
+
+
 def sort_ctxs_by_window(cfg: Config, ctxs: Contexts):
     """Permute proposal rows by window start so the mask-aware Pallas score
     kernel (ops/pallas_attention.attention_scores_masked) sees clustered
@@ -753,8 +761,7 @@ def sort_ctxs_by_window(cfg: Config, ctxs: Contexts):
     disabled (runtime flags, or no clip windows to cluster).  cfg comes
     back with the decode T ceiling raised to pallas_decode_t_max_sorted —
     sorted windows move the tile-skipping kernel's win/lose crossover up."""
-    if not (cfg.runtime.sort_decode_props and cfg.runtime.use_pallas
-            and ctxs.clip_mask is not None):
+    if not sort_gate(cfg, ctxs):
         return ctxs, cfg, None
     starts = jnp.min(
         jnp.where(ctxs.clip_mask > 0,
@@ -908,3 +915,99 @@ def decoder_sample(
     if inv_order is not None:
         return seq[inv_order], logps[inv_order], active
     return seq, logps, active
+
+
+def decoder_sample_batched_greedy(params, cfg: Config, ctxs_b: Contexts):
+    """Greedy decode of a [B]-video Contexts batch with ONE batch-global
+    early exit (the reference's break-when-all-finished,
+    OldModel_NEW.py:173-181, at batch scope).
+
+    decoder_sample's per-video while_loop is useless under vmap: vmap
+    lowers it to run until the LAST unfinished row of the whole batch, so
+    batched pipelines historically forced the fixed-length scan.  This
+    inverts the nesting — lax.while_loop OUTSIDE, jax.vmap(step) INSIDE —
+    so one loop whose condition is "any video still decoding" serves the
+    whole batch, and a batch of trained-model captions (typically 8-15
+    tokens of L=30) skips the tail steps for real.
+
+    Outputs are identical to the vmapped scan path (decode_step_batched
+    with greedy=True): unexecuted steps hold the same zeros the scan's
+    post-hoc active mask writes; per-video ``active[b, t]`` semantics are
+    unchanged.  Greedy, rng-free (no dropout) callers only — token
+    equality vs the scan form is pinned in test_decode_early_exit.py.
+
+    Returns (seq [B, N, L], logps [B, N, L], active [B, L])."""
+    B, N = ctxs_b.prop_mask.shape
+    L = cfg.decoder.CG_seq_length
+
+    # Per-video window sort, same gate as decoder_sample's greedy path.
+    # The gate (and sort's cfg transformation — the T-ceiling raise) is
+    # static and row-independent, so derive the loop body's cfg once
+    # OUTSIDE the vmap from the shared sort_gate helper.
+    will_sort = sort_gate(cfg, ctxs_b)
+    cfg_setup = cfg
+
+    def setup(ctxs):
+        c = cfg_setup
+        inv = None
+        if will_sort:
+            ctxs, c, inv = sort_ctxs_by_window(c, ctxs)
+        pre_att = precompute_attention(params, c, ctxs)
+        state = init_state(params, c, ctxs, N)
+        it0 = jnp.zeros((N,), jnp.int32)
+        logits, state = step_logits(params, c, it0, ctxs, pre_att, state,
+                                    train=False, rng=None)
+        return ctxs, pre_att, state, logits, inv
+
+    ctxs_b, pre_b, state_b, logits_b, inv_b = jax.vmap(setup)(ctxs_b)
+    if will_sort:
+        cfg = cfg.replace_in(
+            "runtime",
+            pallas_decode_t_max=cfg.runtime.pallas_decode_t_max_sorted)
+    prop_mask_b = ctxs_b.prop_mask  # post-sort order, like the outputs
+
+    def body(carry):
+        t, state_b, logits_b, unfinished_b, _, seq_b, logps_b, active_buf = carry
+
+        def tokens(logits, unfinished, pm):
+            lse = jax.scipy.special.logsumexp(logits, axis=1)
+            sample_logp = jnp.max(logits, axis=1) - lse
+            it = jnp.argmax(logits, axis=1).astype(jnp.int32)
+            unfinished = unfinished & (it > 0)
+            active = jnp.any(unfinished & (pm > 0))
+            return it, it * unfinished, sample_logp, unfinished, active
+
+        it_b, emit_b, logp_b, unfinished_b, active_b = jax.vmap(tokens)(
+            logits_b, unfinished_b, prop_mask_b)
+        # write emit*active: a finished video keeps emitting zeros while
+        # others run — exactly the scan form's post-hoc `* active[:, None]`
+        seq_b = jax.lax.dynamic_update_index_in_dim(
+            seq_b, emit_b * active_b[:, None], t - 1, axis=2)
+        logps_b = jax.lax.dynamic_update_index_in_dim(
+            logps_b, logp_b * active_b[:, None], t - 1, axis=2)
+        active_buf = jax.lax.dynamic_update_index_in_dim(
+            active_buf, active_b, t - 1, axis=1)
+
+        def adv(it, ctxs, pre, st):
+            return step_logits(params, cfg, it, ctxs, pre, st,
+                               train=False, rng=None)
+
+        logits_b, state_b = jax.vmap(adv)(it_b, ctxs_b, pre_b, state_b)
+        return (t + 1, state_b, logits_b, unfinished_b,
+                jnp.any(active_b), seq_b, logps_b, active_buf)
+
+    def cond(carry):
+        return (carry[0] <= L) & carry[4]
+
+    init = (
+        jnp.asarray(1, jnp.int32), state_b, logits_b,
+        jnp.ones((B, N), bool), jnp.asarray(True),
+        jnp.zeros((B, N, L), jnp.int32), jnp.zeros((B, N, L), jnp.float32),
+        jnp.zeros((B, L), bool),
+    )
+    carry = jax.lax.while_loop(cond, body, init)
+    seq_b, logps_b, active_buf = carry[5], carry[6], carry[7]
+    if inv_b is not None:
+        seq_b = jnp.take_along_axis(seq_b, inv_b[:, :, None], axis=1)
+        logps_b = jnp.take_along_axis(logps_b, inv_b[:, :, None], axis=1)
+    return seq_b, logps_b, active_buf

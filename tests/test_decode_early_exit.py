@@ -176,3 +176,99 @@ def test_sorted_decode_batched_bit_exact(setup):
     s2, l2, a2 = decode_step_batched(cg, base, *args)
     assert np.array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=0, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# batch-global early exit (decoder_sample_batched_greedy): while_loop OUTSIDE
+# jax.vmap(step) — one loop serves the whole batch and exits when every video
+# is finished, vs the historical vmapped fixed-length scan.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def batch_setup(setup):
+    """B=3 heterogeneous videos (different feats, lda, proposal layouts)."""
+    cfg, cg, *_ = setup
+    from echr_tpu.models.sst import sst_forward
+
+    T, N, B = 64, 8, 3
+    tap_params = init_tap(jax.random.PRNGKey(3), cfg)
+    rows = []
+    for b in range(B):
+        r = np.random.RandomState(100 + b)
+        feats = jnp.asarray(r.randn(T, cfg.tap.video_dim).astype(np.float32))
+        lda = jnp.asarray(r.randn(cfg.data.lda_dim).astype(np.float32))
+        fm = jnp.ones((T,), jnp.float32)
+        starts = r.randint(0, T - 8, size=N)
+        lens = r.randint(2, 10, size=N)
+        soi = jnp.asarray(np.stack([starts, np.minimum(starts + lens, T)], 1)
+                          .astype(np.int32))
+        pm = np.ones((N,), np.float32)
+        if b == 1:
+            pm[-2:] = 0.0  # one video with padded proposal rows
+        props = ProposalBatch(soi[:, 1] - 1, soi, jnp.asarray(pm))
+        tap_feats, _ = sst_forward(tap_params, feats, train=False)
+        rows.append((tap_feats, feats, lda, fm, props))
+    stack = lambda i: jax.tree.map(lambda *xs: jnp.stack(xs),
+                                   *[row[i] for row in rows])
+    return cfg, cg, tuple(stack(i) for i in range(5))
+
+
+def _run_batched(cfg, cg, args):
+    from echr_tpu.engine.steps import decode_step_batched
+
+    s, l, a = decode_step_batched(cg, cfg, *args)
+    return np.asarray(s), np.asarray(l), np.asarray(a)
+
+
+def test_batched_early_exit_equals_scan(batch_setup):
+    cfg, cg, args = batch_setup
+    s1, l1, a1 = _run_batched(cfg, cg, args)
+    s2, l2, a2 = _run_batched(
+        cfg.replace_in("runtime", decode_early_exit_batched=False), cg, args)
+    assert np.array_equal(s1, s2)
+    np.testing.assert_allclose(l1, l2, atol=1e-6)
+    assert np.array_equal(a1, a2)
+
+
+def test_batched_early_exit_fires(batch_setup):
+    """Strong <eos> bias: the batch-global loop actually exits early while
+    outputs stay identical to the scan form (incl. per-video active rows)."""
+    cfg, cg, args = batch_setup
+    cg2 = jax.tree.map(lambda x: x, cg)
+    b = np.zeros(cfg.decoder.CG_vocab_size + 1, np.float32)
+    b[0] = 5.0
+    cg2["decoder"]["logit"]["b"] = jnp.asarray(b)
+    s1, l1, a1 = _run_batched(cfg, cg2, args)
+    s2, l2, a2 = _run_batched(
+        cfg.replace_in("runtime", decode_early_exit_batched=False), cg2, args)
+    assert (a1.sum(axis=1) < cfg.decoder.CG_seq_length).all()
+    assert np.array_equal(s1, s2)
+    np.testing.assert_allclose(l1, l2, atol=1e-6)
+    assert np.array_equal(a1, a2)
+
+
+def test_batched_early_exit_sorted_bit_exact(batch_setup):
+    """Direct decoder_sample_batched_greedy with the window sort enabled
+    (sort_gate true: use_pallas + clip windows) must bit-match the unsorted
+    run — covers the batched inv-order unsort of [B, N, L] outputs."""
+    from echr_tpu.models.captioner import make_contexts
+    from echr_tpu.models.decoder import decoder_sample_batched_greedy
+
+    cfg, cg, args = batch_setup
+    tap_feats, feats, lda, fm, props = args
+
+    def outputs(c):
+        def mk(th, f, l, fm_, pr):
+            return make_contexts(cg, c, th, f, l, pr, frame_mask=fm_,
+                                 train=False)
+        ctxs_b = jax.vmap(mk)(tap_feats, feats, lda, fm, props)
+        s, l, a = decoder_sample_batched_greedy(cg["decoder"], c, ctxs_b)
+        return np.asarray(s), np.asarray(l), np.asarray(a)
+
+    base = cfg.replace_in("runtime", use_pallas=True)
+    s1, l1, a1 = outputs(base.replace_in("runtime", sort_decode_props=False))
+    s2, l2, a2 = outputs(base)
+    assert np.array_equal(s1, s2)
+    np.testing.assert_allclose(l1, l2, atol=0, rtol=0)
+    assert np.array_equal(a1, a2)
