@@ -324,8 +324,9 @@ class RuntimeConfig:
     # nesting (lax.while_loop OUTSIDE, jax.vmap(step) INSIDE) so one loop
     # serves the batch and exits when EVERY video is done — exact same
     # outputs as the vmapped scan, real saved steps on trained models
-    # (captions typically end at 8-15 of L=30 tokens).  Greedy rng-free
-    # batched decode only; see decode_step_batched's routing.
+    # (captions typically end at 8-15 of L=30 tokens).  Covers greedy
+    # rng-free batched decode (decode_step_batched) and batched beam
+    # search (beam_search_batched); sampling keeps the scan.
     decode_early_exit_batched: bool = True
     # Teacher-forced training computes the NLL with the logit head hoisted
     # OUT of the decode scan: the scan stores [N, L, core_width] outputs

@@ -920,12 +920,27 @@ def beam_decode_step_batched(
     beam_size: int,
     length_alpha: float = 0.0,
 ):
-    """Beam decode B videos per program (vmapped beam search)."""
-    from echr_tpu.models.beam import beam_search
+    """Beam decode B videos per program (vmapped beam search).
+
+    PER-VIDEO early exit is off under vmap (see decode_step_batched); the
+    batch-global while_loop form (models.beam.beam_search_batched) routes
+    here instead when runtime.decode_early_exit_batched — beam search is
+    deterministic/rng-free so every batched beam call qualifies."""
+    from echr_tpu.models.beam import beam_search, beam_search_batched
     from echr_tpu.models.captioner import make_contexts
 
     cfg = _vmapped_decode_cfg(cfg, frame_mask.shape[-1])
     cg_c = _cast(cg_params, cfg)
+
+    if cfg.runtime.decode_early_exit_batched:
+        def mk(th, f, l, fm, pr):
+            return make_contexts(cg_c, cfg, th, f, l, pr, frame_mask=fm,
+                                 train=False)
+
+        ctxs_b = jax.vmap(mk)(tap_feats, feats, lda, frame_mask, props)
+        res = beam_search_batched(cg_c["decoder"], cfg, ctxs_b, beam_size,
+                                  length_alpha)
+        return res.seq, res.logprob
 
     def one(th, f, l, fm, pr):
         ctxs = make_contexts(cg_c, cfg, th, f, l, pr, frame_mask=fm, train=False)
@@ -1129,7 +1144,7 @@ def beam_decode_step_batched_shard_map(
     """beam_decode_step_batched over local rows."""
     from jax.sharding import PartitionSpec as P
 
-    from echr_tpu.models.beam import beam_search
+    from echr_tpu.models.beam import beam_search, beam_search_batched
     from echr_tpu.models.captioner import make_contexts
 
     cfg = _vmapped_decode_cfg(cfg, frame_mask.shape[-1])
@@ -1137,6 +1152,19 @@ def beam_decode_step_batched_shard_map(
 
     def body(cp, th, f, l, fm, pr):
         cg_c = _cast(cp, cfg)
+
+        if cfg.runtime.decode_early_exit_batched:
+            # per-DEVICE batch-global early exit (see
+            # decode_step_batched_shard_map): no collectives in these eval
+            # steps, so uneven local trip counts across devices are fine
+            def mk(th1, f1, l1, fm1, pr1):
+                return make_contexts(cg_c, cfg, th1, f1, l1, pr1,
+                                     frame_mask=fm1, train=False)
+
+            ctxs_b = jax.vmap(mk)(th, f, l, fm, pr)
+            res = beam_search_batched(cg_c["decoder"], cfg, ctxs_b,
+                                      beam_size, length_alpha)
+            return res.seq, res.logprob
 
         def one(th1, f1, l1, fm1, pr1):
             ctxs = make_contexts(cg_c, cfg, th1, f1, l1, pr1,

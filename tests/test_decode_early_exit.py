@@ -272,3 +272,60 @@ def test_batched_early_exit_sorted_bit_exact(batch_setup):
     assert np.array_equal(s1, s2)
     np.testing.assert_allclose(l1, l2, atol=0, rtol=0)
     assert np.array_equal(a1, a2)
+
+
+# ---------------------------------------------------------------------------
+# batch-global early exit for BEAM search (beam_search_batched)
+# ---------------------------------------------------------------------------
+
+
+def _run_beam_batched(cfg, cg, args, beam=3, alpha=0.7):
+    from echr_tpu.engine.steps import beam_decode_step_batched
+
+    s, lp = beam_decode_step_batched(cg, cfg, *args, beam_size=beam,
+                                     length_alpha=alpha)
+    return np.asarray(s), np.asarray(lp)
+
+
+@pytest.mark.parametrize("eos_bias", [0.0, 5.0])
+def test_beam_batched_early_exit_equals_scan(batch_setup, eos_bias):
+    """beam_decode_step_batched: the batch-global while_loop form must match
+    the vmapped fixed-length scan exactly, both when no beam finishes early
+    (untrained) and when every beam finishes at t=1 (EOS-biased head)."""
+    cfg, cg, args = batch_setup
+    cg2 = cg
+    if eos_bias:
+        cg2 = jax.tree.map(lambda x: x, cg)
+        b = np.asarray(cg2["decoder"]["logit"]["b"]).copy()
+        b[0] += eos_bias
+        cg2["decoder"]["logit"]["b"] = jnp.asarray(b)
+    s1, l1 = _run_beam_batched(cfg, cg2, args)
+    s2, l2 = _run_beam_batched(
+        cfg.replace_in("runtime", decode_early_exit_batched=False), cg2, args)
+    assert np.array_equal(s1, s2)
+    np.testing.assert_allclose(l1, l2, atol=1e-6)
+
+
+def test_beam_batched_early_exit_sorted_bit_exact(batch_setup):
+    """beam_search_batched with the window sort enabled must bit-match the
+    unsorted run — covers the batched [Bv, N, B, L] inv-order unsort."""
+    from echr_tpu.models.beam import beam_search_batched
+    from echr_tpu.models.captioner import make_contexts
+
+    cfg, cg, args = batch_setup
+    tap_feats, feats, lda, fm, props = args
+
+    def outputs(c):
+        def mk(th, f, l, fm_, pr):
+            return make_contexts(cg, c, th, f, l, pr, frame_mask=fm_,
+                                 train=False)
+        ctxs_b = jax.vmap(mk)(tap_feats, feats, lda, fm, props)
+        r = beam_search_batched(cg["decoder"], c, ctxs_b, 3, 0.7)
+        return (np.asarray(r.seq), np.asarray(r.logprob),
+                np.asarray(r.all_seqs), np.asarray(r.all_logprobs))
+
+    base = cfg.replace_in("runtime", use_pallas=True)
+    o1 = outputs(base.replace_in("runtime", sort_decode_props=False))
+    o2 = outputs(base)
+    for a, b in zip(o1, o2):
+        np.testing.assert_array_equal(a, b)
