@@ -42,6 +42,13 @@ def log(*a):
 def build():
     import jax
 
+    # persistent compile cache — compiles through the axon relay are
+    # minutes each; every caller (bench main AND the experiments/ probes
+    # that import build) wants it
+    from echr_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     from echr_tpu.config import flagship_config
 
     cfg = flagship_config()

@@ -325,8 +325,11 @@ class RuntimeConfig:
     # serves the batch and exits when EVERY video is done — exact same
     # outputs as the vmapped scan, real saved steps on trained models
     # (captions typically end at 8-15 of L=30 tokens).  Covers greedy
-    # rng-free batched decode (decode_step_batched) and batched beam
-    # search (beam_search_batched); sampling keeps the scan.
+    # rng-free batched decode (decode_step_batched), batched beam search
+    # (beam_search_batched), multinomial batched decode (per-step keys are
+    # derived by step index, so draws match the scan bit-for-bit), and the
+    # SCST rollout's sampled + greedy decodes (the no-grad half of the RL
+    # step; the update keeps its scan — while_loop has no reverse rule).
     decode_early_exit_batched: bool = True
     # Teacher-forced training computes the NLL with the logit head hoisted
     # OUT of the decode scan: the scan stores [N, L, core_width] outputs

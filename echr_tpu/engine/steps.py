@@ -404,16 +404,14 @@ def apply_grads(state: TrainState, tap_g, cg_g, cfg: Config, phase: str) -> Trai
 # ---------------------------------------------------------------------------
 
 
-def _rl_forward(tap_params, cg_params, cfg: Config, batch: VideoBatch, phase: str,
-                rng: Array, forced=None, early_exit=None):
-    """Train-mode rollout with deterministic rng splits.  Called twice with
-    the same rng: once to sample (forced=None), once to replay the sampled
-    tokens differentiably (forced=gen_seq) — dropout masks are identical.
-    Params are cast to runtime.compute_dtype like every other step, so the
-    SCST phase runs the same mixed precision as the decode path whose
-    captions it optimizes."""
+def _rl_prepare(tap_params, cg_params, cfg: Config, batch: VideoBatch,
+                phase: str, rng: Array):
+    """The encode + train-mode context half of the SCST rollout forward:
+    everything up to (but excluding) the sampled decode.  Returns
+    (tap_l, tap_feats, ctxs, r_sample) with the exact rng splits
+    _rl_forward consumes, so a caller that decodes ctxs with r_sample
+    reproduces _rl_forward's draws and dropout masks bit-for-bit."""
     from echr_tpu.models.captioner import make_contexts
-    from echr_tpu.models.decoder import decoder_sample
 
     tap_params = _cast(tap_params, cfg)
     cg_params = _cast(cg_params, cfg)
@@ -428,9 +426,24 @@ def _rl_forward(tap_params, cg_params, cfg: Config, batch: VideoBatch, phase: st
     ctxs = make_contexts({"fusion": cg_params.get("fusion")}, cfg, tap_feats,
                          batch.feats, batch.lda, props,
                          frame_mask=batch.frame_mask, train=True, rng=r_ctx)
+    return tap_l, tap_feats, ctxs, r_sample
+
+
+def _rl_forward(tap_params, cg_params, cfg: Config, batch: VideoBatch, phase: str,
+                rng: Array, forced=None, early_exit=None):
+    """Train-mode rollout with deterministic rng splits.  Called twice with
+    the same rng: once to sample (forced=None), once to replay the sampled
+    tokens differentiably (forced=gen_seq) — dropout masks are identical.
+    Params are cast to runtime.compute_dtype like every other step, so the
+    SCST phase runs the same mixed precision as the decode path whose
+    captions it optimizes."""
+    from echr_tpu.models.decoder import decoder_sample
+
+    tap_l, tap_feats, ctxs, r_sample = _rl_prepare(
+        tap_params, cg_params, cfg, batch, phase, rng)
     gen_seq, gen_logps, _ = decoder_sample(
-        cg_params["decoder"], cfg, ctxs, greedy=False, rng=r_sample, train=True,
-        forced_tokens=forced, early_exit=early_exit,
+        _cast(cg_params, cfg)["decoder"], cfg, ctxs, greedy=False,
+        rng=r_sample, train=True, forced_tokens=forced, early_exit=early_exit,
     )
     return tap_l, tap_feats, gen_seq, gen_logps
 
@@ -477,6 +490,36 @@ def rl_rollout_step_batched(tap_params, cg_params, batch: VideoBatch,
     B = batch.feats.shape[0]
     rngs = jax.random.split(rng, B)
     tap_c, cg_c = _cast(tap_params, cfg), _cast(cg_params, cfg)
+
+    if cfg.runtime.decode_early_exit_batched:
+        # Batch-global early exit for BOTH rollout decodes (the no-grad
+        # half of every SCST step; the update keeps its scan — while_loop
+        # has no reverse rule).  SCST runs on stage-1-3-trained models
+        # whose captions end at 8-15 of L=30 tokens, so the two 30-step
+        # decode scans (~40% of the step, docs/BENCH_NOTES.md) shrink to
+        # the batch's real longest caption.  Sampled tokens are
+        # bit-identical to the scan form (per-step keys are derived by
+        # step index from the same r_sample split), so the update replays
+        # the same trajectories — pinned in test_decode_early_exit.py.
+        from echr_tpu.models.decoder import decoder_sample_batched
+
+        def prep(b, r):
+            tap_l, _, ctxs, r_sample = _rl_prepare(
+                tap_params, cg_params, cfg, b, phase, r)
+            tap_feats_eval, _ = sst_forward(tap_c, b.feats, train=False)
+            props, _, _ = _select_props(b, phase)
+            ctxs_eval = make_contexts({"fusion": cg_c.get("fusion")}, cfg,
+                                      tap_feats_eval, b.feats, b.lda, props,
+                                      frame_mask=b.frame_mask, train=False)
+            return tap_l, ctxs, r_sample, ctxs_eval
+
+        tap_l, ctxs_b, r_sample_b, ctxs_eval_b = jax.vmap(prep)(batch, rngs)
+        gen_seq, _, _ = decoder_sample_batched(
+            cg_c["decoder"], cfg, ctxs_b, greedy=False, rngs=r_sample_b,
+            train=True)
+        greedy_seq, _, _ = decoder_sample_batched(
+            cg_c["decoder"], cfg, ctxs_eval_b, greedy=True)
+        return tap_l, gen_seq, greedy_seq
 
     def one(b, r):
         # early_exit=False like every vmapped pipeline: under vmap the
@@ -874,26 +917,40 @@ def decode_step_batched(
     PER-VIDEO early exit is forced off: under vmap the while_loop would run
     until the LAST unfinished caption of the whole batch, so it almost never
     fires on real data while costing ~12% vs scan (docs/BENCH_NOTES.md).
-    Greedy rng-free calls (every eval/serving decode) instead route through
-    decoder_sample_batched_greedy — ONE batch-global while_loop (vmap inside
-    the loop body, not around it) whose exit condition is "every video in
-    the batch finished", the reference's break-when-all-finished
-    (OldModel_NEW.py:173-181) at batch scope.  Exact same outputs; gated by
-    runtime.decode_early_exit_batched."""
+    Both greedy rng-free calls (every eval/serving decode) and multinomial
+    calls (sample_max=0 eval) instead route through decoder_sample_batched —
+    ONE batch-global while_loop (vmap inside the loop body, not around it)
+    whose exit condition is "every video in the batch finished", the
+    reference's break-when-all-finished (OldModel_NEW.py:173-181) at batch
+    scope.  Exact same outputs — the multinomial form's per-step keys are
+    derived by step index, so its draws match the scan's bit-for-bit; gated
+    by runtime.decode_early_exit_batched."""
     cfg = _vmapped_decode_cfg(cfg, frame_mask.shape[-1])
     cg_c = _cast(cg_params, cfg)
     B = tap_feats.shape[0]
 
-    if greedy and rng is None and cfg.runtime.decode_early_exit_batched:
+    early = cfg.runtime.decode_early_exit_batched and (
+        (greedy and rng is None) or (not greedy and rng is not None))
+    if early:
         from echr_tpu.models.captioner import make_contexts
-        from echr_tpu.models.decoder import decoder_sample_batched_greedy
+        from echr_tpu.models.decoder import decoder_sample_batched
+
+        rngs_dec = None
+        if rng is not None:
+            # the scan path's captioner_sample splits each video's key into
+            # (r_ctx, r_dec) and eval-mode contexts consume nothing — feed
+            # the decoder the same r_dec rows for bit-identical draws
+            rngs_dec = jax.vmap(
+                lambda r: jax.random.split(r)[1])(jax.random.split(rng, B))
 
         def mk(th, f, l, fm, pr):
             return make_contexts(cg_c, cfg, th, f, l, pr, frame_mask=fm,
                                  train=False)
 
         ctxs_b = jax.vmap(mk)(tap_feats, feats, lda, frame_mask, props)
-        return decoder_sample_batched_greedy(cg_c["decoder"], cfg, ctxs_b)
+        return decoder_sample_batched(cg_c["decoder"], cfg, ctxs_b,
+                                      greedy=greedy, temperature=temperature,
+                                      rngs=rngs_dec)
 
     rngs = jax.random.split(rng, B) if rng is not None else None
 
@@ -1092,20 +1149,31 @@ def decode_step_batched_shard_map(
     def body(cp, th, f, l, fm, pr, r=None):
         cg_c = _cast(cp, cfg)
 
-        if r is None and greedy and cfg.runtime.decode_early_exit_batched:
+        early = cfg.runtime.decode_early_exit_batched and (
+            (greedy and r is None) or (not greedy and r is not None))
+        if early:
             # Per-DEVICE batch-global early exit (see decode_step_batched):
             # each device's while_loop exits when its own rows finish; no
             # collectives inside these eval steps, so uneven local trip
-            # counts across devices are fine.
+            # counts across devices are fine.  Multinomial rows feed the
+            # decoder the same r_dec = split(key)[1] the scan form's
+            # captioner_sample derives, so draws stay bit-identical.
             from echr_tpu.models.captioner import make_contexts
-            from echr_tpu.models.decoder import decoder_sample_batched_greedy
+            from echr_tpu.models.decoder import decoder_sample_batched
+
+            rngs_dec = None
+            if r is not None:
+                rngs_dec = jax.vmap(lambda rr: jax.random.split(rr)[1])(r)
 
             def mk(th1, f1, l1, fm1, pr1):
                 return make_contexts(cg_c, cfg, th1, f1, l1, pr1,
                                      frame_mask=fm1, train=False)
 
             ctxs_b = jax.vmap(mk)(th, f, l, fm, pr)
-            return decoder_sample_batched_greedy(cg_c["decoder"], cfg, ctxs_b)
+            return decoder_sample_batched(cg_c["decoder"], cfg, ctxs_b,
+                                          greedy=greedy,
+                                          temperature=temperature,
+                                          rngs=rngs_dec)
 
         def one(th1, f1, l1, fm1, pr1, r1=None):
             return captioner_sample(

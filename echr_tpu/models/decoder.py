@@ -917,9 +917,11 @@ def decoder_sample(
     return seq, logps, active
 
 
-def decoder_sample_batched_greedy(params, cfg: Config, ctxs_b: Contexts):
-    """Greedy decode of a [B]-video Contexts batch with ONE batch-global
-    early exit (the reference's break-when-all-finished,
+def decoder_sample_batched(params, cfg: Config, ctxs_b: Contexts, *,
+                           greedy: bool = True, temperature: float = 1.0,
+                           rngs: Optional[Array] = None, train: bool = False):
+    """Greedy or multinomial decode of a [B]-video Contexts batch with ONE
+    batch-global early exit (the reference's break-when-all-finished,
     OldModel_NEW.py:173-181, at batch scope).
 
     decoder_sample's per-video while_loop is useless under vmap: vmap
@@ -930,24 +932,44 @@ def decoder_sample_batched_greedy(params, cfg: Config, ctxs_b: Contexts):
     whole batch, and a batch of trained-model captions (typically 8-15
     tokens of L=30) skips the tail steps for real.
 
-    Outputs are identical to the vmapped scan path (decode_step_batched
-    with greedy=True): unexecuted steps hold the same zeros the scan's
-    post-hoc active mask writes; per-video ``active[b, t]`` semantics are
-    unchanged.  Greedy, rng-free (no dropout) callers only — token
-    equality vs the scan form is pinned in test_decode_early_exit.py.
+    Outputs are identical to the vmapped scan path (decode_step_batched):
+    unexecuted steps hold the same zeros the scan's post-hoc active mask
+    writes; per-video ``active[b, t]`` semantics are unchanged.
+
+    ``rngs`` is a [B]-vector of per-video keys (the same
+    ``jax.random.split(rng, B)`` rows the vmapped scan path consumes).
+    Token draws and dropout masks are bit-identical to decoder_sample's
+    because every per-step key is derived by step INDEX — fold_in(rng,
+    10_000+t) for the categorical draw, fold_in(rng, 20_000+t) for
+    dropout — never by position in a rolling split chain, so executing
+    fewer steps changes no executed step's key.  The multinomial form is
+    what the SCST rollout decodes with (train-mode dropout); equality vs
+    the scan form is pinned in test_decode_early_exit.py.
 
     Returns (seq [B, N, L], logps [B, N, L], active [B, L])."""
+    if not greedy and rngs is None:
+        raise ValueError(
+            "decoder_sample_batched(greedy=False) needs per-video rngs for "
+            "the categorical draws (see decoder_sample)")
     B, N = ctxs_b.prop_mask.shape
     L = cfg.decoder.CG_seq_length
+    if rngs is None:
+        rngs = jnp.zeros((B, 2), jnp.uint32)  # dummy vmap operand, unused
+        has_rng = False
+    else:
+        has_rng = True
 
-    # Per-video window sort, same gate as decoder_sample's greedy path.
-    # The gate (and sort's cfg transformation — the T-ceiling raise) is
-    # static and row-independent, so derive the loop body's cfg once
-    # OUTSIDE the vmap from the shared sort_gate helper.
-    will_sort = sort_gate(cfg, ctxs_b)
+    # Per-video window sort, same gate as decoder_sample's greedy path
+    # (greedy, rng-free, eval-mode only: draws/dropout consume rng by row
+    # POSITION, which a sort would change).  The gate (and sort's cfg
+    # transformation — the T-ceiling raise) is static and row-independent,
+    # so derive the loop body's cfg once OUTSIDE the vmap from the shared
+    # sort_gate helper.
+    will_sort = (greedy and not has_rng and not train
+                 and sort_gate(cfg, ctxs_b))
     cfg_setup = cfg
 
-    def setup(ctxs):
+    def setup(ctxs, r):
         c = cfg_setup
         inv = None
         if will_sort:
@@ -955,11 +977,12 @@ def decoder_sample_batched_greedy(params, cfg: Config, ctxs_b: Contexts):
         pre_att = precompute_attention(params, c, ctxs)
         state = init_state(params, c, ctxs, N)
         it0 = jnp.zeros((N,), jnp.int32)
+        r0 = jax.random.fold_in(r, 0) if has_rng else None
         logits, state = step_logits(params, c, it0, ctxs, pre_att, state,
-                                    train=False, rng=None)
+                                    train=train, rng=r0)
         return ctxs, pre_att, state, logits, inv
 
-    ctxs_b, pre_b, state_b, logits_b, inv_b = jax.vmap(setup)(ctxs_b)
+    ctxs_b, pre_b, state_b, logits_b, inv_b = jax.vmap(setup)(ctxs_b, rngs)
     if will_sort:
         cfg = cfg.replace_in(
             "runtime",
@@ -969,16 +992,23 @@ def decoder_sample_batched_greedy(params, cfg: Config, ctxs_b: Contexts):
     def body(carry):
         t, state_b, logits_b, unfinished_b, _, seq_b, logps_b, active_buf = carry
 
-        def tokens(logits, unfinished, pm):
+        def tokens(logits, unfinished, pm, r):
             lse = jax.scipy.special.logsumexp(logits, axis=1)
-            sample_logp = jnp.max(logits, axis=1) - lse
-            it = jnp.argmax(logits, axis=1).astype(jnp.int32)
+            if greedy:
+                sample_logp = jnp.max(logits, axis=1) - lse
+                it = jnp.argmax(logits, axis=1).astype(jnp.int32)
+            else:
+                r_t = jax.random.fold_in(r, 10_000 + t)
+                it = jax.random.categorical(
+                    r_t, logits / temperature, axis=-1).astype(jnp.int32)
+                sample_logp = jnp.take_along_axis(
+                    logits, it[:, None], axis=1)[:, 0] - lse
             unfinished = unfinished & (it > 0)
             active = jnp.any(unfinished & (pm > 0))
             return it, it * unfinished, sample_logp, unfinished, active
 
         it_b, emit_b, logp_b, unfinished_b, active_b = jax.vmap(tokens)(
-            logits_b, unfinished_b, prop_mask_b)
+            logits_b, unfinished_b, prop_mask_b, rngs)
         # write emit*active: a finished video keeps emitting zeros while
         # others run — exactly the scan form's post-hoc `* active[:, None]`
         seq_b = jax.lax.dynamic_update_index_in_dim(
@@ -988,11 +1018,12 @@ def decoder_sample_batched_greedy(params, cfg: Config, ctxs_b: Contexts):
         active_buf = jax.lax.dynamic_update_index_in_dim(
             active_buf, active_b, t - 1, axis=1)
 
-        def adv(it, ctxs, pre, st):
+        def adv(it, ctxs, pre, st, r):
+            r_t2 = jax.random.fold_in(r, 20_000 + t) if has_rng else None
             return step_logits(params, cfg, it, ctxs, pre, st,
-                               train=False, rng=None)
+                               train=train, rng=r_t2)
 
-        logits_b, state_b = jax.vmap(adv)(it_b, ctxs_b, pre_b, state_b)
+        logits_b, state_b = jax.vmap(adv)(it_b, ctxs_b, pre_b, state_b, rngs)
         return (t + 1, state_b, logits_b, unfinished_b,
                 jnp.any(active_b), seq_b, logps_b, active_buf)
 
@@ -1011,3 +1042,9 @@ def decoder_sample_batched_greedy(params, cfg: Config, ctxs_b: Contexts):
         seq_b = jnp.take_along_axis(seq_b, inv_b[:, :, None], axis=1)
         logps_b = jnp.take_along_axis(logps_b, inv_b[:, :, None], axis=1)
     return seq_b, logps_b, active_buf
+
+
+def decoder_sample_batched_greedy(params, cfg: Config, ctxs_b: Contexts):
+    """Greedy rng-free form of decoder_sample_batched (the original name;
+    the eval/serving decode routes through here)."""
+    return decoder_sample_batched(params, cfg, ctxs_b, greedy=True)

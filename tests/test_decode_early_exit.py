@@ -306,6 +306,65 @@ def test_beam_batched_early_exit_equals_scan(batch_setup, eos_bias):
     np.testing.assert_allclose(l1, l2, atol=1e-6)
 
 
+@pytest.mark.parametrize("eos_bias,temperature", [(0.0, 1.0), (12.0, 0.7)])
+def test_batched_early_exit_sampled_equals_scan(batch_setup, eos_bias,
+                                                temperature):
+    """Multinomial batched decode (sample_max=0 eval / SCST rollouts): the
+    batch-global while_loop must reproduce the vmapped scan's token draws
+    bit-for-bit — per-step keys are derived by step INDEX (fold_in(rng,
+    10_000+t)), so executing fewer steps changes no executed step's key.
+    eos_bias=12 makes the categorical all-but-certain to emit END at t=1,
+    so the early exit actually fires."""
+    import jax
+
+    cfg, cg, args = batch_setup
+    cg2 = cg
+    if eos_bias:
+        cg2 = jax.tree.map(lambda x: x, cg)
+        b = np.asarray(cg2["decoder"]["logit"]["b"]).copy()
+        b[0] += eos_bias
+        cg2["decoder"]["logit"]["b"] = jnp.asarray(b)
+    from echr_tpu.engine.steps import decode_step_batched
+
+    rng = jax.random.PRNGKey(21)
+    s1, l1, a1 = decode_step_batched(cg2, cfg, *args, greedy=False,
+                                     temperature=temperature, rng=rng)
+    s2, l2, a2 = decode_step_batched(
+        cg2, cfg.replace_in("runtime", decode_early_exit_batched=False),
+        *args, greedy=False, temperature=temperature, rng=rng)
+    if eos_bias:
+        assert (np.asarray(a1).sum(axis=1) < cfg.decoder.CG_seq_length).all()
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+    assert np.array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_rl_rollout_batched_early_exit_equals_scan(tmp_path):
+    """SCST rollout (sampled train-mode decode + greedy eval baseline):
+    the batch-global early-exit route must return the exact trajectories
+    the scan form samples — the update replays gen_seq, so any token drift
+    here would silently change the policy gradient."""
+    import jax
+
+    from test_rl_vjp import _setup
+
+    from echr_tpu.engine.steps import rl_rollout_step_batched
+
+    cfg, stacked, fresh_state = _setup(tmp_path)
+    st = fresh_state()
+    step_rng = jax.random.PRNGKey(42)
+    on = cfg.replace_in("runtime", decode_early_exit_batched=True)
+    off = cfg.replace_in("runtime", decode_early_exit_batched=False)
+    tap_a, gen_a, greedy_a = rl_rollout_step_batched(
+        st.tap_params, st.cg_params, stacked, on, "tap_cg", step_rng)
+    tap_b, gen_b, greedy_b = rl_rollout_step_batched(
+        st.tap_params, st.cg_params, stacked, off, "tap_cg", step_rng)
+    np.testing.assert_array_equal(np.asarray(gen_a), np.asarray(gen_b))
+    np.testing.assert_array_equal(np.asarray(greedy_a), np.asarray(greedy_b))
+    np.testing.assert_allclose(np.asarray(tap_a), np.asarray(tap_b),
+                               atol=1e-6)
+
+
 def test_beam_batched_early_exit_sorted_bit_exact(batch_setup):
     """beam_search_batched with the window sort enabled must bit-match the
     unsorted run — covers the batched [Bv, N, B, L] inv-order unsort."""
