@@ -37,7 +37,54 @@ def build_mesh(cfg: Optional[Config] = None, devices=None, shape: Optional[Tuple
             dp, tp = len(devices), 1
     names = cfg.runtime.mesh_axis_names if cfg is not None else ("data", "model")
     arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, names)
+    mesh = Mesh(arr, names)
+    _warmup_mesh_collectives(mesh)
+    return mesh
+
+
+_warmed_meshes = set()
+
+
+def _warmup_mesh_collectives(mesh: Mesh) -> None:
+    """Establish every Gloo communicator this mesh's collectives will use,
+    NOW, while inter-process skew is small.
+
+    XLA:CPU backs cross-process collectives with Gloo, which creates one
+    communicator per device GROUP lazily at the first collective over that
+    group — with a hard ~30 s rendezvous deadline (GetKeyValue timeout).
+    The first real collective (e.g. the gradient psum inside a jitted
+    train step) lands only after minutes of compile work whose duration
+    can skew across processes (persistent-cache hit vs miss, host load);
+    a >30 s skew kills the run with "Gloo context initialization failed:
+    DEADLINE_EXCEEDED".  distributed.initialize's process-level warmup
+    covers the one-device-per-process group that sync_global_devices
+    uses, but NOT the per-mesh groups: a psum over the full (dp, tp) mesh
+    rendezvouses a fresh group of all dp*tp devices, and per-axis psums
+    use row/column groups.  Running a tiny psum over all axes and over
+    each multi-device axis right after mesh construction creates those
+    communicators while skew is milliseconds (the tiny programs compile
+    in ~ms on every process).  Memoized per (device layout, axis names);
+    no-op on single-process or non-CPU backends."""
+    if jax.process_count() <= 1 or jax.default_backend() != "cpu":
+        return
+    key = (tuple(d.id for d in mesh.devices.flat),
+           tuple(mesh.devices.shape), mesh.axis_names)
+    if key in _warmed_meshes:
+        return
+    from jax.experimental.shard_map import shard_map
+
+    names = mesh.axis_names
+    axis_sets = [tuple(names)] + [
+        (n,) for n in names if mesh.shape[n] > 1 and len(names) > 1
+    ]
+    for axes in axis_sets:
+        def f(x, _axes=axes):
+            return jax.lax.psum(x, _axes)
+
+        g = jax.jit(shard_map(f, mesh=mesh,
+                              in_specs=P(), out_specs=P()))
+        np.asarray(g(np.ones((1,), np.float32)))  # fetch = exec barrier
+    _warmed_meshes.add(key)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

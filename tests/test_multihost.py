@@ -60,11 +60,15 @@ def _retry_gloo_flake(launch, attempts=3):
     """Run `launch() -> (procs, outs)`, retrying on the Gloo-deadline flake.
 
     XLA:CPU's Gloo communicator init has a HARDCODED 30 s rendezvous
-    deadline (no jax/XLA knob), and every executable makes its own
-    communicator — under full-suite host contention one worker's compile
-    can lag the other past the deadline (cold compile cache: ~15 min/worker
-    with multi-minute skew).  That is a test-environment flake, not a
-    semantics failure: retry, but only for this exact signature.
+    deadline (no jax/XLA knob).  Communicators are cached per device
+    GROUP (not per executable — established empirically by
+    tests/gloo_warmup_worker.py), and parallel.mesh.build_mesh now warms
+    every group at mesh construction while inter-process skew is small,
+    so the historical flake (compile skew > 30 s before the first psum
+    over a fresh mesh) should be gone.  The retry stays as
+    belt-and-braces for groups created outside build_mesh (e.g. a first
+    collective over a device set no mesh warmed), but only for this
+    exact failure signature.
     """
     for attempt in range(attempts):
         procs, outs = launch()
@@ -287,3 +291,41 @@ def test_cli_multihost_env_init(tmp_path):
     adir = run_dirs[-1]
     assert (adir / "p0" / "CLIMH" / "config.json").exists()
     assert not (adir / "p1" / "CLIMH" / "config.json").exists()
+
+
+def test_mesh_warmup_survives_cross_process_compile_skew():
+    """build_mesh's Gloo warmup makes mesh collectives skew-tolerant.
+
+    XLA:CPU creates one Gloo communicator per device GROUP, lazily, at
+    the first collective over that group, with a hard ~30 s rendezvous
+    deadline — and compile skew between processes routinely exceeds that
+    under full-suite load (the historical test_multihost flake).
+    parallel.mesh._warmup_mesh_collectives establishes the communicators
+    at mesh construction, while skew is milliseconds; afterwards the
+    group is CACHED per device set and op-level waits tolerate arbitrary
+    skew.  The worker proves it with an explicit 35 s sleep between mesh
+    construction and the first real psum — without the warmup this exact
+    setup dies with "Gloo context initialization failed:
+    DEADLINE_EXCEEDED: GetKeyValue() timed out with key:
+    cpu:gloo/0,1,2048,2049/..." (reproduced, 2026-08; warmup=0 arm of
+    tests/gloo_warmup_worker.py)."""
+    worker = os.path.join(os.path.dirname(__file__), "gloo_warmup_worker.py")
+    port = _free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(__file__)), env.get("PYTHONPATH", "")]
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), "35", "1"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert "PSUM_OK 4.0" in out, out[-2000:]
