@@ -280,6 +280,55 @@ def bench_train(cfg, tap_params, cg_params):
     return results
 
 
+def bench_e2e_train(B: int = 32, iters: int = 28, skip: int = 6):
+    """E2e train-LOOP throughput: the real train() — loader pulls, bucket
+    collation, H2D upload, per-step metrics fetch, rng/epoch bookkeeping —
+    at flagship dims on synthetic data (the reference's only perf signal is
+    exactly this loop's time/batch line, train.py:343-349).  Exercises the
+    pipelined loop (runtime.train_pipeline: _TrainPrep producer thread +
+    deferred batched metrics flush); the gap to train_throughput's
+    device-resident step rate is the pipeline's residual overhead.
+    Measured over dispatch timestamps past warmup — backpressured by the
+    half-window metrics flush, so steady-state dispatch rate == completion
+    rate."""
+    import tempfile
+
+    from echr_tpu.config import flagship_config
+    from echr_tpu.engine.train import train
+
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_train_")
+    cfg = flagship_config()
+    cfg = cfg.replace_in(
+        "data", synthetic=True, lda_dim=100, time_buckets=(T_BUCKET,),
+        synthetic_vocab_size=VOCAB, synthetic_seq_length=SEQ_LEN,
+        synthetic_num_videos=256, synthetic_cache_videos=256,
+    )
+    cfg = cfg.replace_in(
+        "train", training_mode="cotrain", tap_epochs=0, cg_epochs=0,
+        tapcg_epochs=10**6, batch_size=B, self_critical_after=-1, m_batch=1,
+    )
+    cfg = cfg.replace_in(
+        "save", checkpoint_path=tmp, losses_log_every=10**9,
+        save_checkpoint_every=10**9, min_epoch_when_save=10**9,
+    )
+    cfg = cfg.replace(run_id="bench_e2e_train").validate()
+    tm: dict = {}
+    train(cfg, max_iterations=iters, timing_out=tm)
+    marks = tm["iters"]
+    if len(marks) < skip + 2:
+        raise RuntimeError(f"too few updates recorded ({len(marks)})")
+    t0, t1 = marks[skip][1], marks[-1][1]
+    n = marks[-1][0] - marks[skip][0]
+    vps = n * B / (t1 - t0)
+    sections = {k: round(tm.get(k, 0.0) / len(marks) * 1e3, 1)
+                for k in ("loader", "compress", "collate", "put", "step", "fetch")}
+    log(f"e2e train: {vps:.1f} videos/s over {n} steady updates (B={B}); "
+        f"section ms/update incl. warmup: {sections}")
+    return {"videos_per_s": round(vps, 1), "batch": B, "updates": n,
+            "ms_per_update": round((t1 - t0) / n * 1e3, 1),
+            "sections_ms": sections}
+
+
 def bench_rl(cfg, tap_params, cg_params, B: int = 8):
     """Batched SCST device path at flagship dims: one vmapped
     sampled+greedy rollout + one policy-gradient update for B videos
@@ -686,6 +735,11 @@ def main():
         log(f"train throughput bench failed: {e}")
         train_stats = None
     try:
+        e2e_train_stats = bench_e2e_train()
+    except Exception as e:
+        log(f"e2e train bench failed: {e}")
+        e2e_train_stats = None
+    try:
         # --fullscale: the REAL ActivityNet val-split size (4,917 val
         # videos out of 19,668) instead of the default 96-video split —
         # ~6 min incl. warmup; see BENCH_NOTES "Full ActivityNet-scale
@@ -724,6 +778,7 @@ def main():
         "vs_gpu_baseline_est": round(vs / 100.0, 2) if vs else None,
         "beam": beam_stats,
         "train_throughput": train_stats,
+        "e2e_train": e2e_train_stats,
         "e2e_eval": e2e_stats,
         "rl": rl_stats,
         "roofline": roofline,

@@ -295,6 +295,25 @@ class RuntimeConfig:
     # decoder_sample swaps this in for pallas_decode_t_max when its
     # window sort fires.  T=1024 still loses sorted; keep below that.
     pallas_decode_t_max_sorted: int = 512
+    # Pipelined train loop (single-process, batch_size > 1): a producer
+    # thread runs loader pulls + bucket collation + the H2D batch upload
+    # while the device executes the previous step, and per-step metrics
+    # are fetched in deferred batches instead of one blocking device_get
+    # per iteration (engine/train._TrainPrep).  Bit-identical training
+    # trajectory to the synchronous loop (same rng stream, same epoch/LR
+    # schedule, same resume semantics via per-group loader-state
+    # snapshots); the non-finite-loss warning lags by at most the flush
+    # interval.  Measured: the synchronous loop ran at 22.5 videos/s vs
+    # the 229 videos/s device step rate at B=32 flagship dims (collation
+    # + upload + metric sync all serialized with compute through the
+    # relay) — see docs/BENCH_NOTES.md "E2e train pipeline".
+    train_pipeline: bool = True
+    # Max dispatched-but-unfetched steps in the pipelined train loop: the
+    # deferred metrics flush device_gets the oldest pending step, blocking
+    # until it completed — which is also the dispatch backpressure bounding
+    # staged-batch HBM (inflight+prep_depth uploads live) and relay request
+    # pileup.  ~8 steps is ~1s of lookahead at flagship B=32.
+    train_inflight: int = 8
     # Multi-process preemption: iterations between the COLLECTIVE
     # SIGTERM-flag allgathers (the stop decision must be collective —
     # partial signal delivery would otherwise wedge peers in the next

@@ -116,7 +116,9 @@ class Loader:
         iterators = dict(self.iterators)
         orders = {k: list(v) for k, v in self.split_order.items()}
         epochs = dict(self.epochs)
-        for split, (pos, order, epoch) in self._consumed.items():
+        # list(): the train prep thread snapshots state() while the main
+        # thread's gating eval may insert the "val" entry concurrently
+        for split, (pos, order, epoch) in list(self._consumed.items()):
             iterators[split] = pos
             orders[split] = list(order)
             epochs[split] = epoch

@@ -14,7 +14,7 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -138,8 +138,161 @@ class _BucketCollator:
         return None
 
 
-def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
+class _PrepItem(NamedTuple):
+    stacked: VideoBatch   # device-staged [B, ...] batch (H2D done in-thread)
+    metas: List           # per-video BatchMeta (SCST rewards, vid for logs)
+    last_batch: VideoBatch  # completing pull's host batch (ckpt histograms)
+    epoch_at_step: int    # epoch the step must run under (wraps BEFORE the
+    #                       completing pull — its own wrap counts after the
+    #                       step, exactly like the synchronous loop)
+    epoch_after: int      # epoch after the completing pull's wrap
+    good_pulls: int       # rng splits owed for this item's span of pulls
+    bad_delta: int        # bad-video skips in this item's span
+    loader_state: Dict    # loader.state() right after the completing pull
+
+
+_PREP_STOP = object()
+
+
+class _TrainPrep:
+    """Producer thread for the pipelined train loop (runtime.train_pipeline,
+    net-new — the reference's loop is fully synchronous, train.py:252-349):
+    loader pulls, bad-video skips, transfer compression, bucket collation,
+    and the H2D batch upload all run here, overlapped with the device step
+    the main thread dispatched.  Produces the SAME stream of stacked groups
+    as the synchronous loop (one Loader, same order), with enough
+    bookkeeping attached to each item that the consumer reconstructs the
+    synchronous loop's exact epoch schedule, rng stream, and checkpointable
+    loader state.
+
+    Measured motivation (experiments/probe_train_e2e.py, B=32 flagship
+    dims through the axon relay): the synchronous loop ran 22.5 videos/s
+    against a 229 videos/s device step — collation, the ~34 MB H2D upload
+    at dispatch, and the per-step metrics device_get all serialized with
+    compute."""
+
+    def __init__(self, loader: Loader, cfg: Config, batch_size: int,
+                 epoch0: int, n_epochs: int, mesh, multihost: bool,
+                 depth: int = 2):
+        import queue as _q
+        import threading
+
+        self.loader = loader
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.epoch0 = epoch0
+        self.n_epochs = n_epochs
+        self.mesh = mesh
+        self.multihost = multihost
+        self.q: "_q.Queue" = _q.Queue(maxsize=depth)
+        self._empty = _q.Empty
+        self._full = _q.Full
+        self.abort = threading.Event()
+        self.error: Optional[BaseException] = None
+        self.final_epoch = epoch0  # valid once the thread exits
+        self.tm = {"loader": 0.0, "compress": 0.0, "collate": 0.0, "put": 0.0}
+        self.thread = threading.Thread(
+            target=self._run, daemon=True, name="train-prep")
+        self.thread.start()
+
+    def _run(self) -> None:
+        tic = time.perf_counter
+        try:
+            collator = _BucketCollator(self.batch_size)
+            wraps, good, bad = 0, 0, 0
+            while not self.abort.is_set() and self.epoch0 + wraps < self.n_epochs:
+                t0 = tic()
+                batch, meta = self.loader.get_batch("train")
+                self.tm["loader"] += tic() - t0
+                if meta.proposal_num <= 0 or meta.n_frames <= 1:
+                    bad += 1
+                    wraps += int(meta.wrapped)
+                    continue
+                t0 = tic()
+                batch = _compress_batch(batch, self.cfg)
+                self.tm["compress"] += tic() - t0
+                good += 1
+                epoch_at_step = self.epoch0 + wraps
+                t0 = tic()
+                res = collator.add(batch, meta)
+                self.tm["collate"] += tic() - t0
+                if res is None:
+                    wraps += int(meta.wrapped)
+                    continue
+                stacked, metas = res
+                t0 = tic()
+                if self.mesh is not None:
+                    stacked = _shard_batch(stacked, self.mesh, self.multihost)
+                else:
+                    stacked = jax.device_put(stacked)
+                self.tm["put"] += tic() - t0
+                item = _PrepItem(
+                    stacked, metas, batch, epoch_at_step,
+                    epoch_at_step + int(meta.wrapped), good, bad,
+                    self.loader.state(),
+                )
+                good, bad = 0, 0
+                wraps += int(meta.wrapped)
+                if not self._put(item):
+                    return  # aborted
+            self.final_epoch = self.epoch0 + wraps
+        except BaseException as e:  # surfaced by get() on the main thread
+            self.error = e
+        finally:
+            self._put(_PREP_STOP)
+
+    def _put(self, item) -> bool:
+        while not self.abort.is_set():
+            try:
+                self.q.put(item, timeout=0.2)
+                return True
+            except self._full:
+                pass
+        return False
+
+    def get(self, stop_requested):
+        """Next prepped group.  Returns _PREP_STOP when the curriculum is
+        exhausted or stop_requested() turns true while waiting; re-raises
+        any producer exception."""
+        while True:
+            try:
+                item = self.q.get(timeout=0.2)
+            except self._empty:
+                if self.error is not None:
+                    raise self.error
+                if stop_requested():
+                    return _PREP_STOP
+                if not self.thread.is_alive() and self.q.empty():
+                    if self.error is not None:
+                        raise self.error
+                    return _PREP_STOP
+                continue
+            if item is _PREP_STOP and self.error is not None:
+                raise self.error
+            return item
+
+    def stop(self) -> None:
+        self.abort.set()
+        try:  # drain so a blocked _put wakes and sees the abort flag
+            while True:
+                self.q.get_nowait()
+        except self._empty:
+            pass
+        self.thread.join(timeout=10.0)
+        if self.thread.is_alive():
+            log.warning("train prep thread did not join within 10s")
+
+
+def train(cfg: Config, max_iterations: Optional[int] = None,
+          timing_out: Optional[Dict] = None) -> Dict:
     """Run the full curriculum.  Returns a summary dict.
+
+    timing_out (optional dict, mirrors eval_split_batched's timing_out):
+    filled with cumulative seconds per loop section — "loader" (get_batch),
+    "compress" (host bf16 cast), "collate" (bucket stacking), "step"
+    (device dispatch incl. H2D upload), "fetch" (device->host metrics),
+    "boundary" (log/eval/checkpoint work) — plus "iters", a list of
+    (iteration, perf_counter) pairs for steady-state rate measurement.
 
     Multi-host (jax.process_count() > 1, net-new vs the reference —
     SURVEY §5.8): every process runs the SAME replicated host pipeline
@@ -305,7 +458,252 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
     # signal and the collective _localize at loop exit still runs on all.
     _preempt = _install_preemption_handler()
 
-    while epoch < len(curriculum):
+    # loop-section wall-clock accounting (cheap: two perf_counter calls per
+    # section); copied into timing_out at return when the caller asked
+    tm: Dict = {"loader": 0.0, "compress": 0.0, "collate": 0.0, "step": 0.0,
+                "fetch": 0.0, "boundary": 0.0, "iters": []}
+    tic = time.perf_counter
+
+    # -- boundary work shared by the synchronous and pipelined loops --------
+
+    def _log_boundary(iteration: int, epoch: int, phase: str) -> None:
+        """losses_log_every boundary: averaged-loss log line + TB scalars
+        (reference: train.py:343-357)."""
+        nonlocal loss_sum, loss_count, bad_video_num, t_start
+        avg = {k: round(v / max(loss_count, 1), 4) for k, v in loss_sum.items()}
+        dt = (time.time() - t_start) / max(loss_count, 1)
+        log.info(
+            "iter %d (epoch %d, lr %.2e, phase %s) losses=%s time/batch=%.3fs bad_vid=%d",
+            iteration, epoch, lr, phase, avg, dt, bad_video_num,
+        )
+        histories["loss"][iteration] = avg
+        histories["lr"][iteration] = lr
+        tb.scalar("lr", lr, iteration)
+        for k, v in avg.items():
+            tb.scalar(f"train_{k}", v, iteration)
+        loss_sum, loss_count, bad_video_num = {}, 0, 0
+        t_start = time.time()
+
+    def _ckpt_boundary(iteration: int, epoch: int, phase: str, ss_prob: float,
+                       step_rng, hist_batch_raw: VideoBatch, state: TrainState,
+                       loader_state: Dict = None) -> None:
+        """save_checkpoint_every boundary: gating eval, param+grad
+        histograms, last/best checkpoints (reference: train.py:360-466).
+        hist_batch_raw is the last consumed single-video batch (the
+        reference logs .grad from the latest step's batch)."""
+        nonlocal best_val_score
+        current_score, eval_scores = _run_eval(
+            state, eval_loader, cfg, save_folder, iteration, phase,
+            multihost=multihost, mesh=mesh,
+        )
+        tb.scalar("val_score", current_score, iteration)
+        for k, v in eval_scores.items():
+            tb.scalar(f"val_{k}", float(np.asarray(v, dtype=float).mean()), iteration)
+        # parameter AND gradient histograms for every parameter at
+        # checkpoints (reference: train.py:417-422 logs param + grad for
+        # all named parameters; the grads are a fresh forward-backward on
+        # the latest batch, matching torch's last-step .grad contents)
+        from echr_tpu.engine.steps import grad_step
+
+        hist_batch = _stack_batch(hist_batch_raw)
+        if multihost:
+            # replicated global batch: the grad program is a collective
+            # over global params, so EVERY process runs it; p0 writes
+            hist_batch = _replicate_global(hist_batch, mesh)
+        # rl_cfg, not cfg: grad_step is an auto-partitioned jit, so the
+        # Pallas train kernel must stay out of it under any mesh (same
+        # invariant as the SCST steps, see rl_cfg above)
+        hist_grads, _ = grad_step(
+            state, hist_batch, step_rng, rl_cfg, phase, ss_prob=ss_prob
+        )
+        if multihost and mesh.shape["model"] > 1:
+            # collective localization (allgathers tp-sharded leaves) on
+            # EVERY process; only p0 writes the files below
+            save_state = _localize(state, mesh)
+            hist_grads = _localize(hist_grads, mesh)
+        else:
+            # dp-only (or single-host): every leaf is replicated, hence
+            # host-addressable — no collective, and non-writer processes
+            # skip the device->host fetch entirely (their TB is _NullTB)
+            save_state = state
+        if is_p0:
+            for prefix, tree in (
+                ("tap", save_state.tap_params),
+                ("cg", save_state.cg_params),
+                ("tap_grad", hist_grads[0]),
+                ("cg_grad", hist_grads[1]),
+            ):
+                for name, leaf in jax.tree_util.tree_leaves_with_path(tree):
+                    tb.histogram(
+                        f"{prefix}/" + jax.tree_util.keystr(name),
+                        np.asarray(leaf), iteration,
+                    )
+        histories["val"][iteration] = {
+            k: (np.asarray(v).tolist() if hasattr(v, "tolist") else v)
+            for k, v in eval_scores.items()
+        }
+        if is_p0:  # single-writer checkpoints; every process agrees on
+            # the scores (multihost eval gathers the full split), so the
+            # best-checkpoint decision is identical everywhere
+            _save(save_state, cfg, save_folder, iteration, epoch, best_val_score,
+                  loader, histories, dataset, loader_state=loader_state)
+        if current_score > best_val_score:
+            best_val_score = current_score
+            if is_p0:
+                _save(save_state, cfg, save_folder, iteration, epoch, best_val_score,
+                      loader, histories, dataset, best=True,
+                      loader_state=loader_state)
+            log.info("new best %.4f at iter %d", best_val_score, iteration)
+
+    def _loop_pipelined() -> None:
+        """Pipelined train loop (runtime.train_pipeline, net-new — the
+        reference's loop is fully synchronous, train.py:252-349): a
+        _TrainPrep producer thread overlaps loader pulls + collation + the
+        H2D upload with the device step, and per-step metrics are fetched
+        in deferred batches (ONE relay crossing per flush) instead of one
+        blocking device_get per iteration.  The pending-metrics flush is
+        also the dispatch backpressure: device_get on step i's metrics
+        blocks until step i completed, so at most
+        runtime.train_inflight steps (plus the prep queue) are in flight —
+        bounding staged-batch HBM and relay request pileup.
+
+        Trajectory is bit-identical to the synchronous loop: the rng
+        stream replays one split per good pull (item.good_pulls), the
+        epoch/LR/phase schedule replays from item.epoch_at_step /
+        epoch_after, and checkpoints save the CONSUMED loader snapshot
+        (item.loader_state), not the producer's run-ahead cursor
+        (tests/test_train_pipeline.py pins all three)."""
+        nonlocal state, epoch, iteration, rng, lr
+        nonlocal loss_sum, loss_count, bad_video_num
+        prep = _TrainPrep(loader, cfg, cfg.train.batch_size, epoch,
+                          len(curriculum), mesh, multihost)
+        # (iteration, device metrics, vid, phase) awaiting the batched fetch
+        pending: List = []
+        last_consumed = loader.state()  # checkpoint snapshot before any item
+        inflight = max(1, int(cfg.runtime.train_inflight))
+
+        def _flush_pending(n: int = None) -> None:
+            """Batched device_get of the oldest n pending steps' metrics
+            (all of them when n is None — log/ckpt boundaries need the
+            exact per-step sums).  The overflow path fetches only HALF the
+            window: device_get blocks until that step completed, so a full
+            flush would drain the whole dispatch queue and re-serialize
+            the producer with the device every window — half keeps the
+            device queue primed while the relay crossing amortizes over
+            inflight/2 steps."""
+            nonlocal loss_count
+            drain = pending if n is None else pending[:n]
+            if not drain:
+                return
+            t0 = tic()
+            fetched = jax.device_get([p[1] for p in drain])
+            tm["fetch"] += tic() - t0
+            for (it_i, _, vid_i, phase_i), m in zip(drain, fetched):
+                loss_now = float(m.get("loss", 0.0))
+                if not np.isfinite(loss_now):
+                    # failure containment: lags the step by at most the
+                    # flush interval (see RuntimeConfig.train_pipeline)
+                    log.warning("non-finite loss %s at iter %d (vid %s, phase %s)",
+                                loss_now, it_i, vid_i, phase_i)
+                for k, v in m.items():
+                    loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
+                loss_count += 1
+            del pending[:len(drain)]
+
+        try:
+            while True:
+                item = prep.get(lambda: _preempt["hit"])
+                if item is _PREP_STOP:
+                    if _preempt["hit"]:
+                        log.warning("preemption: stopping before iter %d; "
+                                    "resume with --start_from", iteration + 1)
+                    else:
+                        # curriculum exhausted: trailing wraps on dropped
+                        # partial groups advance the epoch like the sync loop
+                        epoch = max(epoch, prep.final_epoch)
+                    break
+                # replay the sync loop's rng stream: ONE split per good pull
+                # in this item's span; the step uses the completing pull's
+                step_rng = None
+                for _ in range(item.good_pulls):
+                    rng, step_rng = jax.random.split(rng)
+                bad_video_num += item.bad_delta
+                epoch = item.epoch_at_step
+                phase = (curriculum[min(iteration, len(curriculum) - 1)]
+                         if iter_indexed else curriculum[epoch])
+                new_lr = current_lr(cfg, epoch)
+                if new_lr != lr:
+                    lr = new_lr
+                    state = set_lr(state, lr)
+                ss_prob = current_ss_prob(cfg, epoch)
+                t0 = tic()
+                if use_shard_map:
+                    from echr_tpu.engine.steps import train_step_shard_map
+
+                    state, metrics = train_step_shard_map(
+                        state, item.stacked, step_rng, cfg, phase, mesh=mesh,
+                        ss_prob=ss_prob,
+                    )
+                else:
+                    state, metrics = train_step(
+                        state, item.stacked, step_rng, cfg, phase,
+                        ss_prob=ss_prob,
+                    )
+                tm["step"] += tic() - t0
+                iteration += 1
+                epoch = item.epoch_after
+                last_consumed = item.loader_state
+                pending.append((iteration, metrics, item.metas[-1].vid, phase))
+                tm["iters"].append((iteration, tic()))
+
+                t_boundary = tic()
+                at_log = iteration % cfg.save.losses_log_every == 0
+                at_ckpt = (iteration % cfg.save.save_checkpoint_every == 0
+                           and epoch >= cfg.save.min_epoch_when_save)
+                if at_log or at_ckpt:
+                    _flush_pending()
+                elif len(pending) >= inflight:
+                    _flush_pending(max(1, len(pending) // 2))
+                if at_log:
+                    _log_boundary(iteration, epoch, phase)
+                if at_ckpt:
+                    _ckpt_boundary(iteration, epoch, phase, ss_prob, step_rng,
+                                   item.last_batch, state,
+                                   loader_state=item.loader_state)
+                tm["boundary"] += tic() - t_boundary
+                if max_iterations and iteration >= max_iterations:
+                    break
+                if _preempt["hit"]:
+                    log.warning("preemption: checkpointing at iter %d and "
+                                "exiting; resume with --start_from", iteration)
+                    break
+        finally:
+            prep.stop()
+            for k, v in prep.tm.items():  # incl. "put" (the in-thread H2D)
+                tm[k] = tm.get(k, 0.0) + v
+        _flush_pending()
+        # rewind the loader to the last CONSUMED snapshot: the producer ran
+        # ahead, and the loop-exit _save below serializes loader.state()
+        loader.load_state(last_consumed)
+
+    # pipelined-loop eligibility (runtime.train_pipeline): the supervised
+    # batched single-controller path only.  Excluded by design: multi-host
+    # (the preemption allgather and eval are collective rendezvous — a prep
+    # thread would skew the lockstep iteration schedule across processes),
+    # m_batch accumulation and SCST (both already interleave host work with
+    # multiple device programs per update), and batch_size==1 (no collation
+    # to overlap; the relay upload is small).
+    pipelined = (
+        cfg.runtime.train_pipeline
+        and collator is not None
+        and not multihost
+        and cfg.train.m_batch == 1
+        and cfg.train.self_critical_after == -1
+    )
+    if pipelined:
+        _loop_pipelined()
+
+    while not pipelined and epoch < len(curriculum):
         # the stop decision is COLLECTIVE under multi-process: schedulers
         # usually SIGTERM every worker, but under partial delivery a local
         # break would leave peers blocked in the next gradient psum until
@@ -340,13 +738,17 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             state = set_lr(state, lr)
         ss_prob = current_ss_prob(cfg, epoch)
 
+        t0 = tic()
         batch, meta = loader.get_batch("train")
+        tm["loader"] += tic() - t0
         if meta.proposal_num <= 0 or meta.n_frames <= 1:
             bad_video_num += 1
             if meta.wrapped:
                 epoch += 1
             continue
+        t0 = tic()
         batch = _compress_batch(batch, cfg)
+        tm["compress"] += tic() - t0
 
         sc_flag = (
             cfg.train.self_critical_after != -1
@@ -358,28 +760,38 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             if collator is not None:
                 # batched SCST (net-new): vmapped sampled+greedy rollouts,
                 # host METEOR rewards per video, one policy-gradient update
+                t0 = tic()
                 res = collator.add(batch, meta)
+                tm["collate"] += tic() - t0
                 if res is None:
                     if meta.wrapped:
                         epoch += 1
                     continue
                 stacked, metas = res
+                t0 = tic()
                 state, metrics = _self_critical_step_batched(
                     state, stacked, metas, rl_cfg, phase, step_rng, dataset,
                     mesh=mesh, multihost=multihost,
                 )
+                tm["step"] += tic() - t0
             else:
+                t0 = tic()
                 state, metrics = _self_critical_step(
                     state, batch, meta, rl_cfg, phase, step_rng, dataset
                 )
+                tm["step"] += tic() - t0
         elif cfg.train.m_batch > 1:
             # accumulate summed grads over m_batch iterations, one update
             # (reference: train.py:281-283,294,316-329)
             from echr_tpu.engine.steps import apply_grads, grad_step
 
+            t0 = tic()
+            stacked = _stack_batch(batch)
+            tm["collate"] += tic() - t0
             # rl_cfg: grad_step is an auto-partitioned jit (see rl_cfg above)
+            t0 = tic()
             grads, metrics = grad_step(
-                state, _stack_batch(batch), step_rng, rl_cfg, phase,
+                state, stacked, step_rng, rl_cfg, phase,
                 ss_prob=ss_prob,
             )
             acc_grads = grads if acc_grads is None else jax.tree.map(
@@ -388,13 +800,17 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
             if (iteration + 1) % cfg.train.m_batch == 0:
                 state = apply_grads(state, acc_grads[0], acc_grads[1], cfg, phase)
                 acc_grads = None
+            tm["step"] += tic() - t0
         elif collator is not None:
+            t0 = tic()
             res = collator.add(batch, meta)
+            tm["collate"] += tic() - t0
             if res is None:
                 if meta.wrapped:
                     epoch += 1
                 continue
             stacked, _ = res
+            t0 = tic()
             if mesh is not None:
                 stacked = _shard_batch(stacked, mesh, multihost)
             if use_shard_map:
@@ -408,11 +824,21 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
                 state, metrics = train_step(
                     state, stacked, step_rng, cfg, phase, ss_prob=ss_prob
                 )
+            tm["step"] += tic() - t0
         else:
+            t0 = tic()
+            stacked = _stack_batch(batch)
+            tm["collate"] += tic() - t0
+            t0 = tic()
             state, metrics = train_step(
-                state, _stack_batch(batch), step_rng, cfg, phase, ss_prob=ss_prob
+                state, stacked, step_rng, cfg, phase, ss_prob=ss_prob
             )
+            tm["step"] += tic() - t0
         iteration += 1
+        t0 = tic()
+        metrics = jax.device_get(metrics)  # ONE host crossing for the whole
+        # dict — per-key float() was len(metrics) sequential relay RTTs
+        tm["fetch"] += tic() - t0
         loss_now = float(metrics.get("loss", 0.0))
         if not np.isfinite(loss_now):
             # failure containment (net-new; the reference would silently
@@ -423,91 +849,23 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
         for k, v in metrics.items():
             loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
         loss_count += 1
+        tm["iters"].append((iteration, tic()))
 
         if meta.wrapped:
             epoch += 1
 
+        t_boundary = tic()
         if iteration % cfg.save.losses_log_every == 0:
-            avg = {k: round(v / max(loss_count, 1), 4) for k, v in loss_sum.items()}
-            dt = (time.time() - t_start) / max(loss_count, 1)
-            log.info(
-                "iter %d (epoch %d, lr %.2e, phase %s) losses=%s time/batch=%.3fs bad_vid=%d",
-                iteration, epoch, lr, phase, avg, dt, bad_video_num,
-            )
-            histories["loss"][iteration] = avg
-            histories["lr"][iteration] = lr
-            tb.scalar("lr", lr, iteration)
-            for k, v in avg.items():
-                tb.scalar(f"train_{k}", v, iteration)
-            loss_sum, loss_count, bad_video_num = {}, 0, 0
-            t_start = time.time()
+            _log_boundary(iteration, epoch, phase)
 
         if (
             iteration % cfg.save.save_checkpoint_every == 0
             and epoch >= cfg.save.min_epoch_when_save
         ):
-            current_score, eval_scores = _run_eval(
-                state, eval_loader, cfg, save_folder, iteration, phase,
-                multihost=multihost, mesh=mesh,
-            )
-            tb.scalar("val_score", current_score, iteration)
-            for k, v in eval_scores.items():
-                tb.scalar(f"val_{k}", float(np.asarray(v, dtype=float).mean()), iteration)
-            # parameter AND gradient histograms for every parameter at
-            # checkpoints (reference: train.py:417-422 logs param + grad for
-            # all named parameters; the grads are a fresh forward-backward on
-            # the latest batch, matching torch's last-step .grad contents)
-            from echr_tpu.engine.steps import grad_step
+            _ckpt_boundary(iteration, epoch, phase, ss_prob, step_rng, batch,
+                           state)
 
-            hist_batch = _stack_batch(batch)
-            if multihost:
-                # replicated global batch: the grad program is a collective
-                # over global params, so EVERY process runs it; p0 writes
-                hist_batch = _replicate_global(hist_batch, mesh)
-            # rl_cfg, not cfg: grad_step is an auto-partitioned jit, so the
-            # Pallas train kernel must stay out of it under any mesh (same
-            # invariant as the SCST steps, see rl_cfg above)
-            hist_grads, _ = grad_step(
-                state, hist_batch, step_rng, rl_cfg, phase, ss_prob=ss_prob
-            )
-            if multihost and mesh.shape["model"] > 1:
-                # collective localization (allgathers tp-sharded leaves) on
-                # EVERY process; only p0 writes the files below
-                save_state = _localize(state, mesh)
-                hist_grads = _localize(hist_grads, mesh)
-            else:
-                # dp-only (or single-host): every leaf is replicated, hence
-                # host-addressable — no collective, and non-writer processes
-                # skip the device->host fetch entirely (their TB is _NullTB)
-                save_state = state
-            if is_p0:
-                for prefix, tree in (
-                    ("tap", save_state.tap_params),
-                    ("cg", save_state.cg_params),
-                    ("tap_grad", hist_grads[0]),
-                    ("cg_grad", hist_grads[1]),
-                ):
-                    for name, leaf in jax.tree_util.tree_leaves_with_path(tree):
-                        tb.histogram(
-                            f"{prefix}/" + jax.tree_util.keystr(name),
-                            np.asarray(leaf), iteration,
-                        )
-            histories["val"][iteration] = {
-                k: (np.asarray(v).tolist() if hasattr(v, "tolist") else v)
-                for k, v in eval_scores.items()
-            }
-            if is_p0:  # single-writer checkpoints; every process agrees on
-                # the scores (multihost eval gathers the full split), so the
-                # best-checkpoint decision is identical everywhere
-                _save(save_state, cfg, save_folder, iteration, epoch, best_val_score,
-                      loader, histories, dataset)
-            if current_score > best_val_score:
-                best_val_score = current_score
-                if is_p0:
-                    _save(save_state, cfg, save_folder, iteration, epoch, best_val_score,
-                          loader, histories, dataset, best=True)
-                log.info("new best %.4f at iter %d", best_val_score, iteration)
-
+        tm["boundary"] += tic() - t_boundary
         if max_iterations and iteration >= max_iterations:
             break
         if _preempt["hit"]:
@@ -524,6 +882,8 @@ def train(cfg: Config, max_iterations: Optional[int] = None) -> Dict:
         _save(final_state, cfg, save_folder, iteration, epoch, best_val_score,
               loader, histories, dataset)
     tb.close()
+    if timing_out is not None:
+        timing_out.update(tm)
     return {
         "iteration": iteration,
         "epoch": epoch,
@@ -831,13 +1191,17 @@ def _restore_preemption_handler(box: Dict) -> None:
 
 
 def _save(state, cfg, save_folder, iteration, epoch, best_val_score, loader,
-          histories, dataset, best: bool = False):
+          histories, dataset, best: bool = False, loader_state: Dict = None):
+    # loader_state override: the pipelined train loop's producer thread runs
+    # ahead of the consumed stream, so checkpoints must record the snapshot
+    # taken at the consumed step (see _PrepItem.loader_state), not the live
+    # producer cursor
     name = "model-best.ckpt" if best else "model-last.ckpt"
     ckpt.save_checkpoint(
         os.path.join(save_folder, name), state, cfg,
         iteration=iteration, epoch=epoch, best_val_score=best_val_score,
-        loader_state=loader.state(), histories=histories,
-        vocab=dataset.ix_to_word,
+        loader_state=(loader.state() if loader_state is None else loader_state),
+        histories=histories, vocab=dataset.ix_to_word,
     )
     if not best and cfg.save.save_all_checkpoint:
         # per-iteration files (reference: --save_all_checkpoint, train.py:463-466)
