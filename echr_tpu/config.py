@@ -303,17 +303,20 @@ class RuntimeConfig:
     # trajectory to the synchronous loop (same rng stream, same epoch/LR
     # schedule, same resume semantics via per-group loader-state
     # snapshots); the non-finite-loss warning lags by at most the flush
-    # interval.  Measured: the synchronous loop ran at 22.5 videos/s vs
-    # the 229 videos/s device step rate at B=32 flagship dims (collation
-    # + upload + metric sync all serialized with compute through the
-    # relay) — see docs/BENCH_NOTES.md "E2e train pipeline".
+    # interval.  Measured (B=32 flagship dims, same-day A/B through the
+    # axon relay): synchronous 31.8 videos/s -> pipelined 66.8 (2.1x) —
+    # see docs/BENCH_NOTES.md "E2e train pipeline".
     train_pipeline: bool = True
     # Max dispatched-but-unfetched steps in the pipelined train loop: the
-    # deferred metrics flush device_gets the oldest pending step, blocking
-    # until it completed — which is also the dispatch backpressure bounding
-    # staged-batch HBM (inflight+prep_depth uploads live) and relay request
-    # pileup.  ~8 steps is ~1s of lookahead at flagship B=32.
-    train_inflight: int = 8
+    # deferred metrics flush device_gets the oldest pending half, blocking
+    # until those steps completed — the dispatch backpressure.  Default 1:
+    # on the relay-attached TPU, dispatch depth is PATHOLOGICAL — measured
+    # 479 / 571 / 19,140 ms per update at depth 1 / 2 / 8 (the relay's
+    # buffer-readiness wait appears to enter a slow-poll regime once
+    # results are more than a step away; docs/BENCH_NOTES.md "E2e train
+    # pipeline").  The prep thread supplies all the overlap depth 1 needs;
+    # raise this only on directly-attached TPUs with cheap dispatch.
+    train_inflight: int = 1
     # Multi-process preemption: iterations between the COLLECTIVE
     # SIGTERM-flag allgathers (the stop decision must be collective —
     # partial signal delivery would otherwise wedge peers in the next

@@ -241,6 +241,7 @@ class _Prefetcher:
         self.loader = loader
         self.split = split
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self.error = None  # first worker exception; re-raised by get()
         self._stop = threading.Event()
         self._lock = threading.Lock()  # guards position assignment
         self._seq = 0  # next sequence number to assign
@@ -283,6 +284,19 @@ class _Prefetcher:
             return seq, pos, order, ix, wrapped, seed, resume
 
     def _run(self) -> None:
+        try:
+            self._run_inner()
+        except BaseException as e:
+            # surface instead of dying silently: a dead worker stalls the
+            # reorder buffer at its seq and get() would spin on Empty
+            # forever — store the exception and wake everyone so the
+            # consumer re-raises it (corrupt .npy, h5 read error, ...)
+            if self.error is None:
+                self.error = e
+            with self._buf_cv:
+                self._buf_cv.notify_all()
+
+    def _run_inner(self) -> None:
         ld = self.loader
         while not self._stop.is_set():
             # backpressure: don't run ahead of the consumer unboundedly
@@ -325,6 +339,8 @@ class _Prefetcher:
             try:
                 item = self.q.get(timeout=0.25)
             except queue.Empty:
+                if self.error is not None:
+                    raise self.error
                 if self._stop.is_set():
                     raise
                 continue

@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--sync", action="store_true",
                     help="force the synchronous loop (train_pipeline=False) "
                          "for an A/B against the pipelined default")
+    ap.add_argument("--inflight", type=int, default=None,
+                    help="override runtime.train_inflight (dispatch depth)")
     args = ap.parse_args()
 
     from echr_tpu.utils.cache import enable_persistent_compile_cache
@@ -63,6 +65,8 @@ def main() -> None:
     )
     if args.sync:
         cfg = cfg.replace_in("runtime", train_pipeline=False)
+    if args.inflight is not None:
+        cfg = cfg.replace_in("runtime", train_inflight=args.inflight)
     cfg = cfg.replace(run_id="probe_train_e2e")
     cfg = cfg.validate()
 

@@ -173,3 +173,27 @@ def test_synthetic_example_cache_invisible(tmp_path):
             a.sentences.append("corrupted")
             a.timestamps.append((0.0, 0.0))
     assert len(ds_on._cache) <= 4
+
+
+def test_worker_exception_surfaces(tmp_path):
+    """A prefetch worker that raises (corrupt .npy, h5 read error) must
+    surface the exception through get_batch, not die silently and wedge
+    the consumer on an empty queue forever."""
+    import pytest
+
+    cfg = tiny_cfg(tmp_path)
+    dataset = build_dataset(cfg)
+    loader = Loader(dataset, cfg, seed=0)
+    calls = {"n": 0}
+    orig = dataset.get_example
+
+    def boom(ix):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise RuntimeError("synthetic asset corruption")
+        return orig(ix)
+
+    dataset.get_example = boom
+    with pytest.raises(RuntimeError, match="synthetic asset corruption"):
+        for _ in range(16):
+            loader.get_batch("train")

@@ -158,3 +158,34 @@ def test_pipelined_sigterm_preempts_cleanly(tmp_path):
     it0 = ckpt.load_checkpoint(str(ckpt_path))["iteration"]
     out = train(cfg2, max_iterations=it0 + 2)
     assert out["iteration"] == it0 + 2
+
+
+def test_pipelined_prep_failure_propagates(tmp_path, monkeypatch):
+    """A failure inside the prep thread (compress/collate/upload) must
+    re-raise on the main thread and leave no live train-prep thread
+    (mirrors the batched-eval prep-thread guarantee)."""
+    import threading
+
+    import pytest
+
+    from echr_tpu.engine import train as T
+
+    cfg = _pipeline_cfg(tmp_path, True, run_id="FAIL")
+    calls = {"n": 0}
+    orig = T._compress_batch
+
+    def boom(batch, cfg_):
+        calls["n"] += 1
+        if calls["n"] > 5:
+            raise RuntimeError("synthetic prep failure")
+        return orig(batch, cfg_)
+
+    monkeypatch.setattr(T, "_compress_batch", boom)
+    with pytest.raises(RuntimeError, match="synthetic prep failure"):
+        T.train(cfg, max_iterations=50)
+    deadline = time.time() + 15
+    while time.time() < deadline:
+        if not [t for t in threading.enumerate() if t.name == "train-prep"]:
+            break
+        time.sleep(0.2)
+    assert not [t for t in threading.enumerate() if t.name == "train-prep"]
