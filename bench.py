@@ -280,23 +280,16 @@ def bench_train(cfg, tap_params, cg_params):
     return results
 
 
-def bench_e2e_train(B: int = 32, iters: int = 28, skip: int = 6):
-    """E2e train-LOOP throughput: the real train() — loader pulls, bucket
-    collation, H2D upload, per-step metrics fetch, rng/epoch bookkeeping —
-    at flagship dims on synthetic data (the reference's only perf signal is
-    exactly this loop's time/batch line, train.py:343-349).  Exercises the
-    pipelined loop (runtime.train_pipeline: _TrainPrep producer thread +
-    deferred batched metrics flush); the gap to train_throughput's
-    device-resident step rate is the pipeline's residual overhead.
-    Measured over dispatch timestamps past warmup — backpressured by the
-    half-window metrics flush, so steady-state dispatch rate == completion
-    rate."""
+def e2e_train_cfg(B: int = 32, run_id: str = "bench_e2e_train"):
+    """Shared flagship e2e-train-loop config (bench_e2e_train AND
+    experiments/probe_train_e2e.py build from here, so the probe's A/B
+    numbers stay comparable to the bench JSON line): synthetic data at
+    bench dims, cotrain curriculum, eval/checkpoint disabled."""
     import tempfile
 
     from echr_tpu.config import flagship_config
-    from echr_tpu.engine.train import train
 
-    tmp = tempfile.mkdtemp(prefix="bench_e2e_train_")
+    tmp = tempfile.mkdtemp(prefix=run_id + "_")
     cfg = flagship_config()
     cfg = cfg.replace_in(
         "data", synthetic=True, lda_dim=100, time_buckets=(T_BUCKET,),
@@ -311,7 +304,28 @@ def bench_e2e_train(B: int = 32, iters: int = 28, skip: int = 6):
         "save", checkpoint_path=tmp, losses_log_every=10**9,
         save_checkpoint_every=10**9, min_epoch_when_save=10**9,
     )
-    cfg = cfg.replace(run_id="bench_e2e_train").validate()
+    return cfg.replace(run_id=run_id).validate()
+
+
+def bench_e2e_train(B: int = 32, iters: int = 28, skip: int = 6):
+    """E2e train-LOOP throughput: the real train() — loader pulls, bucket
+    collation, H2D upload, per-step metrics fetch, rng/epoch bookkeeping —
+    at flagship dims on synthetic data (the reference's only perf signal is
+    exactly this loop's time/batch line, train.py:343-349).  Exercises the
+    pipelined loop (runtime.train_pipeline: _TrainPrep producer thread +
+    deferred batched metrics flush); the gap to train_throughput's
+    device-resident step rate is the pipeline's residual overhead.
+    Measured over dispatch timestamps past warmup — backpressured by the
+    half-window metrics flush, so steady-state dispatch rate == completion
+    rate."""
+    from echr_tpu.engine.train import train
+
+    cfg = e2e_train_cfg(B)
+    # bf16 feats + uint8 binary grids on the wire (_compress_batch, ~2.6x
+    # smaller upload; exact under the bf16 compute_dtype every consumer
+    # casts to anyway) — the upload-bound pipelined loop measured 46.5 ->
+    # 109.8 videos/s same-day interleaved (probe_train_e2e --transfer)
+    cfg = cfg.replace_in("runtime", transfer_dtype="bfloat16").validate()
     tm: dict = {}
     train(cfg, max_iterations=iters, timing_out=tm)
     marks = tm["iters"]

@@ -575,11 +575,16 @@ def train(cfg: Config, max_iterations: Optional[int] = None,
         (tests/test_train_pipeline.py pins all three)."""
         nonlocal state, epoch, iteration, rng, lr
         nonlocal loss_sum, loss_count, bad_video_num
+        # checkpoint snapshot before any item — captured BEFORE the producer
+        # thread starts pulling (review r4: _TrainPrep runs get_batch from
+        # __init__, so a state() call after construction can already contain
+        # producer run-ahead, and a preemption landing before the first
+        # consumed item would checkpoint a cursor ahead of what was trained)
+        last_consumed = loader.state()
         prep = _TrainPrep(loader, cfg, cfg.train.batch_size, epoch,
                           len(curriculum), mesh, multihost)
         # (iteration, device metrics, vid, phase) awaiting the batched fetch
         pending: List = []
-        last_consumed = loader.state()  # checkpoint snapshot before any item
         inflight = max(1, int(cfg.runtime.train_inflight))
 
         def _flush_pending(n: int = None) -> None:

@@ -20,7 +20,6 @@ import argparse
 import json
 import os
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -38,36 +37,26 @@ def main() -> None:
                          "for an A/B against the pipelined default")
     ap.add_argument("--inflight", type=int, default=None,
                     help="override runtime.train_inflight (dispatch depth)")
+    ap.add_argument("--transfer", choices=("float32", "bfloat16"),
+                    default="float32",
+                    help="runtime.transfer_dtype for the H2D batch upload "
+                         "(bfloat16 compresses feats 2x + binary grids 4x "
+                         "in _compress_batch; exact under bf16 compute)")
     args = ap.parse_args()
 
     from echr_tpu.utils.cache import enable_persistent_compile_cache
 
     enable_persistent_compile_cache()
 
-    from echr_tpu.config import flagship_config
+    from bench import e2e_train_cfg  # shared cfg — keeps A/Bs comparable
     from echr_tpu.engine.train import train
 
-    tmp = tempfile.mkdtemp(prefix="probe_train_e2e_")
-    cfg = flagship_config()
-    cfg = cfg.replace_in(
-        "data", synthetic=True, lda_dim=100, time_buckets=(T_BUCKET,),
-        synthetic_vocab_size=VOCAB, synthetic_seq_length=SEQ_LEN,
-        synthetic_num_videos=256, synthetic_cache_videos=256,
-    )
-    cfg = cfg.replace_in(
-        "train", training_mode="cotrain", tap_epochs=0, cg_epochs=0,
-        tapcg_epochs=10**6, batch_size=args.batch, self_critical_after=-1,
-        m_batch=1,
-    )
-    cfg = cfg.replace_in(
-        "save", checkpoint_path=tmp, losses_log_every=10**9,
-        save_checkpoint_every=10**9, min_epoch_when_save=10**9,
-    )
+    cfg = e2e_train_cfg(args.batch, run_id="probe_train_e2e")
     if args.sync:
         cfg = cfg.replace_in("runtime", train_pipeline=False)
     if args.inflight is not None:
         cfg = cfg.replace_in("runtime", train_inflight=args.inflight)
-    cfg = cfg.replace(run_id="probe_train_e2e")
+    cfg = cfg.replace_in("runtime", transfer_dtype=args.transfer)
     cfg = cfg.validate()
 
     tm: dict = {}

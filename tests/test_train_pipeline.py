@@ -160,6 +160,49 @@ def test_pipelined_sigterm_preempts_cleanly(tmp_path):
     assert out["iteration"] == it0 + 2
 
 
+def test_pipelined_preempt_before_first_item_keeps_pristine_cursor(
+        tmp_path, monkeypatch):
+    """Preemption landing while the producer is still staging the FIRST
+    group must checkpoint the pre-producer loader cursor (review r4): the
+    prep thread pulls from __init__, so a post-construction state()
+    snapshot can already contain run-ahead — resuming from it would skip
+    pulled-but-never-trained videos."""
+    import threading
+
+    from echr_tpu.engine import checkpoint as ckpt
+    from echr_tpu.engine import train as T
+
+    cfg = _pipeline_cfg(tmp_path, True, run_id="ZERO")
+
+    # preemption already hit when the loop starts; queue kept empty by
+    # holding the producer inside its first compress call, AFTER the first
+    # loader pull advanced the cursor
+    monkeypatch.setattr(T, "_install_preemption_handler",
+                        lambda: {"hit": True})
+    monkeypatch.setattr(T, "_restore_preemption_handler", lambda box: None)
+
+    pulled = threading.Event()
+    orig_compress = T._compress_batch
+
+    def slow_compress(batch, cfg_):
+        pulled.set()
+        time.sleep(2.0)  # hold the producer past the consumer's exit
+        return orig_compress(batch, cfg_)
+
+    monkeypatch.setattr(T, "_compress_batch", slow_compress)
+
+    out = T.train(cfg)
+    assert pulled.wait(timeout=20), "producer never pulled a batch"
+    assert out["iteration"] == 0
+
+    payload = ckpt.load_checkpoint(
+        os.path.join(out["save_folder"], "model-last.ckpt"))
+    st = payload["loader_state"]
+    assert st["iterators"].get("train", 0) == 0, (
+        "checkpoint cursor contains producer run-ahead")
+    assert st["epochs"].get("train", 0) == 0
+
+
 def test_pipelined_prep_failure_propagates(tmp_path, monkeypatch):
     """A failure inside the prep thread (compress/collate/upload) must
     re-raise on the main thread and leave no live train-prep thread
