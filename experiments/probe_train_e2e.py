@@ -38,10 +38,14 @@ def main() -> None:
     ap.add_argument("--inflight", type=int, default=None,
                     help="override runtime.train_inflight (dispatch depth)")
     ap.add_argument("--transfer", choices=("float32", "bfloat16"),
-                    default="float32",
+                    default="bfloat16",
                     help="runtime.transfer_dtype for the H2D batch upload "
                          "(bfloat16 compresses feats 2x + binary grids 4x "
-                         "in _compress_batch; exact under bf16 compute)")
+                         "in _compress_batch; exact under bf16 compute). "
+                         "Default matches bench_e2e_train's production "
+                         "posture so a default probe run is comparable to "
+                         "the bench JSON line; pass float32 for the wire-"
+                         "compression A/B")
     args = ap.parse_args()
 
     from echr_tpu.utils.cache import enable_persistent_compile_cache

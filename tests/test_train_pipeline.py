@@ -191,6 +191,21 @@ def test_pipelined_preempt_before_first_item_keeps_pristine_cursor(
 
     monkeypatch.setattr(T, "_compress_batch", slow_compress)
 
+    # signal from the loader pull too (ADVICE r4): compress only runs on
+    # good-video pulls, so if the producer's first pulls were all bad videos
+    # and the abort landed between pulls the event would never fire and the
+    # test would block 20 s on a healthy run
+    from echr_tpu.data.loader import Loader
+
+    orig_get = Loader.get_batch
+
+    def get_and_signal(self, *a, **k):
+        out = orig_get(self, *a, **k)
+        pulled.set()
+        return out
+
+    monkeypatch.setattr(Loader, "get_batch", get_and_signal)
+
     out = T.train(cfg)
     assert pulled.wait(timeout=20), "producer never pulled a batch"
     assert out["iteration"] == 0
