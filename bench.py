@@ -20,7 +20,10 @@ Prints ONE JSON line to stdout; diagnostics go to stderr.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -33,6 +36,10 @@ T_BUCKET = 256
 TIMED_ITERS = 30
 WARMUP_ITERS = 3
 BATCH_VIDEOS = 32  # batched serving pipeline (throughput still rising at 32)
+WINDOWS = 3  # best-of-N measurement windows (relay contention)
+BEAM_SAMPLES = 20  # beam-latency percentile sample count
+E2E_TRAIN_ITERS = 60  # also trains the weights the fidelity section reuses
+E2E_EVAL_VIDEOS = 384  # -> 96-video val split
 
 
 def log(*a):
@@ -165,10 +172,10 @@ def bench_jax_batched(cfg, tap_params, cg_params, feats, lda, frame_mask, ind, s
         np.asarray(pending)
         return time.time() - t0
 
-    # best of 3 windows: the shared axon relay adds transient contention
+    # best of N windows: the shared axon relay adds transient contention
     # (observed 15% swings between back-to-back runs); peak window is the
     # stable device-throughput measurement
-    dts = [window() for _ in range(3)]
+    dts = [window() for _ in range(WINDOWS)]
     dt = min(dts)
     cps = B * N_PROPS * iters / dt
     log(f"jax-batched: {iters} x {B} videos x {N_PROPS} proposals, best window "
@@ -197,7 +204,7 @@ def bench_beam_latency(cfg, tap_params, cg_params, feats, lda, frame_mask, ind, 
         seq, lp = beam_decode_step(cg_params, cfg, tap_feats, fd, ld, fmd, props, beam)
         _ = np.asarray(seq)  # compile + barrier
         samples = []
-        for _ in range(20):
+        for _ in range(BEAM_SAMPLES):
             t0 = _t.time()
             seq, lp = beam_decode_step(cg_params, cfg, tap_feats, fd, ld, fmd, props, beam)
             _ = np.asarray(seq)
@@ -258,7 +265,7 @@ def bench_train(cfg, tap_params, cg_params):
         _ = float(np.asarray(metrics["loss"]))
         iters = 10
         dts = []
-        for _w in range(3):  # best of 3 windows (relay contention, see above)
+        for _w in range(WINDOWS):  # best-of-N windows (relay contention)
             t0 = time.time()
             for _i in range(iters):
                 st, metrics = train_step(st, batch, rng, cfg, "tap_cg")
@@ -295,6 +302,11 @@ def e2e_train_cfg(B: int = 32, run_id: str = "bench_e2e_train"):
         "data", synthetic=True, lda_dim=100, time_buckets=(T_BUCKET,),
         synthetic_vocab_size=VOCAB, synthetic_seq_length=SEQ_LEN,
         synthetic_num_videos=256, synthetic_cache_videos=256,
+        # learnable captions (pattern-derived): content doesn't change the
+        # static-shape step cost, but the state bench_e2e_train returns is
+        # then genuinely trained — the fidelity/trained-eval sections reuse
+        # it so early-exit/beam behave like production (VERDICT r4 next-5)
+        synthetic_learnable=True,
     )
     cfg = cfg.replace_in(
         "train", training_mode="cotrain", tap_epochs=0, cg_epochs=0,
@@ -307,7 +319,8 @@ def e2e_train_cfg(B: int = 32, run_id: str = "bench_e2e_train"):
     return cfg.replace(run_id=run_id).validate()
 
 
-def bench_e2e_train(B: int = 32, iters: int = 28, skip: int = 6):
+def bench_e2e_train(B: int = 32, iters: int = None, skip: int = 6,
+                    return_state: bool = False):
     """E2e train-LOOP throughput: the real train() — loader pulls, bucket
     collation, H2D upload, per-step metrics fetch, rng/epoch bookkeeping —
     at flagship dims on synthetic data (the reference's only perf signal is
@@ -326,21 +339,31 @@ def bench_e2e_train(B: int = 32, iters: int = 28, skip: int = 6):
     # casts to anyway) — the upload-bound pipelined loop measured 46.5 ->
     # 109.8 videos/s same-day interleaved (probe_train_e2e --transfer)
     cfg = cfg.replace_in("runtime", transfer_dtype="bfloat16").validate()
+    if iters is None:
+        iters = E2E_TRAIN_ITERS  # read at call time: --warm shrinks it
     tm: dict = {}
-    train(cfg, max_iterations=iters, timing_out=tm)
+    out = train(cfg, max_iterations=iters, timing_out=tm)
     marks = tm["iters"]
     if len(marks) < skip + 2:
         raise RuntimeError(f"too few updates recorded ({len(marks)})")
     t0, t1 = marks[skip][1], marks[-1][1]
     n = marks[-1][0] - marks[skip][0]
     vps = n * B / (t1 - t0)
+    # transport-wall breakdown (VERDICT r4 next-4): per-update ms for the
+    # H2D upload ('put'), the deferred metrics device_get ('fetch'), and
+    # the step dispatch ('step'), plus the host-side stages
     sections = {k: round(tm.get(k, 0.0) / len(marks) * 1e3, 1)
                 for k in ("loader", "compress", "collate", "put", "step", "fetch")}
     log(f"e2e train: {vps:.1f} videos/s over {n} steady updates (B={B}); "
         f"section ms/update incl. warmup: {sections}")
-    return {"videos_per_s": round(vps, 1), "batch": B, "updates": n,
-            "ms_per_update": round((t1 - t0) / n * 1e3, 1),
-            "sections_ms": sections}
+    stats = {"videos_per_s": round(vps, 1), "batch": B, "updates": n,
+             "ms_per_update": round((t1 - t0) / n * 1e3, 1),
+             "inflight": cfg.runtime.train_inflight,
+             "transfer_dtype": cfg.runtime.transfer_dtype,
+             "sections_ms": sections, "weights": "init->trained-in-bench"}
+    if return_state:
+        return stats, (cfg, out["state"])
+    return stats
 
 
 def bench_rl(cfg, tap_params, cg_params, B: int = 8):
@@ -403,7 +426,7 @@ def bench_rl(cfg, tap_params, cg_params, B: int = 8):
     st, m = one(st)
     _ = float(np.asarray(m["loss"]))
     best = 1e9
-    for _w in range(3):
+    for _w in range(WINDOWS):
         t0 = time.time()
         for _i in range(5):
             st, m = one(st)
@@ -598,7 +621,7 @@ def bench_attention_op_probe(cfg):
 
     float(np.asarray(probe(h0, p, feats, pre, mask)))  # compile + barrier
     dts = []
-    for _ in range(3):
+    for _ in range(WINDOWS):
         t0 = time.time()
         float(np.asarray(probe(h0, p, feats, pre, mask)))
         dts.append(time.time() - t0)
@@ -714,72 +737,233 @@ def bench_torch(cfg, tap_params, cg_params, feats, lda, frame_mask, ind, soi):
     return cps
 
 
-def main():
-    import os
+# ---------------------------------------------------------------------------
+# Outage-proofing (VERDICT r4 next-1): round 4's driver bench record was
+# `rc 124, parsed: null` — a relay hang in the FIRST compile erased ~1,000
+# lines of measurement.  The guard below makes the one-line contract survive
+# a sick relay: a cheap subprocess health probe runs first, every section
+# runs under a wall-clock watchdog, and the JSON line is ALWAYS emitted with
+# whatever completed plus an `errors` list (a hung PJRT call can't be
+# interrupted in-thread, so the watchdog emits and os._exit()s).
+# ---------------------------------------------------------------------------
+
+_HEALTH_CODE = (
+    "import time; t0 = time.time()\n"
+    "import jax, jax.numpy as jnp, numpy as np\n"
+    "x = jnp.ones((256, 256))\n"
+    "v = float(np.asarray(jax.jit(lambda a: a @ a)(x))[0, 0])\n"
+    "print('HEALTH_OK', v, round(time.time() - t0, 1), "
+    "jax.devices()[0].device_kind, flush=True)\n"
+)
+
+
+def relay_health_probe(deadline_s: float = 170.0) -> dict:
+    """Trivial 256x256 jit matmul in a SUBPROCESS under a hard deadline —
+    the exact program that hung for 10 minutes during the round-4 outage.
+    A subprocess (not SIGALRM) because a wedged PJRT call never returns to
+    the Python signal handler."""
+    t0 = time.time()
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", _HEALTH_CODE], capture_output=True,
+            text=True, timeout=deadline_s, cwd=os.path.dirname(__file__) or ".")
+        ok = p.returncode == 0 and "HEALTH_OK" in p.stdout
+        detail = (p.stdout.strip().splitlines() or [""])[-1] if ok else \
+            (p.stderr.strip().splitlines() or ["no output"])[-1][:200]
+    except subprocess.TimeoutExpired:
+        ok, detail = False, f"trivial jit hung > {deadline_s:.0f}s (relay down?)"
+    return {"ok": ok, "seconds": round(time.time() - t0, 1), "detail": detail}
+
+
+def fidelity_probe(deadline_s: float = 600.0) -> dict:
+    """Fidelity gates in the driver artifact (VERDICT r4 next-5): run the
+    actual parity gate tests — greedy decode token-for-token and
+    teacher-forced logprobs atol 5e-4 vs the torch oracle — on CPU in a
+    subprocess (tests/conftest.py forces the CPU platform; relay-independent,
+    so this lands in the JSON even during an outage)."""
+    t0 = time.time()
+    tests = [
+        "tests/test_parity.py::test_greedy_decode_token_for_token",
+        "tests/test_parity.py::test_teacher_forced_parity",
+    ]
+    try:
+        p = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+             *tests],
+            capture_output=True, text=True, timeout=deadline_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        passed = p.returncode == 0
+        tail = (p.stdout.strip().splitlines() or [""])[-1][:200]
+    except subprocess.TimeoutExpired:
+        passed, tail = False, f"parity tests hung > {deadline_s:.0f}s"
+    return {"greedy_token_parity": "pass" if passed else "fail",
+            "teacher_forced_parity": "pass" if passed else "fail",
+            "oracle": "tests/oracle_torch.py (fp32, CPU)",
+            "detail": tail, "seconds": round(time.time() - t0, 1)}
+
+
+def bench_trained_eval(cfg, cfg_train, state, inputs):
+    """Eval-side numbers on TRAINED weights (VERDICT r4 weak-6): the
+    in-bench e2e-train section trains ~60 updates on learnable-synthetic
+    data and returns its state; on those weights early exit fires like
+    production (shorter captions -> earlier exits) instead of the init
+    params' near-uniform logits.  Reuses the init sections' compiled
+    programs (identical shapes; params are runtime args).  Also scores
+    greedy vs beam-4 on the learnable val split (METEOR protocol) so the
+    bench artifact carries the beam>greedy fidelity signal."""
+    import tempfile
 
     import jax
 
-    # persistent compile cache — compiles through the axon relay are slow
-    from echr_tpu.utils.cache import enable_persistent_compile_cache
+    from echr_tpu.data.dataset import SyntheticDataset
+    from echr_tpu.data.loader import Loader
+    from echr_tpu.engine.evaluate import eval_split_batched
 
-    enable_persistent_compile_cache()
-    log(f"devices: {_devices()}")
-    cfg, tap_params, cg_params = build()
-    inputs = make_inputs(cfg)
-    cps_single = bench_jax(cfg, tap_params, cg_params, *inputs)
-    try:
-        cps_batched = bench_jax_batched(cfg, tap_params, cg_params, *inputs)
-    except Exception as e:
-        log(f"batched pipeline failed: {e}")
-        cps_batched = 0.0
-    cps = max(cps_single, cps_batched)
-    try:
-        beam_stats = bench_beam_latency(cfg, tap_params, cg_params, *inputs)
-    except Exception as e:
-        log(f"beam latency bench failed: {e}")
-        beam_stats = None
-    try:
-        base = bench_torch(cfg, tap_params, cg_params, *inputs)
-    except Exception as e:  # torch baseline is best-effort
-        log(f"torch baseline failed: {e}")
-        base = float("nan")
-    try:
-        train_stats = bench_train(cfg, tap_params, cg_params)
-    except Exception as e:
-        log(f"train throughput bench failed: {e}")
-        train_stats = None
-    try:
-        e2e_train_stats = bench_e2e_train()
-    except Exception as e:
-        log(f"e2e train bench failed: {e}")
-        e2e_train_stats = None
-    try:
-        # --fullscale: the REAL ActivityNet val-split size (4,917 val
-        # videos out of 19,668) instead of the default 96-video split —
-        # ~6 min incl. warmup; see BENCH_NOTES "Full ActivityNet-scale
-        # eval sweep".  Not used by the driver (one-line contract kept).
-        n_e2e = 19668 if "--fullscale" in sys.argv else 384
-        e2e_stats = bench_e2e_eval(cfg, tap_params, cg_params,
-                                   num_videos=n_e2e)
-    except Exception as e:
-        log(f"e2e eval bench failed: {e}")
-        e2e_stats = None
-    try:
-        rl_stats = bench_rl(cfg, tap_params, cg_params)
-    except Exception as e:
-        log(f"rl bench failed: {e}")
-        rl_stats = None
-    try:
-        roofline = bench_roofline(cfg, cps_batched, train_stats)
-    except Exception as e:
-        log(f"roofline bench failed: {e}")
-        roofline = None
-    vs = cps / base if base == base and base > 0 else None
-    print(json.dumps({
+    tap_t = jax.tree.map(np.asarray, state.tap_params)
+    cg_t = jax.tree.map(np.asarray, state.cg_params)
+    out = {"weights": f"trained(in-bench e2e-train, {E2E_TRAIN_ITERS} updates, "
+                      "learnable-synthetic)"}
+
+    # per-video captions/s with production early-exit live
+    out["captions_per_s_pervideo"] = round(
+        bench_jax(cfg, tap_t, cg_t, *inputs), 2)
+
+    # greedy vs beam-4 METEOR on the trained checkpoint's own val split
+    cfg_e = cfg_train.replace_in(
+        "data", synthetic_num_videos=E2E_EVAL_VIDEOS, shuffle=False,
+        synthetic_cache_videos=E2E_EVAL_VIDEOS, prefetch=3 * BATCH_VIDEOS)
+    ds = SyntheticDataset(cfg_e, num_videos=E2E_EVAL_VIDEOS, seed=11)
+    loader = Loader(ds, cfg_e, seed=0, process_index=0, process_count=1)
+    n_val = loader.split_size("val")
+    scores = {}
+    with tempfile.TemporaryDirectory() as td:
+        for name, bs in (("greedy", 1), ("beam4", 4)):
+            kw = {"language_eval": True, "get_eval_loss": False,
+                  "topN": N_PROPS, "beam_size": bs, "val_all_metrics": True,
+                  "timing_out": {}}
+            t0 = time.time()
+            _, sc, _ = eval_split_batched(
+                tap_t, cg_t, loader, cfg_e, f"{td}/{name}.json",
+                eval_kwargs=kw, flag_eval_what="tap_cg",
+                batch_videos=BATCH_VIDEOS)
+            dt = time.time() - t0
+            # per-tIoU lists -> the protocol's mean-over-tious scalar (x100,
+            # the reference's reporting convention)
+            scores[name] = {k: round(100.0 * float(np.mean(np.asarray(v))), 4)
+                            for k, v in sc.items()
+                            if k in ("METEOR", "CIDEr", "Bleu_4", "ROUGE_L")}
+            scores[name]["wall_s"] = round(dt, 2)
+            if name == "greedy":
+                out["e2e_eval_videos_per_s"] = round(n_val / dt, 2)
+            log(f"trained {name}: {scores[name]}")
+    out["scores"] = scores
+    if "METEOR" in scores.get("greedy", {}) and "METEOR" in scores.get("beam4", {}):
+        out["beam_minus_greedy_METEOR"] = round(
+            scores["beam4"]["METEOR"] - scores["greedy"]["METEOR"], 4)
+    return out
+
+
+class BenchGuard:
+    """Per-section + total wall-clock watchdog around the bench sections.
+
+    The watchdog thread emits the (partial) one-line JSON and os._exit(0)s
+    when a section overruns its budget or the total deadline passes —
+    `rc 0 + parsed JSON with errors` instead of round 4's `rc 124 +
+    parsed: null`."""
+
+    def __init__(self, out: dict, total_s: float):
+        self.out = out
+        self.t_end = time.time() + total_s
+        self.errors: list = []
+        self.completed: list = []
+        self._lock = threading.Lock()
+        self._emitted = False
+        self._sec = None
+        self._sec_end = None
+        self._sec_budget = None
+        t = threading.Thread(target=self._watch, daemon=True)
+        t.start()
+
+    def _watch(self):
+        while True:
+            time.sleep(0.5)
+            with self._lock:
+                if self._emitted:
+                    return
+                sec, end, budget = self._sec, self._sec_end, self._sec_budget
+            now = time.time()
+            if now > self.t_end:
+                self.errors.append(
+                    f"total deadline exceeded during section '{sec}'")
+                self.emit()
+                os._exit(0)
+            if sec is not None and now > end:
+                self.errors.append(
+                    f"section '{sec}' exceeded its {budget:.0f}s budget "
+                    "(hung relay call?)")
+                self.emit()
+                os._exit(0)
+
+    def run(self, name: str, budget_s: float, fn, min_needed: float = 60.0):
+        """Run one section under the watchdog; on exception record the error
+        and return None; skip (returning None) when the total deadline
+        can't accommodate it."""
+        remaining = self.t_end - time.time()
+        if remaining < min(budget_s, min_needed):
+            self.errors.append(
+                f"section '{name}' skipped: {remaining:.0f}s of total "
+                "deadline left")
+            return None
+        with self._lock:
+            self._sec = name
+            self._sec_budget = min(budget_s, remaining)
+            self._sec_end = time.time() + self._sec_budget
+        t0 = time.time()
+        try:
+            res = fn()
+            self.completed.append(f"{name}:{time.time()-t0:.0f}s")
+            return res
+        except Exception as e:
+            self.errors.append(f"section '{name}' failed: {e!r}"[:300])
+            return None
+        finally:
+            with self._lock:
+                self._sec = self._sec_end = self._sec_budget = None
+
+    def emit(self):
+        with self._lock:
+            if self._emitted:
+                return
+            self._emitted = True
+            payload = dict(self.out)
+        payload["sections_completed"] = list(self.completed)
+        payload["errors"] = list(self.errors)
+        print(json.dumps(payload), flush=True)
+
+
+def main():
+    warm = "--warm" in sys.argv
+    if warm:
+        # --warm: compile every bench program into the persistent cache
+        # (.jax_cache) with minimal iteration counts, so a later driver run
+        # measures from a warm cache instead of paying minutes of relay
+        # compiles (VERDICT r4 next-1d).  Prints the JSON line too, but the
+        # numbers are meaningless at 1-2 iterations.
+        global TIMED_ITERS, WARMUP_ITERS, WINDOWS, BEAM_SAMPLES
+        global E2E_TRAIN_ITERS, E2E_EVAL_VIDEOS
+        TIMED_ITERS, WARMUP_ITERS, WINDOWS, BEAM_SAMPLES = 2, 0, 1, 2
+        E2E_TRAIN_ITERS, E2E_EVAL_VIDEOS = 10, 128
+        log("WARM MODE: populating the compile cache, numbers not meaningful")
+
+    total_s = float(os.environ.get(
+        "BENCH_TOTAL_DEADLINE_S", 3300 if warm else 1800))
+    fullscale = "--fullscale" in sys.argv
+
+    out = {
         "metric": "captions/sec/chip (flagship ECHR eval: SST+TSRM+three_stream greedy)",
-        "value": round(cps, 2),
+        "value": 0.0,
         "unit": "captions/s",
-        "vs_baseline": round(vs, 2) if vs else None,
+        "vs_baseline": None,
         # provenance: vs_baseline measures the reference architecture via
         # stock torch on THIS HOST'S CPU (the only baseline runnable here —
         # the reference's PyTorch-0.4 GPU numbers are unpublished,
@@ -789,14 +973,93 @@ def main():
         # GPU-equivalent estimate is vs_baseline/100 — documented in
         # docs/BENCH_NOTES.md "Baseline provenance".
         "baseline_kind": "torch-cpu",
-        "vs_gpu_baseline_est": round(vs / 100.0, 2) if vs else None,
-        "beam": beam_stats,
-        "train_throughput": train_stats,
-        "e2e_train": e2e_train_stats,
-        "e2e_eval": e2e_stats,
-        "rl": rl_stats,
-        "roofline": roofline,
-    }))
+        "vs_gpu_baseline_est": None,
+        "weights": "init",
+        "health": None,
+        "fidelity": None,
+        "beam": None,
+        "train_throughput": None,
+        "e2e_train": None,
+        "e2e_eval": None,
+        "trained": None,
+        "rl": None,
+        "roofline": None,
+        "warm_mode": warm,
+    }
+    g = BenchGuard(out, total_s)
+
+    # 1. relay health: the exact failure mode that nulled BENCH_r04
+    health = g.run("health_probe", 200, lambda: relay_health_probe(170))
+    out["health"] = health
+
+    # 2. fidelity gates on CPU — relay-independent, lands even in an outage
+    out["fidelity"] = g.run("fidelity", 660, lambda: fidelity_probe(600))
+
+    if health is None or not health.get("ok"):
+        g.errors.append("relay unhealthy: device sections skipped")
+        g.emit()
+        return
+
+    # persistent compile cache — compiles through the axon relay are slow
+    from echr_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    log(f"devices: {_devices()}")
+
+    built = g.run("build", 420, build)
+    if built is None:
+        g.emit()
+        return
+    cfg, tap_params, cg_params = built
+    inputs = make_inputs(cfg)
+
+    cps_single = g.run(
+        "single_video", 480,
+        lambda: bench_jax(cfg, tap_params, cg_params, *inputs)) or 0.0
+    cps_batched = g.run(
+        "batched", 600,
+        lambda: bench_jax_batched(cfg, tap_params, cg_params, *inputs)) or 0.0
+    cps = max(cps_single, cps_batched)
+    out["value"] = round(cps, 2)
+
+    base = g.run("torch_baseline", 420,
+                 lambda: bench_torch(cfg, tap_params, cg_params, *inputs))
+    if base and base > 0 and cps > 0:
+        out["vs_baseline"] = round(cps / base, 2)
+        out["vs_gpu_baseline_est"] = round(cps / base / 100.0, 2)
+
+    out["train_throughput"] = g.run(
+        "train", 900, lambda: bench_train(cfg, tap_params, cg_params))
+
+    e2e_tr = g.run("e2e_train", 700,
+                   lambda: bench_e2e_train(return_state=True))
+    trained_state = None
+    if e2e_tr is not None:
+        out["e2e_train"], (cfg_train, trained_state) = e2e_tr
+
+    n_e2e = 19668 if fullscale else E2E_EVAL_VIDEOS
+    # --fullscale: the REAL ActivityNet val-split size (4,917 val videos of
+    # 19,668) instead of the default 96-video split — ~6 min incl. warmup;
+    # see BENCH_NOTES "Full ActivityNet-scale eval sweep".
+    out["e2e_eval"] = g.run(
+        "e2e_eval", 2400 if fullscale else 900,
+        lambda: bench_e2e_eval(cfg, tap_params, cg_params, num_videos=n_e2e))
+    if out["e2e_eval"] is not None:
+        out["e2e_eval"]["weights"] = "init"
+
+    if trained_state is not None:
+        out["trained"] = g.run(
+            "trained_eval", 900,
+            lambda: bench_trained_eval(cfg, cfg_train, trained_state, inputs))
+
+    out["beam"] = g.run(
+        "beam_latency", 480,
+        lambda: bench_beam_latency(cfg, tap_params, cg_params, *inputs))
+    out["rl"] = g.run("rl", 600, lambda: bench_rl(cfg, tap_params, cg_params))
+    out["roofline"] = g.run(
+        "roofline", 480, lambda: bench_roofline(cfg, cps_batched,
+                                                out["train_throughput"]))
+    g.emit()
 
 
 def _devices():
