@@ -199,6 +199,18 @@ def eval_split(
     greedy = bool(int(kw.get("sample_max", cfg.eval.sample_max)))
     temperature = float(kw.get("temperature", cfg.eval.temperature))
 
+    # selection-path observability (VERDICT r4 next-7, mirrors the batched
+    # route): device_selections = videos selected from the [nb] device
+    # top-N fetch; grid_fallbacks = tie-storm overflows that fell back to
+    # the full [T, K] grid; grid_fetches = videos that fetched the grid
+    # because device selection was off/ineligible.  At default config a
+    # tap/tap_cg eval should report zero for both grid counters.
+    tm = kw.get("timing_out")
+    if tm is not None:
+        tm.setdefault("device_selections", 0)
+        tm.setdefault("grid_fallbacks", 0)
+        tm.setdefault("grid_fetches", 0)
+
     # decode-only fast path: skip training-label synthesis in the batcher
     # (the reference always pays it, dataloader.py:320-365; see make_batch
     # labels=False).  cg/cg_extend need the label fields; so do val losses.
@@ -262,8 +274,13 @@ def eval_split(
                     batch, meta, cfg, nms_threshold=nms_threshold,
                     val_score_thres=val_score_thres, topN=topN,
                     grid_fetch=lambda: pred_props, want_cg_sel=True)
+                if tm is not None:
+                    tm["grid_fallbacks"] += int(_fb)
+                    tm["device_selections"] += int(not _fb)
             if sel is None:
                 need_grid = flag_eval_what in ("tap", "tap_cg")
+                if tm is not None and need_grid:
+                    tm["grid_fetches"] += 1
                 pp = np.asarray(pred_props)[: meta.n_frames] if need_grid else None
                 masks = np.asarray(batch.tap_masks)[: meta.n_frames] if need_grid else None
                 sel = select_proposals(

@@ -158,6 +158,22 @@ def test_tap_mode_device_selection_matches_host(tmp_path):
                 # the breakdown instrumentation populates timing_out
                 assert tm_on["groups"] >= 1
                 assert tm_on["grid_fallbacks"] == 0  # no tie storm here
+            else:
+                # per-video route at default config (VERDICT r4 next-7):
+                # every video must select via the [nb] device fetch — zero
+                # tie-storm fallbacks, zero [T, K] grid fetches
+                assert tm_on["device_selections"] >= 1, tm_on
+                assert tm_on["grid_fallbacks"] == 0, tm_on
+                assert tm_on["grid_fetches"] == 0, tm_on
+
+
+def test_device_select_default_on():
+    """The config default must keep device selection ON everywhere the
+    two-pass fallback allows (VERDICT r4 next-7) — the eval loops read
+    cfg.eval.device_select when the caller doesn't override."""
+    from echr_tpu.config import Config
+
+    assert Config().eval.device_select is True
 
 
 def test_tap_overflow_count_is_visible():
