@@ -150,6 +150,29 @@ class ParaphraseTable:
         return cls(pairs)
 
 
+class PromiscuousSynonymTable:
+    """Upper-bound probe table (VERDICT r4 next-2): every word pair is
+    'synonymous', so the synonym stage admits ANY non-exact, non-stem
+    aligned pair at the jar's synonym weight (0.8).  Running METEOR with
+    this table brackets the unmeasurable jar offset from above: any real
+    WordNet synset table is a subset of this one, and the jar's paraphrase
+    stage matches at a LOWER weight (0.6) than the 0.8 these admissions
+    carry, so the real jar's match set is (weight-wise) dominated.  The
+    residual caveat is the fragmentation penalty: maximal matching can
+    carry a different chunk count than a sparser real alignment — the
+    aligner's min-chunks-at-max-coverage tiebreak keeps this second-order.
+    Lower bound = the default exact+stem Meteor().  See
+    scorers.meteor_jar_bracket and tests/test_meteor_matchers.py."""
+
+    _ALL = frozenset({0})
+
+    def synsets(self, w: str) -> FrozenSet[int]:
+        return self._ALL
+
+    def match(self, a: str, b: str) -> bool:
+        return True
+
+
 # ---------------------------------------------------------------------------
 # Span-capable aligner: generalizes scorers.Meteor._align (word-level beam
 # search) to multi-word paraphrase matches.  Used ONLY when synonym or

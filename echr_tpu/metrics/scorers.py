@@ -447,3 +447,22 @@ class Meteor:
             for i in range(6):
                 agg[i] += best[i]
         return self._score_from_stats(tuple(agg)), seg_scores
+
+
+def meteor_jar_bracket(gts: Dict, res: Dict) -> Tuple[float, float]:
+    """[lo, hi] bracket on the Java METEOR 1.5 jar's corpus score given its
+    data assets are absent here (VERDICT r4 next-2; reference:
+    external_tool/densevid_eval/evaluate.py:16,61).
+
+    lo = exact+stem-only METEOR (the jar minus its synonym/paraphrase
+    modules: every admitted match is one the jar also admits, at the same
+    weight).  hi = METEOR with matchers.PromiscuousSynonymTable — every
+    non-exact, non-stem pair admitted at the synonym weight 0.8, a superset
+    of any WordNet synset table, weight-dominating the 0.6 paraphrase
+    stage (caveat on the fragmentation term in the table's docstring).
+    System RANKING decisions are sound when intervals don't overlap."""
+    from echr_tpu.metrics.matchers import PromiscuousSynonymTable
+
+    lo, _ = Meteor().compute_score(gts, res)
+    hi, _ = Meteor(synonyms=PromiscuousSynonymTable()).compute_score(gts, res)
+    return float(lo), float(hi)

@@ -248,3 +248,50 @@ def test_offset_fixture_real_assets():
     print(f"\nmeasured METEOR matcher offset on gating fixtures: "
           f"{off:+.6f} (per-family {deltas})")
     assert off >= 0.0  # matchers add match candidates on these fixtures
+
+
+# --- jar-offset bracket (VERDICT r4 next-2) --------------------------------
+
+
+def test_bracket_contains_any_real_table_score():
+    """The [lo, hi] bracket must contain the score produced by ANY concrete
+    synonym table: lo = exact+stem only, hi = promiscuous (every pair
+    admitted at the synonym weight).  Check against the synthetic synset
+    table standing in for the jar's WordNet data."""
+    from echr_tpu.metrics.scorers import meteor_jar_bracket
+
+    mid = scorers.Meteor(synonyms=_syn_table())
+    for preds in (GOOD, BAD):
+        lo, hi = meteor_jar_bracket(GTS, preds)
+        s_mid, _ = mid.compute_score(GTS, preds)
+        assert lo <= s_mid <= hi + 1e-12, (lo, s_mid, hi)
+
+
+def test_bracket_ranking_invariant():
+    """System RANKING is invariant across the bracket on the gating
+    fixtures: GOOD's lower bound clears BAD's upper bound, so the
+    exact+stem gate ranks systems the same way the full jar stack would
+    regardless of where in [lo, hi] the jar lands (the measured-bounds
+    replacement for 'offset unmeasurable', BASELINE.md)."""
+    from echr_tpu.metrics.scorers import meteor_jar_bracket
+
+    lo_g, hi_g = meteor_jar_bracket(GTS, GOOD)
+    lo_b, hi_b = meteor_jar_bracket(GTS, BAD)
+    assert lo_g <= hi_g and lo_b <= hi_b
+    assert lo_g > hi_b, (
+        f"bracket overlap: GOOD [{lo_g:.4f}, {hi_g:.4f}] vs "
+        f"BAD [{lo_b:.4f}, {hi_b:.4f}]")
+
+
+def test_promiscuous_table_is_superset_upper_bound():
+    """hi >= the score under ANY synonym table by construction: the
+    promiscuous candidate set is a superset and the aligner maximizes
+    coverage first.  Also: hi == lo on an exact self-match (promiscuous
+    admissions can't beat weight-1.0 exact matches on identical strings)."""
+    from echr_tpu.metrics.scorers import meteor_jar_bracket
+
+    lo, hi = meteor_jar_bracket(GTS, {k: list(v) for k, v in GTS.items()})
+    assert lo == pytest.approx(hi)
+    # (the absolute value sits near 0.59, not 1.0: METEOR 1.5's ranking
+    # parameters penalize even a perfect single-chunk alignment by
+    # gamma*(1/m)^beta — the same convention the parity oracle pins)
