@@ -362,7 +362,9 @@ def bench_e2e_train(B: int = 32, iters: int = None, skip: int = 6,
              "transfer_dtype": cfg.runtime.transfer_dtype,
              "sections_ms": sections, "weights": "init->trained-in-bench"}
     if return_state:
-        return stats, (cfg, out["state"])
+        # out["config"] (not cfg): train() resolved decoder vocab/seq_length
+        # from the dataset — the trained-eval section needs those dims
+        return stats, (out["config"], out["state"])
     return stats
 
 
@@ -482,7 +484,10 @@ def bench_e2e_eval(cfg, tap_params, cg_params, num_videos=384):
                            f"{td}/warm.json", eval_kwargs=kw,
                            flag_eval_what="tap_cg", batch_videos=BATCH_VIDEOS)
         dt, tm = 1e9, {}
-        for _w in range(2):  # best of 2 passes (relay tunnel variance)
+        # best of 3 passes: the relay has multi-MINUTE contention phases
+        # (observed 9 vs 83 videos/s same-hour on identical code), so two
+        # passes can both land inside one
+        for _w in range(WINDOWS):
             t0 = time.time()
             preds, _, _ = eval_split_batched(
                 tap_params, cg_params, loader, cfg_e, f"{td}/bench.json",
@@ -814,13 +819,17 @@ def bench_trained_eval(cfg, cfg_train, state, inputs):
     import tempfile
 
     import jax
+    import jax.numpy as jnp
 
     from echr_tpu.data.dataset import SyntheticDataset
     from echr_tpu.data.loader import Loader
     from echr_tpu.engine.evaluate import eval_split_batched
 
-    tap_t = jax.tree.map(np.asarray, state.tap_params)
-    cg_t = jax.tree.map(np.asarray, state.cg_params)
+    # keep params DEVICE-RESIDENT: np.asarray here would silently re-upload
+    # ~120 MB of params through the relay on every dispatch (measured: the
+    # per-video section fell 4318 -> 10.4 captions/s that way)
+    tap_t = jax.tree.map(jnp.asarray, state.tap_params)
+    cg_t = jax.tree.map(jnp.asarray, state.cg_params)
     out = {"weights": f"trained(in-bench e2e-train, {E2E_TRAIN_ITERS} updates, "
                       "learnable-synthetic)"}
 
