@@ -1,4 +1,10 @@
-.PHONY: test test-fast bench native dryrun clean
+.PHONY: test test-fast bench native dryrun dressrehearsal clean
+
+# Full-scale ON-DISK dress rehearsal (VERDICT r4 next-3): export the
+# synthetic corpus to the real ActivityNet layout (~6.5k videos, ~3 GB),
+# run stage-1+2 training short and the fullscale val eval FROM DISK.
+dressrehearsal:
+	python experiments/dressrehearsal.py
 
 test:
 	python -m pytest tests/ -q

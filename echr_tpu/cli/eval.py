@@ -199,6 +199,8 @@ def main(argv=None) -> None:
             multihost=multihost, **k)
     else:
         runner = eval_split
+    tm: dict = {}
+    t0 = time.time()
     preds, scores, val_loss = runner(
         state.tap_params, state.cg_params, loader, cfg, json_path,
         eval_kwargs={
@@ -215,6 +217,7 @@ def main(argv=None) -> None:
             # reference standalone eval passes crits=None => no val losses
             # (eval.py:87-88); also engages the decode-only batcher fast path
             "get_eval_loss": False,
+            "timing_out": tm,
             **({"eval_inflight": ns.eval_inflight}
                if ns.eval_inflight is not None else {}),
             **({"device_select": bool(ns.device_select)}
@@ -222,8 +225,18 @@ def main(argv=None) -> None:
         },
         flag_eval_what=ns.flag_eval_what,
     )
+    eval_wall = time.time() - t0
     avg = {k: float(np.asarray(v, dtype=float).mean()) for k, v in scores.items()}
     log.info("predictions: %d videos -> %s", len(preds), json_path)
+    # eval-only wall (excludes process startup / backend init / checkpoint
+    # load — the dress-rehearsal and ops-facing throughput number), plus
+    # the selection counters so silent grid fallbacks are visible
+    log.info(
+        "eval wall %.2fs (%.2f videos/s)%s", eval_wall,
+        len(preds) / max(eval_wall, 1e-9),
+        "".join(f", {k} {tm[k]}" for k in
+                ("device_selections", "grid_fallbacks", "grid_fetches")
+                if k in tm))
     log.info("avg scores: %s", {k: round(v, 4) for k, v in avg.items()})
 
 
