@@ -100,11 +100,15 @@ def main() -> None:
         out["stage1_s"] = round(run(
             ["bash", "experiments/train_SST.sh", f"{args.tag}_SST",
              *dflags, *common, "--tap_epoch", "1"]), 1)
-        # stage 2: CG on GT proposals, 1 epoch, warm-started from stage 1
+        # stage 2: CG on GT proposals, 1 epoch, warm-started from stage 1.
+        # model-LAST: the short stage-1 run suppresses periodic gating, so
+        # only the end-of-training checkpoint exists (later flag wins over
+        # the script's model-best default)
         out["stage2_s"] = round(run(
             ["bash", "experiments/train_ECHR.sh", f"{args.tag}_SST",
              f"{args.tag}_EC", *dflags, *common, "--cg_epoch", "1",
-             "--min_epoch_when_save", "0"]), 1)
+             "--min_epoch_when_save", "0",
+             "--pretrain_path", f"save/{args.tag}_SST/model-last.ckpt"]), 1)
 
     # fullscale eval from disk: pass 1 cold-ish, pass 2 warm page cache +
     # warm compile cache (best-pass convention, like bench_e2e_eval)
