@@ -184,6 +184,16 @@ class _TrainPrep:
         self.n_epochs = n_epochs
         self.mesh = mesh
         self.multihost = multihost
+        # two-stage producer (round 5): jax.device_put BLOCKS for the full
+        # relay transfer (~286 ms/group measured at B=32 bf16), so a single
+        # prep thread's cycle was loader+compress+collate+put SUMMED
+        # (~470 ms > the 280 ms device step).  Stage 1 (this thread) does
+        # pulls/compress/collate; stage 2 (train-put thread) does the
+        # upload — producer cycle becomes max(prep, put), same item ORDER
+        # (FIFO queues, single thread per stage), so the consumer-visible
+        # stream and every trajectory/equality/preemption guarantee is
+        # unchanged (pinned in tests/test_train_pipeline.py).
+        self.q_host: "_q.Queue" = _q.Queue(maxsize=depth)
         self.q: "_q.Queue" = _q.Queue(maxsize=depth)
         self._empty = _q.Empty
         self._full = _q.Full
@@ -193,7 +203,10 @@ class _TrainPrep:
         self.tm = {"loader": 0.0, "compress": 0.0, "collate": 0.0, "put": 0.0}
         self.thread = threading.Thread(
             target=self._run, daemon=True, name="train-prep")
+        self.put_thread = threading.Thread(
+            target=self._run_put, daemon=True, name="train-put")
         self.thread.start()
+        self.put_thread.start()
 
     def _run(self) -> None:
         tic = time.perf_counter
@@ -220,12 +233,6 @@ class _TrainPrep:
                     wraps += int(meta.wrapped)
                     continue
                 stacked, metas = res
-                t0 = tic()
-                if self.mesh is not None:
-                    stacked = _shard_batch(stacked, self.mesh, self.multihost)
-                else:
-                    stacked = jax.device_put(stacked)
-                self.tm["put"] += tic() - t0
                 item = _PrepItem(
                     stacked, metas, batch, epoch_at_step,
                     epoch_at_step + int(meta.wrapped), good, bad,
@@ -233,18 +240,46 @@ class _TrainPrep:
                 )
                 good, bad = 0, 0
                 wraps += int(meta.wrapped)
-                if not self._put(item):
+                if not self._enqueue(self.q_host, item):
                     return  # aborted
             self.final_epoch = self.epoch0 + wraps
         except BaseException as e:  # surfaced by get() on the main thread
             self.error = e
         finally:
-            self._put(_PREP_STOP)
+            self._enqueue(self.q_host, _PREP_STOP)
 
-    def _put(self, item) -> bool:
+    def _run_put(self) -> None:
+        """Stage 2: H2D upload of host-stacked groups, in arrival order."""
+        tic = time.perf_counter
+        try:
+            while not self.abort.is_set():
+                try:
+                    item = self.q_host.get(timeout=0.2)
+                except self._empty:
+                    if not self.thread.is_alive() and self.q_host.empty():
+                        break
+                    continue
+                if item is _PREP_STOP:
+                    break
+                t0 = tic()
+                if self.mesh is not None:
+                    stacked = _shard_batch(item.stacked, self.mesh,
+                                           self.multihost)
+                else:
+                    stacked = jax.device_put(item.stacked)
+                self.tm["put"] += tic() - t0
+                if not self._enqueue(self.q, item._replace(stacked=stacked)):
+                    return  # aborted
+        except BaseException as e:
+            if self.error is None:
+                self.error = e
+        finally:
+            self._enqueue(self.q, _PREP_STOP)
+
+    def _enqueue(self, q, item) -> bool:
         while not self.abort.is_set():
             try:
-                self.q.put(item, timeout=0.2)
+                q.put(item, timeout=0.2)
                 return True
             except self._full:
                 pass
@@ -262,7 +297,7 @@ class _TrainPrep:
                     raise self.error
                 if stop_requested():
                     return _PREP_STOP
-                if not self.thread.is_alive() and self.q.empty():
+                if not self.put_thread.is_alive() and self.q.empty():
                     if self.error is not None:
                         raise self.error
                     return _PREP_STOP
@@ -273,14 +308,16 @@ class _TrainPrep:
 
     def stop(self) -> None:
         self.abort.set()
-        try:  # drain so a blocked _put wakes and sees the abort flag
-            while True:
-                self.q.get_nowait()
-        except self._empty:
-            pass
+        for q in (self.q, self.q_host):
+            try:  # drain so a blocked _enqueue wakes and sees the abort flag
+                while True:
+                    q.get_nowait()
+            except self._empty:
+                pass
         self.thread.join(timeout=10.0)
-        if self.thread.is_alive():
-            log.warning("train prep thread did not join within 10s")
+        self.put_thread.join(timeout=10.0)
+        if self.thread.is_alive() or self.put_thread.is_alive():
+            log.warning("train prep/put thread did not join within 10s")
 
 
 def train(cfg: Config, max_iterations: Optional[int] = None,

@@ -241,9 +241,10 @@ def test_pipelined_prep_failure_propagates(tmp_path, monkeypatch):
     monkeypatch.setattr(T, "_compress_batch", boom)
     with pytest.raises(RuntimeError, match="synthetic prep failure"):
         T.train(cfg, max_iterations=50)
+    names = ("train-prep", "train-put")  # both producer stages (r5 split)
     deadline = time.time() + 15
     while time.time() < deadline:
-        if not [t for t in threading.enumerate() if t.name == "train-prep"]:
+        if not [t for t in threading.enumerate() if t.name in names]:
             break
         time.sleep(0.2)
-    assert not [t for t in threading.enumerate() if t.name == "train-prep"]
+    assert not [t for t in threading.enumerate() if t.name in names]
