@@ -31,6 +31,17 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# host-only work (loader + scorers) — don't attach the TPU relay (the
+# container sitecustomize registers the axon plugin at interpreter start;
+# set BOTH env and config, like tests/conftest.py)
+os.environ["JAX_PLATFORMS"] = "cpu"
+try:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 
 def _loader_for(cfg_path: str):
     from echr_tpu.config import Config
