@@ -309,14 +309,17 @@ class RuntimeConfig:
     train_pipeline: bool = True
     # Max dispatched-but-unfetched steps in the pipelined train loop: the
     # deferred metrics flush device_gets the oldest pending half, blocking
-    # until those steps completed — the dispatch backpressure.  Default 1:
-    # on the relay-attached TPU, dispatch depth is PATHOLOGICAL — measured
-    # 479 / 571 / 19,140 ms per update at depth 1 / 2 / 8 (the relay's
-    # buffer-readiness wait appears to enter a slow-poll regime once
-    # results are more than a step away; docs/BENCH_NOTES.md "E2e train
-    # pipeline").  The prep thread supplies all the overlap depth 1 needs;
-    # raise this only on directly-attached TPUs with cheap dispatch.
-    train_inflight: int = 1
+    # until those steps completed — the dispatch backpressure.  Default 2
+    # (round 5): with the TWO-STAGE producer (device_put in its own upload
+    # thread) the consumer became the wall, and at depth 1 the half-window
+    # flush serializes step+fetch every update; the r5 interleaved A/B
+    # measured depth 2 >= depth 1 in every round (69.3/54.7, 56.8/39.3,
+    # 35.5/34.8 videos/s across relay phases) while depths 3-4 and beyond
+    # re-enter the relay's slow-poll regime (r4: 19,140 ms/update at
+    # depth 8).  The r4 depth-1 default was measured against the OLD
+    # single-thread producer, where the blocking put dominated the cycle —
+    # docs/BENCH_NOTES.md "Two-stage train producer".
+    train_inflight: int = 2
     # Multi-process preemption: iterations between the COLLECTIVE
     # SIGTERM-flag allgathers (the stop decision must be collective —
     # partial signal delivery would otherwise wedge peers in the next
