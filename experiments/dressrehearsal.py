@@ -93,8 +93,12 @@ def main() -> None:
         print(f"export: {out['export_s']}s", flush=True)
 
     dflags = disk_flags(root)
-    common = ["--losses_log_every", "100", "--save_checkpoint_every",
-              "1000000", "--num_vids_eval", "64"]
+    # batch_size 32: the framework's production posture (the reference
+    # cadence is per-video; at 4,917 train videos that is ~5k dispatches
+    # per stage through the relay — the dress rehearsal's subject is the
+    # DISK pipeline, which the batched loader exercises identically)
+    common = ["--losses_log_every", "50", "--save_checkpoint_every",
+              "1000000", "--num_vids_eval", "64", "--batch_size", "32"]
     if not args.skip_train:
         # stage 1: TAP pretrain, 1 epoch from disk
         out["stage1_s"] = round(run(
