@@ -380,6 +380,15 @@ class RuntimeConfig:
     # directly-attached TPU where dispatch is cheap; flip to re-measure.
     # Single-process only: under a mesh train() uses the two-program steps.
     scst_resident_vjp: bool = False
+    # Hang watchdog deadline for the long-running loops (train + batched
+    # eval): if an iteration makes no progress for this many seconds, a
+    # daemon thread logs a WARNING and dumps every thread's Python stack
+    # to stderr (utils/watchdog.HangWatchdog), then re-arms.  Purely
+    # observability — it never kills the run (relay outage phases recover;
+    # a deadline-kill would trade a stall for lost work, and training owns
+    # its own SIGTERM/checkpoint semantics).  BENCH_r04 was lost to a
+    # silent relay wedge exactly this would have surfaced.  0 disables.
+    hang_warn_s: float = 600.0
 
 
 # ---------------------------------------------------------------------------

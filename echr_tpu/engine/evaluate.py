@@ -236,8 +236,12 @@ def eval_split(
     gc_was_enabled = _gc.isenabled()
     if gc_was_enabled and bool(kw.get("gc_pause", True)):
         _gc.disable()
+    from echr_tpu.utils.watchdog import HangWatchdog
+
+    wd = HangWatchdog("eval", cfg.runtime.hang_warn_s).start()
     try:
         while True:
+            wd.beat()
             batch, meta = loader.get_batch(split)
             if it % progress_every == 0 and it:
                 # reference: eval_utils.py:41-42 progress print
@@ -367,6 +371,7 @@ def eval_split(
                 break
 
     finally:
+        wd.stop()
         if gc_was_enabled and not _gc.isenabled():
             _gc.enable()
             _gc.collect()
@@ -847,9 +852,15 @@ def eval_split_batched(
     gc_was_enabled = _gc.isenabled()
     if gc_was_enabled and bool(kw.get("gc_pause", True)):
         _gc.disable()
+    # hang observability: a wedged relay dispatch/fetch inside stage_b /
+    # collect otherwise stalls the pass silently (see utils/watchdog)
+    from echr_tpu.utils.watchdog import HangWatchdog
+
+    wd = HangWatchdog("eval", cfg.runtime.hang_warn_s).start()
     try:
         t_load = _clk.time()
         while not done:
+            wd.beat()
             batch, meta = loader.get_batch(split)
             tm["loader"] += _clk.time() - t_load
             usable = meta.proposal_num > 0 and meta.n_frames > 1
@@ -885,6 +896,7 @@ def eval_split_batched(
             # several stage_a's — don't run their multi-MB device_puts
             # (possibly against a wedged relay) just to tear down (review)
             prep_pool.shutdown(wait=True, cancel_futures=True)
+        wd.stop()
         finish_assembly(reraise=False)
         loader.set_labels(labels_before, split)
         loader.set_feats_dtype(feats_dtype_before, split)

@@ -495,6 +495,13 @@ def train(cfg: Config, max_iterations: Optional[int] = None,
     # signal and the collective _localize at loop exit still runs on all.
     _preempt = _install_preemption_handler()
 
+    # hang observability (net-new; SURVEY §5.3): a silent relay/device wedge
+    # otherwise presents as a log gap with every thread in a futex wait —
+    # warn + dump stacks after runtime.hang_warn_s without an iteration
+    from echr_tpu.utils.watchdog import HangWatchdog
+
+    wd = HangWatchdog("train", cfg.runtime.hang_warn_s).start()
+
     # loop-section wall-clock accounting (cheap: two perf_counter calls per
     # section); copied into timing_out at return when the caller asked
     tm: Dict = {"loader": 0.0, "compress": 0.0, "collate": 0.0, "step": 0.0,
@@ -654,6 +661,7 @@ def train(cfg: Config, max_iterations: Optional[int] = None,
 
         try:
             while True:
+                wd.beat()
                 item = prep.get(lambda: _preempt["hit"])
                 if item is _PREP_STOP:
                     if _preempt["hit"]:
@@ -751,6 +759,7 @@ def train(cfg: Config, max_iterations: Optional[int] = None,
         # break would leave peers blocked in the next gradient psum until
         # the scheduler hard-kills the job (ADVICE r3) — any(one hit) stops
         # everyone at the same iteration boundary
+        wd.beat()
         hit = _preempt["hit"]
         if multihost:
             # amortized to every preempt_check_every iterations (review
@@ -915,6 +924,7 @@ def train(cfg: Config, max_iterations: Optional[int] = None,
                         "resume with --start_from", iteration)
             break
 
+    wd.stop()
     _restore_preemption_handler(_preempt)
     # tp-sharded leaves need the collective resharding on every process;
     # replicated (dp-only) leaves are host-addressable as-is

@@ -138,15 +138,22 @@ def main():
                      preferred_element_type=jnp.float32) + b_d
     it_ref = np.asarray(jnp.argmax(logits, axis=1))
     lse_ref = np.asarray(jax.scipy.special.logsumexp(logits, axis=1))
-    tilings = [(512, 512), (1024, 512), (1024, 1024), (2048, 512)]
-    for tr, tv in tilings:
+    tilings = []
+    for tr, tv in [(512, 512), (1024, 512), (1024, 1024), (2048, 512)]:
         wp, bp = padded(tv)
-        it_k, mx_k, lse_k = stream_head(o1, wp, bp, tr, tv)
+        try:
+            it_k, mx_k, lse_k = stream_head(o1, wp, bp, tr, tv)
+        except Exception as e:  # VMEM-infeasible corner (e.g. 2048x1536 bf16
+            # input block + scratch crosses the 16 MB scoped-vmem limit)
+            print(f"tiling ({tr:4d},{tv:4d}): SKIP ({type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:100]})", flush=True)
+            continue
         ok = bool(np.all(it_ref == np.asarray(it_k)))
         dl = float(np.max(np.abs(lse_ref - np.asarray(lse_k))))
         print(f"tiling ({tr:4d},{tv:4d}): argmax equal {ok}, "
               f"lse max|diff| {dl:.2e}", flush=True)
         assert ok
+        tilings.append((tr, tv))
 
     def scan_head(tr, tv, wp, bp):
         @jax.jit
