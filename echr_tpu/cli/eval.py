@@ -74,6 +74,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="0 forces host-side top-N proposal selection "
                         "(default cfg.eval.device_select=1: the tap/tap_cg "
                         "no-NMS paths select on device)")
+    p.add_argument("--transfer_dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="host->device feature wire dtype for the decode-only "
+                        "paths (default: the checkpoint's "
+                        "runtime.transfer_dtype — often float32 from "
+                        "training; 'bfloat16' is the serving posture and "
+                        "~2.6x smaller on the wire, bit-identical under "
+                        "bf16 compute)")
     p.add_argument("--split", type=str, default="val", choices=["val", "test"])
     # reference eval.py flag-surface compatibility (accepted no-ops):
     # --dataset is informational (eval.py:105, always ActivityNet here),
@@ -138,6 +146,8 @@ def main(argv=None) -> None:
         cfg = cfg.replace_in("data", SOTA_json=ns.SOTA_json)
     if ns.spmd_mode:
         cfg = cfg.replace_in("runtime", spmd_mode=ns.spmd_mode)
+    if ns.transfer_dtype:
+        cfg = cfg.replace_in("runtime", transfer_dtype=ns.transfer_dtype)
     dataset = build_dataset(cfg)
     if multihost:
         if ns.batch_videos is None:

@@ -116,10 +116,14 @@ def main() -> None:
 
     # fullscale eval from disk: pass 1 cold-ish, pass 2 warm page cache +
     # warm compile cache (best-pass convention, like bench_e2e_eval)
+    # --transfer_dtype bfloat16: the bench_e2e_eval/serving wire posture
+    # (the checkpoint's training config carries float32); keeps the disk
+    # number comparable to the in-memory fullscale one
     eval_cmd = [sys.executable, "-m", "echr_tpu.cli.eval",
                 "--folder_id", f"{args.tag}_EC", "--which", "last",
                 "--flag_eval_what", "tap_cg", "--topN", "128",
-                "--no_language_eval", "--batch_videos", "32"]
+                "--no_language_eval", "--batch_videos", "32",
+                "--transfer_dtype", "bfloat16"]
     if args.eval_videos:
         eval_cmd += ["--num_vids_eval", str(args.eval_videos)]
 
