@@ -26,6 +26,24 @@ def test_eval_cli_on_checkpoint(tmp_path, capsys):
     out_files = [f for f in os.listdir(tmp_path / "CLI") if f.startswith("eval_")]
     assert out_files, "eval CLI wrote no prediction JSON"
 
+    # --transfer_dtype overlays runtime.transfer_dtype onto the checkpoint's
+    # (f32-trained) config — the batched decode-only path then wires the
+    # prefetch workers to bf16 and must still emit predictions
+    eval_main([
+        "--folder_id", "CLI",
+        "--checkpoint_path", str(tmp_path),
+        "--which", "last",
+        "--flag_eval_what", "tap_cg",
+        "--topN", "8",
+        "--num_vids_eval", "2",
+        "--no_language_eval",
+        "--batch_videos", "2",
+        "--transfer_dtype", "bfloat16",
+    ])
+    tapcg = [f for f in os.listdir(tmp_path / "CLI")
+             if f.startswith("eval_tap_cg")]
+    assert tapcg, "bf16-wire batched eval wrote no prediction JSON"
+
 
 def test_eval_cli_sota_tep_and_score_cli(tmp_path, capsys):
     """SOTA_TEP + --SOTA_json reachable from the standalone eval CLI
