@@ -184,6 +184,12 @@ def eval_split(
     import jax
     import jax.numpy as jnp
 
+    # device-resident params before the loop (no-op on live device arrays;
+    # host-numpy checkpoint trees would re-upload in full per dispatch —
+    # see the eval_split_batched counterpart for the measured effect)
+    tap_params = jax.tree.map(jnp.asarray, tap_params)
+    cg_params = jax.tree.map(jnp.asarray, cg_params)
+
     kw = dict(eval_kwargs or {})
     split = kw.get("split", "val")
     lang_eval = kw.get("language_eval", cfg.eval.language_eval)
@@ -451,6 +457,16 @@ def eval_split_batched(
         _dp = NamedSharding(mesh, PS("data"))
         tap_params = jax.device_put(tap_params, _rep)
         cg_params = jax.device_put(cg_params, _rep)
+    else:
+        # params must live on device BEFORE the loop: host-numpy trees (a
+        # freshly unpickled checkpoint, e.g. from cli.eval) are otherwise
+        # re-uploaded in full on EVERY dispatch — measured 10x on the whole
+        # pass through the relay (disk dress rehearsal: select_fetch 10.5
+        # vs ~0.9 s/group adjacent in time; same mechanism as the
+        # bench_trained_eval 4318 -> 10.4 captions/s regression).
+        # jnp.asarray is a no-op on live device arrays.
+        tap_params = jax.tree.map(jnp.asarray, tap_params)
+        cg_params = jax.tree.map(jnp.asarray, cg_params)
 
     # resolves auto vs explicit-SPMD (runtime.spmd_mode="shard_map") step
     # routing in ONE place: under a dp mesh the shard_map variants run each

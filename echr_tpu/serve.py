@@ -83,6 +83,17 @@ class CaptionService:
             self.tap_params = jax.device_put(tap_params, rep)
             self.cg_params = jax.device_put(cg_params, rep)
             self._dp_sharding = NamedSharding(mesh, PS("data"))
+        else:
+            # device-resident params at service build: a host-numpy
+            # checkpoint tree (load_service) would otherwise re-upload all
+            # weights on every chunk dispatch (see engine/evaluate.py —
+            # measured 10x pass slowdown through the relay); no-op on
+            # live device arrays
+            import jax
+            import jax.numpy as jnp
+
+            self.tap_params = jax.tree.map(jnp.asarray, tap_params)
+            self.cg_params = jax.tree.map(jnp.asarray, cg_params)
 
     def caption(self, requests: Sequence[CaptionRequest]) -> Dict[str, List[Caption]]:
         """Caption a batch of requests.
