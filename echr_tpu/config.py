@@ -380,6 +380,17 @@ class RuntimeConfig:
     # directly-attached TPU where dispatch is cheap; flip to re-measure.
     # Single-process only: under a mesh train() uses the two-program steps.
     scst_resident_vjp: bool = False
+    # Streaming greedy decode head (ops/pallas_head): fuse the [R, C] x
+    # [C, V+1] logit matmul with its argmax/max/logsumexp consumers so the
+    # logits never reach HBM — the round-5 tile sweep measured -13.5% on
+    # the head (1.41 vs 1.63 ms/step at R=4096, ~ties the pure-matmul
+    # floor; experiments/probe_streaming_head2.py) where the round-4
+    # (TR,TV)=(1024,512)-and-smaller attempts only tied.  Greedy,
+    # non-forced, eval-mode, bf16-compute decode paths on a real TPU only:
+    # argmax is bit-equal to the jnp head (greedy parity gate) and the
+    # streamed lse matches to ~7e-6; f32 parity runs, CPU runs, sampling,
+    # beam, and forced replays keep the jnp head.
+    use_pallas_head: bool = True
     # Hang watchdog deadline for the long-running loops (train + batched
     # eval): if an iteration makes no progress for this many seconds, a
     # daemon thread logs a WARNING and dumps every thread's Python stack

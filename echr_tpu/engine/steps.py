@@ -955,9 +955,12 @@ def decode_step_batched(
     rngs = jax.random.split(rng, B) if rng is not None else None
 
     def one(th, f, l, fm, pr, r=None):
+        # stream_head=False like early_exit: the pallas head call must sit
+        # OUTSIDE a vmap (decoder_sample_batched flattens B*N rows instead)
         return captioner_sample(
             cg_c, cfg, th, f, l, pr, frame_mask=fm, greedy=greedy,
             temperature=temperature, rng=r, early_exit=False,
+            stream_head=False,
         )
 
     if rngs is None:
@@ -1179,6 +1182,7 @@ def decode_step_batched_shard_map(
             return captioner_sample(
                 cg_c, cfg, th1, f1, l1, pr1, frame_mask=fm1, greedy=greedy,
                 temperature=temperature, rng=r1, early_exit=False,
+                stream_head=False,  # no pallas_call under vmap (see above)
             )
 
         if r is None:

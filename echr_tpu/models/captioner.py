@@ -123,6 +123,7 @@ def captioner_sample(
     train: bool = False,
     rng: Optional[Array] = None,
     early_exit: Optional[bool] = None,
+    stream_head: Optional[bool] = None,
 ) -> Tuple[Array, Array, Array]:
     """mode='eval' greedy decode (reference: CaptionGenerator.py:39-44);
     returns (seq [N, L], per-step logps [N, L], active [L])."""
@@ -133,7 +134,7 @@ def captioner_sample(
                          frame_mask, train, r_ctx)
     return decoder_sample(params["decoder"], cfg, ctxs, greedy=greedy,
                           temperature=temperature, rng=r_dec, train=train,
-                          early_exit=early_exit)
+                          early_exit=early_exit, stream_head=stream_head)
 
 
 def captioner_train_rl(

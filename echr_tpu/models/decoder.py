@@ -555,11 +555,14 @@ def init_state(params, cfg: Config, ctxs: Contexts, N: int) -> DecoderState:
     return DecoderState(m, m)
 
 
-def step_logits(
+def step_core_out(
     params, cfg: Config, it: Array, ctxs: Contexts, pre_att, state: DecoderState,
     train: bool = False, rng: Optional[Array] = None,
 ) -> Tuple[Array, DecoderState]:
-    """One decode step: token ids -> unnormalised logits over V+1."""
+    """One decode step WITHOUT the logit head: token ids -> core output
+    [N, logit_input_size].  rng consumption (core split + dropout) is
+    identical to step_logits, so a carried core-output loop reproduces a
+    carried-logits loop exactly once the head is applied."""
     xt = params["embed"][it]
     r_core = r_drop = None
     if rng is not None:
@@ -567,7 +570,68 @@ def step_logits(
     step = CORE_REGISTRY[cfg.decoder.caption_model][1]
     out, state = step(params["core"], cfg, xt, ctxs, pre_att, state, train, r_core)
     out = dropout(r_drop, out, cfg.decoder.CG_drop_prob, train)
+    return out, state
+
+
+def step_logits(
+    params, cfg: Config, it: Array, ctxs: Contexts, pre_att, state: DecoderState,
+    train: bool = False, rng: Optional[Array] = None,
+) -> Tuple[Array, DecoderState]:
+    """One decode step: token ids -> unnormalised logits over V+1."""
+    out, state = step_core_out(params, cfg, it, ctxs, pre_att, state, train, rng)
     return dense(params["logit"], out), state
+
+
+# minimum decode rows before the streaming head wins (see the measured
+# table inside _stream_head_setup); B=32 x N=128 batched serving = 4096
+_STREAM_HEAD_MIN_ROWS = 4096
+
+
+def _stream_head_setup(params, cfg: Config, N: int, greedy: bool,
+                       forced_tokens, train: bool,
+                       override: Optional[bool]):
+    """Resolve the streaming greedy head (ops/pallas_head) for this decode.
+
+    Returns None (use the jnp head) or (wp, bp, tr, tv) with the padded
+    weights built ONCE, outside the token loop.  Eligibility: greedy,
+    non-forced, eval-mode, bf16-cast logit weights (f32 parity paths keep
+    the exact jnp head), a real TPU backend (CPU keeps the jnp head so
+    cross-path tie-breaking on near-uniform logits stays bit-identical;
+    kernel correctness is covered by interpret-mode op tests), a
+    VMEM-feasible tiling, and runtime.use_pallas + use_pallas_head.
+    ``override=False`` force-disables (vmapped callers — the kernel call
+    must sit OUTSIDE any vmap; decoder_sample_batched flattens instead)."""
+    if override is not None and not override:
+        return None
+    if not greedy or forced_tokens is not None or train:
+        return None
+    rt = cfg.runtime
+    if not (rt.use_pallas and rt.use_pallas_head):
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    lp = params["logit"]
+    if lp["w"].dtype != jnp.bfloat16 or "b" not in lp:
+        return None
+    from echr_tpu.ops.pallas_head import head_plan, pad_head_weights
+
+    # Row-count floor (measured, real decode step, flagship dims C=1536
+    # V=6001, interleaved min-of-5 windows): the kernel WINS +13%
+    # captions/s at R=4096 (the B=32 batched serving path, 44.9k vs
+    # 39.8k), is noise-ambiguous at R=2048, and LOSES ~5-13% at R<=1024
+    # (per-video N=128: per-invocation overhead x 31 steps with a
+    # underfilled row tile).  Only stream where the win is unambiguous.
+    if N < _STREAM_HEAD_MIN_ROWS and override is not True:
+        # stream_head=True is an explicit opt-in past the perf floor
+        # (tests/probes); hard feasibility gates below still apply
+        return None
+    C, V1 = lp["w"].shape
+    plan = head_plan(N, C, V1)
+    if plan is None:
+        return None
+    tr, tv, _, _ = plan
+    wp, bp = pad_head_weights(lp["w"], lp["b"], tv)
+    return wp, bp, tr, tv
 
 
 def step_logprobs(
@@ -790,6 +854,7 @@ def decoder_sample(
     train: bool = False,
     forced_tokens: Optional[Array] = None,
     early_exit: Optional[bool] = None,
+    stream_head: Optional[bool] = None,
 ) -> Tuple[Array, Array, Array]:
     """Greedy or multinomial decode.
 
@@ -833,25 +898,41 @@ def decoder_sample(
     pre_att = precompute_attention(params, cfg, ctxs)
     state = init_state(params, cfg, ctxs, N)
 
+    # streaming greedy head: carry the CORE OUTPUT [N, C] between steps and
+    # fuse the logit matmul with its argmax/max/lse consumers in one Pallas
+    # program (the logits never reach HBM — ops/pallas_head); None = the
+    # jnp head over carried raw logits
+    sh = _stream_head_setup(params, cfg, N, greedy, forced_tokens, train,
+                            stream_head)
+    _step = step_core_out if sh is not None else step_logits
+
     it0 = jnp.zeros((N,), jnp.int32)  # <bos> == 0
     r0 = jax.random.fold_in(rng, 0) if rng is not None else None
-    # carry raw logits; per-token logprob = logit - logsumexp avoids the full
-    # [N, V] log_softmax normalize every step (argmax is unchanged)
-    logits, state = step_logits(params, cfg, it0, ctxs, pre_att, state, train=train, rng=r0)
+    # carry raw logits (or the core output under sh); per-token logprob =
+    # logit - logsumexp avoids the full [N, V] log_softmax every step
+    act, state = _step(params, cfg, it0, ctxs, pre_att, state, train=train, rng=r0)
 
-    def step_tokens(t, logits, unfinished):
+    def step_tokens(t, act, unfinished):
         """One token selection + state advance; shared by both loop forms."""
-        lse = jax.scipy.special.logsumexp(logits, axis=1)
-        if forced_tokens is not None:
-            it = forced_tokens[:, t - 1].astype(jnp.int32)
-            sample_logp = jnp.take_along_axis(logits, it[:, None], axis=1)[:, 0] - lse
-        elif greedy:
-            sample_logp = jnp.max(logits, axis=1) - lse
-            it = jnp.argmax(logits, axis=1).astype(jnp.int32)
+        if sh is not None:
+            from echr_tpu.ops.pallas_head import greedy_head
+
+            wp, bp, tr, tv = sh
+            it, mx, lse = greedy_head(act, wp, bp, tr, tv)
+            sample_logp = mx - lse
         else:
-            r_t = jax.random.fold_in(rng, 10_000 + t) if rng is not None else None
-            it = jax.random.categorical(r_t, logits / temperature, axis=-1).astype(jnp.int32)
-            sample_logp = jnp.take_along_axis(logits, it[:, None], axis=1)[:, 0] - lse
+            logits = act
+            lse = jax.scipy.special.logsumexp(logits, axis=1)
+            if forced_tokens is not None:
+                it = forced_tokens[:, t - 1].astype(jnp.int32)
+                sample_logp = jnp.take_along_axis(logits, it[:, None], axis=1)[:, 0] - lse
+            elif greedy:
+                sample_logp = jnp.max(logits, axis=1) - lse
+                it = jnp.argmax(logits, axis=1).astype(jnp.int32)
+            else:
+                r_t = jax.random.fold_in(rng, 10_000 + t) if rng is not None else None
+                it = jax.random.categorical(r_t, logits / temperature, axis=-1).astype(jnp.int32)
+                sample_logp = jnp.take_along_axis(logits, it[:, None], axis=1)[:, 0] - lse
         unfinished = unfinished & (it > 0)
         active = jnp.any(unfinished & (ctxs.prop_mask > 0))
         return it, it * unfinished, sample_logp, unfinished, active
@@ -874,8 +955,8 @@ def decoder_sample(
             return (t <= L) & any_unfinished
 
         def body(carry):
-            t, state, logits, unfinished, _, seq, logps, active_buf = carry
-            it, emit_it, sample_logp, unfinished, active = step_tokens(t, logits, unfinished)
+            t, state, act, unfinished, _, seq, logps, active_buf = carry
+            it, emit_it, sample_logp, unfinished, active = step_tokens(t, act, unfinished)
             # write emit*active: matches the post-scan `* active[None, :]`
             seq = jax.lax.dynamic_update_index_in_dim(
                 seq, emit_it * active, t - 1, axis=1)
@@ -883,12 +964,12 @@ def decoder_sample(
                 logps, sample_logp * active, t - 1, axis=1)
             active_buf = jax.lax.dynamic_update_index_in_dim(active_buf, active, t - 1, axis=0)
             r_t2 = jax.random.fold_in(rng, 20_000 + t) if rng is not None else None
-            logits, state = step_logits(params, cfg, it, ctxs, pre_att, state,
-                                        train=train, rng=r_t2)
-            return (t + 1, state, logits, unfinished, active, seq, logps, active_buf)
+            act, state = _step(params, cfg, it, ctxs, pre_att, state,
+                               train=train, rng=r_t2)
+            return (t + 1, state, act, unfinished, active, seq, logps, active_buf)
 
         init = (
-            jnp.asarray(1, jnp.int32), state, logits, jnp.ones((N,), bool),
+            jnp.asarray(1, jnp.int32), state, act, jnp.ones((N,), bool),
             jnp.asarray(True),
             jnp.zeros((N, L), jnp.int32), jnp.zeros((N, L), jnp.float32),
             jnp.zeros((L,), bool),
@@ -899,14 +980,14 @@ def decoder_sample(
         return carry[5], carry[6], carry[7]
 
     def body(carry, t):
-        state, logits, unfinished = carry
-        it, emit_it, sample_logp, unfinished, active = step_tokens(t, logits, unfinished)
+        state, act, unfinished = carry
+        it, emit_it, sample_logp, unfinished, active = step_tokens(t, act, unfinished)
         r_t2 = jax.random.fold_in(rng, 20_000 + t) if rng is not None else None
-        logits, state = step_logits(params, cfg, it, ctxs, pre_att, state, train=train, rng=r_t2)
-        return (state, logits, unfinished), (emit_it, sample_logp, active)
+        act, state = _step(params, cfg, it, ctxs, pre_att, state, train=train, rng=r_t2)
+        return (state, act, unfinished), (emit_it, sample_logp, active)
 
     (_, _, _), (seq, logps, active) = jax.lax.scan(
-        body, (state, logits, jnp.ones((N,), bool)), jnp.arange(1, L + 1)
+        body, (state, act, jnp.ones((N,), bool)), jnp.arange(1, L + 1)
     )
     # a step is "appended" by the reference iff any real proposal was still
     # unfinished after the token update (its loop breaks *before* appending)
@@ -969,6 +1050,15 @@ def decoder_sample_batched(params, cfg: Config, ctxs_b: Contexts, *,
                  and sort_gate(cfg, ctxs_b))
     cfg_setup = cfg
 
+    # Streaming greedy head on the FLATTENED [B*N, C] rows (the kernel
+    # call must sit outside the vmapped per-video step — vmap would grid
+    # the pallas_call per video instead of one big row-tiled program).
+    # forced=None (batched has no replay form) and the greedy/rng gates
+    # match decoder_sample's.
+    sh = _stream_head_setup(params, cfg, B * N, greedy and not has_rng,
+                            None, train, None)
+    _stepb = step_core_out if sh is not None else step_logits
+
     def setup(ctxs, r):
         c = cfg_setup
         inv = None
@@ -978,8 +1068,8 @@ def decoder_sample_batched(params, cfg: Config, ctxs_b: Contexts, *,
         state = init_state(params, c, ctxs, N)
         it0 = jnp.zeros((N,), jnp.int32)
         r0 = jax.random.fold_in(r, 0) if has_rng else None
-        logits, state = step_logits(params, c, it0, ctxs, pre_att, state,
-                                    train=train, rng=r0)
+        logits, state = _stepb(params, c, it0, ctxs, pre_att, state,
+                               train=train, rng=r0)
         return ctxs, pre_att, state, logits, inv
 
     ctxs_b, pre_b, state_b, logits_b, inv_b = jax.vmap(setup)(ctxs_b, rngs)
@@ -1007,8 +1097,26 @@ def decoder_sample_batched(params, cfg: Config, ctxs_b: Contexts, *,
             active = jnp.any(unfinished & (pm > 0))
             return it, it * unfinished, sample_logp, unfinished, active
 
-        it_b, emit_b, logp_b, unfinished_b, active_b = jax.vmap(tokens)(
-            logits_b, unfinished_b, prop_mask_b, rngs)
+        if sh is not None:
+            from echr_tpu.ops.pallas_head import greedy_head
+
+            wp, bp, tr, tv = sh
+            C = logits_b.shape[-1]  # carried core outputs under sh
+            it_f, mx_f, lse_f = greedy_head(
+                logits_b.reshape(B * N, C), wp, bp, tr, tv)
+            it_sh = it_f.reshape(B, N)
+            logp_sh = (mx_f - lse_f).reshape(B, N)
+
+            def tokens_post(it, sample_logp, unfinished, pm):
+                unfinished = unfinished & (it > 0)
+                active = jnp.any(unfinished & (pm > 0))
+                return it, it * unfinished, sample_logp, unfinished, active
+
+            it_b, emit_b, logp_b, unfinished_b, active_b = jax.vmap(
+                tokens_post)(it_sh, logp_sh, unfinished_b, prop_mask_b)
+        else:
+            it_b, emit_b, logp_b, unfinished_b, active_b = jax.vmap(tokens)(
+                logits_b, unfinished_b, prop_mask_b, rngs)
         # write emit*active: a finished video keeps emitting zeros while
         # others run — exactly the scan form's post-hoc `* active[:, None]`
         seq_b = jax.lax.dynamic_update_index_in_dim(
@@ -1020,8 +1128,8 @@ def decoder_sample_batched(params, cfg: Config, ctxs_b: Contexts, *,
 
         def adv(it, ctxs, pre, st, r):
             r_t2 = jax.random.fold_in(r, 20_000 + t) if has_rng else None
-            return step_logits(params, cfg, it, ctxs, pre, st,
-                               train=train, rng=r_t2)
+            return _stepb(params, cfg, it, ctxs, pre, st,
+                          train=train, rng=r_t2)
 
         logits_b, state_b = jax.vmap(adv)(it_b, ctxs_b, pre_b, state_b, rngs)
         return (t + 1, state_b, logits_b, unfinished_b,
