@@ -869,6 +869,13 @@ def bench_trained_eval(cfg, cfg_train, state, inputs):
     if "METEOR" in scores.get("greedy", {}) and "METEOR" in scores.get("beam4", {}):
         out["beam_minus_greedy_METEOR"] = round(
             scores["beam4"]["METEOR"] - scores["greedy"]["METEOR"], 4)
+        # these weights are ~60 updates off init (the in-bench e2e-train
+        # state): beam>greedy only emerges on converged models — the
+        # FULLY-trained soak checkpoints show beam-4 winning every metric
+        # (docs/BENCH_NOTES.md "beam-4 beats greedy"); a negative delta
+        # here reflects near-init logits, not a beam regression
+        out["beam_delta_note"] = ("near-init weights; beam>greedy holds on "
+                                  "converged soak checkpoints")
     return out
 
 
