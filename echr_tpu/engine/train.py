@@ -536,6 +536,10 @@ def train(cfg: Config, max_iterations: Optional[int] = None,
         hist_batch_raw is the last consumed single-video batch (the
         reference logs .grad from the latest step's batch)."""
         nonlocal best_val_score
+        # the gating eval legitimately runs minutes (fullscale splits,
+        # relay contention phases) and carries its OWN eval watchdog —
+        # pause the train one so a long healthy eval can't read as a stall
+        wd.suspend()
         current_score, eval_scores = _run_eval(
             state, eval_loader, cfg, save_folder, iteration, phase,
             multihost=multihost, mesh=mesh,
@@ -598,6 +602,8 @@ def train(cfg: Config, max_iterations: Optional[int] = None,
                       loader, histories, dataset, best=True,
                       loader_state=loader_state)
             log.info("new best %.4f at iter %d", best_val_score, iteration)
+        wd.resume()  # exception paths fall through to train()'s outer
+        # finally, which stops the watchdog outright
 
     def _loop_pipelined() -> None:
         """Pipelined train loop (runtime.train_pipeline, net-new — the
@@ -750,67 +756,110 @@ def train(cfg: Config, max_iterations: Optional[int] = None,
         and cfg.train.m_batch == 1
         and cfg.train.self_critical_after == -1
     )
-    if pipelined:
-        _loop_pipelined()
+    try:
+        if pipelined:
+            _loop_pipelined()
 
-    while not pipelined and epoch < len(curriculum):
-        # the stop decision is COLLECTIVE under multi-process: schedulers
-        # usually SIGTERM every worker, but under partial delivery a local
-        # break would leave peers blocked in the next gradient psum until
-        # the scheduler hard-kills the job (ADVICE r3) — any(one hit) stops
-        # everyone at the same iteration boundary
-        wd.beat()
-        hit = _preempt["hit"]
-        if multihost:
-            # amortized to every preempt_check_every iterations (review
-            # r4): the allgather is a blocking cross-host rendezvous, and
-            # `iteration` advances in lockstep on every process (bad-video
-            # skips are data-determined, identical across hosts), so the
-            # modulo schedule is itself collective.  Off-schedule local
-            # hits wait — breaking unilaterally is the partial-delivery
-            # wedge this collective exists to prevent.
-            every = max(int(cfg.runtime.preempt_check_every), 1)
-            if iteration % every == 0:
-                from jax.experimental import multihost_utils
+        while not pipelined and epoch < len(curriculum):
+            # the stop decision is COLLECTIVE under multi-process: schedulers
+            # usually SIGTERM every worker, but under partial delivery a local
+            # break would leave peers blocked in the next gradient psum until
+            # the scheduler hard-kills the job (ADVICE r3) — any(one hit) stops
+            # everyone at the same iteration boundary
+            wd.beat()
+            hit = _preempt["hit"]
+            if multihost:
+                # amortized to every preempt_check_every iterations (review
+                # r4): the allgather is a blocking cross-host rendezvous, and
+                # `iteration` advances in lockstep on every process (bad-video
+                # skips are data-determined, identical across hosts), so the
+                # modulo schedule is itself collective.  Off-schedule local
+                # hits wait — breaking unilaterally is the partial-delivery
+                # wedge this collective exists to prevent.
+                every = max(int(cfg.runtime.preempt_check_every), 1)
+                if iteration % every == 0:
+                    from jax.experimental import multihost_utils
 
-                hit = bool(multihost_utils.process_allgather(
-                    np.asarray(_preempt["hit"])).any())
-            else:
-                hit = False
-        if hit:
-            log.warning("preemption: stopping before iter %d; "
-                        "resume with --start_from", iteration + 1)
-            break
-        phase = curriculum[min(iteration, len(curriculum) - 1)] if iter_indexed \
-            else curriculum[epoch]
-        new_lr = current_lr(cfg, epoch)
-        if new_lr != lr:
-            lr = new_lr
-            state = set_lr(state, lr)
-        ss_prob = current_ss_prob(cfg, epoch)
+                    hit = bool(multihost_utils.process_allgather(
+                        np.asarray(_preempt["hit"])).any())
+                else:
+                    hit = False
+            if hit:
+                log.warning("preemption: stopping before iter %d; "
+                            "resume with --start_from", iteration + 1)
+                break
+            phase = curriculum[min(iteration, len(curriculum) - 1)] if iter_indexed \
+                else curriculum[epoch]
+            new_lr = current_lr(cfg, epoch)
+            if new_lr != lr:
+                lr = new_lr
+                state = set_lr(state, lr)
+            ss_prob = current_ss_prob(cfg, epoch)
 
-        t0 = tic()
-        batch, meta = loader.get_batch("train")
-        tm["loader"] += tic() - t0
-        if meta.proposal_num <= 0 or meta.n_frames <= 1:
-            bad_video_num += 1
-            if meta.wrapped:
-                epoch += 1
-            continue
-        t0 = tic()
-        batch = _compress_batch(batch, cfg)
-        tm["compress"] += tic() - t0
+            t0 = tic()
+            batch, meta = loader.get_batch("train")
+            tm["loader"] += tic() - t0
+            if meta.proposal_num <= 0 or meta.n_frames <= 1:
+                bad_video_num += 1
+                if meta.wrapped:
+                    epoch += 1
+                continue
+            t0 = tic()
+            batch = _compress_batch(batch, cfg)
+            tm["compress"] += tic() - t0
 
-        sc_flag = (
-            cfg.train.self_critical_after != -1
-            and epoch >= cfg.train.self_critical_after
-            and phase != "tap"
-        )
-        rng, step_rng = jax.random.split(rng)
-        if sc_flag:
-            if collator is not None:
-                # batched SCST (net-new): vmapped sampled+greedy rollouts,
-                # host METEOR rewards per video, one policy-gradient update
+            sc_flag = (
+                cfg.train.self_critical_after != -1
+                and epoch >= cfg.train.self_critical_after
+                and phase != "tap"
+            )
+            rng, step_rng = jax.random.split(rng)
+            if sc_flag:
+                if collator is not None:
+                    # batched SCST (net-new): vmapped sampled+greedy rollouts,
+                    # host METEOR rewards per video, one policy-gradient update
+                    t0 = tic()
+                    res = collator.add(batch, meta)
+                    tm["collate"] += tic() - t0
+                    if res is None:
+                        if meta.wrapped:
+                            epoch += 1
+                        continue
+                    stacked, metas = res
+                    t0 = tic()
+                    state, metrics = _self_critical_step_batched(
+                        state, stacked, metas, rl_cfg, phase, step_rng, dataset,
+                        mesh=mesh, multihost=multihost,
+                    )
+                    tm["step"] += tic() - t0
+                else:
+                    t0 = tic()
+                    state, metrics = _self_critical_step(
+                        state, batch, meta, rl_cfg, phase, step_rng, dataset
+                    )
+                    tm["step"] += tic() - t0
+            elif cfg.train.m_batch > 1:
+                # accumulate summed grads over m_batch iterations, one update
+                # (reference: train.py:281-283,294,316-329)
+                from echr_tpu.engine.steps import apply_grads, grad_step
+
+                t0 = tic()
+                stacked = _stack_batch(batch)
+                tm["collate"] += tic() - t0
+                # rl_cfg: grad_step is an auto-partitioned jit (see rl_cfg above)
+                t0 = tic()
+                grads, metrics = grad_step(
+                    state, stacked, step_rng, rl_cfg, phase,
+                    ss_prob=ss_prob,
+                )
+                acc_grads = grads if acc_grads is None else jax.tree.map(
+                    jnp.add, acc_grads, grads
+                )
+                if (iteration + 1) % cfg.train.m_batch == 0:
+                    state = apply_grads(state, acc_grads[0], acc_grads[1], cfg, phase)
+                    acc_grads = None
+                tm["step"] += tic() - t0
+            elif collator is not None:
                 t0 = tic()
                 res = collator.add(batch, meta)
                 tm["collate"] += tic() - t0
@@ -818,113 +867,75 @@ def train(cfg: Config, max_iterations: Optional[int] = None,
                     if meta.wrapped:
                         epoch += 1
                     continue
-                stacked, metas = res
+                stacked, _ = res
                 t0 = tic()
-                state, metrics = _self_critical_step_batched(
-                    state, stacked, metas, rl_cfg, phase, step_rng, dataset,
-                    mesh=mesh, multihost=multihost,
-                )
+                if mesh is not None:
+                    stacked = _shard_batch(stacked, mesh, multihost)
+                if use_shard_map:
+                    from echr_tpu.engine.steps import train_step_shard_map
+
+                    state, metrics = train_step_shard_map(
+                        state, stacked, step_rng, cfg, phase, mesh=mesh,
+                        ss_prob=ss_prob,
+                    )
+                else:
+                    state, metrics = train_step(
+                        state, stacked, step_rng, cfg, phase, ss_prob=ss_prob
+                    )
                 tm["step"] += tic() - t0
             else:
                 t0 = tic()
-                state, metrics = _self_critical_step(
-                    state, batch, meta, rl_cfg, phase, step_rng, dataset
-                )
-                tm["step"] += tic() - t0
-        elif cfg.train.m_batch > 1:
-            # accumulate summed grads over m_batch iterations, one update
-            # (reference: train.py:281-283,294,316-329)
-            from echr_tpu.engine.steps import apply_grads, grad_step
-
-            t0 = tic()
-            stacked = _stack_batch(batch)
-            tm["collate"] += tic() - t0
-            # rl_cfg: grad_step is an auto-partitioned jit (see rl_cfg above)
-            t0 = tic()
-            grads, metrics = grad_step(
-                state, stacked, step_rng, rl_cfg, phase,
-                ss_prob=ss_prob,
-            )
-            acc_grads = grads if acc_grads is None else jax.tree.map(
-                jnp.add, acc_grads, grads
-            )
-            if (iteration + 1) % cfg.train.m_batch == 0:
-                state = apply_grads(state, acc_grads[0], acc_grads[1], cfg, phase)
-                acc_grads = None
-            tm["step"] += tic() - t0
-        elif collator is not None:
-            t0 = tic()
-            res = collator.add(batch, meta)
-            tm["collate"] += tic() - t0
-            if res is None:
-                if meta.wrapped:
-                    epoch += 1
-                continue
-            stacked, _ = res
-            t0 = tic()
-            if mesh is not None:
-                stacked = _shard_batch(stacked, mesh, multihost)
-            if use_shard_map:
-                from echr_tpu.engine.steps import train_step_shard_map
-
-                state, metrics = train_step_shard_map(
-                    state, stacked, step_rng, cfg, phase, mesh=mesh,
-                    ss_prob=ss_prob,
-                )
-            else:
+                stacked = _stack_batch(batch)
+                tm["collate"] += tic() - t0
+                t0 = tic()
                 state, metrics = train_step(
                     state, stacked, step_rng, cfg, phase, ss_prob=ss_prob
                 )
-            tm["step"] += tic() - t0
-        else:
+                tm["step"] += tic() - t0
+            iteration += 1
             t0 = tic()
-            stacked = _stack_batch(batch)
-            tm["collate"] += tic() - t0
-            t0 = tic()
-            state, metrics = train_step(
-                state, stacked, step_rng, cfg, phase, ss_prob=ss_prob
-            )
-            tm["step"] += tic() - t0
-        iteration += 1
-        t0 = tic()
-        metrics = jax.device_get(metrics)  # ONE host crossing for the whole
-        # dict — per-key float() was len(metrics) sequential relay RTTs
-        tm["fetch"] += tic() - t0
-        loss_now = float(metrics.get("loss", 0.0))
-        if not np.isfinite(loss_now):
-            # failure containment (net-new; the reference would silently
-            # poison its weights): log and keep going — the optimizer state
-            # already absorbed the step, so flag loudly for the operator
-            log.warning("non-finite loss %s at iter %d (vid %s, phase %s)",
-                        loss_now, iteration, meta.vid, phase)
-        for k, v in metrics.items():
-            loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
-        loss_count += 1
-        tm["iters"].append((iteration, tic()))
+            metrics = jax.device_get(metrics)  # ONE host crossing for the whole
+            # dict — per-key float() was len(metrics) sequential relay RTTs
+            tm["fetch"] += tic() - t0
+            loss_now = float(metrics.get("loss", 0.0))
+            if not np.isfinite(loss_now):
+                # failure containment (net-new; the reference would silently
+                # poison its weights): log and keep going — the optimizer state
+                # already absorbed the step, so flag loudly for the operator
+                log.warning("non-finite loss %s at iter %d (vid %s, phase %s)",
+                            loss_now, iteration, meta.vid, phase)
+            for k, v in metrics.items():
+                loss_sum[k] = loss_sum.get(k, 0.0) + float(v)
+            loss_count += 1
+            tm["iters"].append((iteration, tic()))
 
-        if meta.wrapped:
-            epoch += 1
+            if meta.wrapped:
+                epoch += 1
 
-        t_boundary = tic()
-        if iteration % cfg.save.losses_log_every == 0:
-            _log_boundary(iteration, epoch, phase)
+            t_boundary = tic()
+            if iteration % cfg.save.losses_log_every == 0:
+                _log_boundary(iteration, epoch, phase)
 
-        if (
-            iteration % cfg.save.save_checkpoint_every == 0
-            and epoch >= cfg.save.min_epoch_when_save
-        ):
-            _ckpt_boundary(iteration, epoch, phase, ss_prob, step_rng, batch,
-                           state)
+            if (
+                iteration % cfg.save.save_checkpoint_every == 0
+                and epoch >= cfg.save.min_epoch_when_save
+            ):
+                _ckpt_boundary(iteration, epoch, phase, ss_prob, step_rng, batch,
+                               state)
 
-        tm["boundary"] += tic() - t_boundary
-        if max_iterations and iteration >= max_iterations:
-            break
-        if _preempt["hit"]:
-            log.warning("preemption: checkpointing at iter %d and exiting; "
-                        "resume with --start_from", iteration)
-            break
+            tm["boundary"] += tic() - t_boundary
+            if max_iterations and iteration >= max_iterations:
+                break
+            if _preempt["hit"]:
+                log.warning("preemption: checkpointing at iter %d and exiting; "
+                            "resume with --start_from", iteration)
+                break
 
-    wd.stop()
+    finally:
+        # a loop-body exception must not leak the daemon watchdog
+        # thread (it would dump stacks every deadline for the rest
+        # of the process); the eval loops do the same
+        wd.stop()
     _restore_preemption_handler(_preempt)
     # tp-sharded leaves need the collective resharding on every process;
     # replicated (dp-only) leaves are host-addressable as-is

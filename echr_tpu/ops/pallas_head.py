@@ -72,8 +72,6 @@ def head_plan(R: int, C: int, V1: int) -> Optional[Tuple[int, int, int, int]]:
     Rpad = _round_up(R, _SUBLANE)
     for tv in (1024, 512, 256, _LANE):
         Vpad = _round_up(V1, tv)
-        if Vpad % tv:
-            continue
         for tr in (1024, 512, 256, 128, 64, 32, 16, _SUBLANE):
             if Rpad % tr:
                 continue

@@ -56,6 +56,7 @@ class HangWatchdog:
         self.dump_stacks = dump_stacks
         self.trips = 0  # observability / tests
         self._last = time.monotonic()
+        self._suspended = False
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -63,6 +64,8 @@ class HangWatchdog:
 
     def start(self) -> "HangWatchdog":
         if self.deadline_s > 0 and self._thread is None:
+            self._stop.clear()  # restartable: stop() left the event set
+            self._last = time.monotonic()
             self._thread = threading.Thread(
                 target=self._run, name=f"hang-watchdog-{self.name}",
                 daemon=True)
@@ -88,11 +91,23 @@ class HangWatchdog:
         per iteration of the guarded loop."""
         self._last = time.monotonic()
 
+    def suspend(self) -> None:
+        """Pause stall detection across a long legitimate section (e.g.
+        train's in-loop gating eval, which runs minutes and has its OWN
+        eval watchdog) without tearing the thread down."""
+        self._suspended = True
+
+    def resume(self) -> None:
+        self._last = time.monotonic()
+        self._suspended = False
+
     # -- internals ---------------------------------------------------------
 
     def _run(self) -> None:
         poll = max(self.deadline_s / 4.0, 0.05)
         while not self._stop.wait(poll):
+            if self._suspended:
+                continue
             stalled = time.monotonic() - self._last
             if stalled < self.deadline_s:
                 continue

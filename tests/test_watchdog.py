@@ -49,6 +49,31 @@ def test_disabled_is_noop():
     assert wd.trips == 0
 
 
+def test_suspend_pauses_detection_and_resume_rearms():
+    """suspend() covers long legitimate sections (train's gating eval runs
+    minutes with its own eval watchdog) without false stall warnings."""
+    with HangWatchdog("t-susp", deadline_s=0.2, dump_stacks=False) as wd:
+        wd.suspend()
+        time.sleep(1.0)  # 5x the deadline while suspended
+        assert wd.trips == 0
+        wd.resume()
+        assert _wait_for(lambda: wd.trips >= 1, timeout=5.0)
+
+
+def test_restart_after_stop_monitors_again():
+    """stop() then start() must yield a LIVE watchdog (the stop event is
+    cleared on start), not a thread that exits immediately."""
+    wd = HangWatchdog("t-restart", deadline_s=0.2, dump_stacks=False)
+    wd.start()
+    assert _wait_for(lambda: wd.trips >= 1, timeout=5.0)
+    wd.stop()
+    trips_before = wd.trips
+    wd.start()
+    assert _wait_for(lambda: wd.trips > trips_before, timeout=5.0), (
+        "restarted watchdog never fired")
+    wd.stop()
+
+
 def test_stack_dump_path_does_not_raise():
     # dump_stacks=True exercises faulthandler.dump_traceback(all_threads)
     with HangWatchdog("t-dump", deadline_s=0.2) as wd:
